@@ -1,0 +1,73 @@
+"""Algorithm configuration and verbosity.
+
+The reference keeps tunables in module-level ``Ref`` cells under an
+ALGO_CONFIG convention (reference: src/PeriodicSchurDecompositions.jl:285-302,
+src/krylov.jl:150, src/rpschur2x2.jl:5).  Mutable globals are incompatible
+with jit tracing, so here they live in a frozen dataclass that is threaded
+into the jitted cores as a *static* argument; changing a flag recompiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class AlgoConfig:
+    """Static algorithm switches for the iteration cores.
+
+    Mirrors the reference's ALGO_CONFIG refs
+    (src/PeriodicSchurDecompositions.jl:285-302):
+
+    * ``slicot_shifts``: use SLICOT's shift computation in the real periodic
+      QR core instead of the LAPACK-dlahqr-style one.
+    * ``slicot_convg``: use SLICOT's (laxer) deflation criterion instead of
+      the Ahues-Tisseur style test.
+    * ``at_pwr16``: the Ahues-Tisseur threshold is tightened to
+      ``eps^(1 + at_pwr16/16)``.
+    * ``extra_rq``: enable the extra final RQ stage in subdiagonal repair.
+    * ``allow_early_qr``: allow starting double-shift QR below the top of the
+      active window (dangerous for some matrices, off by default).
+    * ``eta_orth``: iterated Gram-Schmidt re-orthogonalization threshold used
+      by the periodic Arnoldi process (reference: src/krylov.jl:150).
+    """
+
+    slicot_shifts: bool = False
+    slicot_convg: bool = False
+    at_pwr16: int = 4
+    extra_rq: bool = False
+    allow_early_qr: bool = False
+    eta_orth: float = 1.0 / math.sqrt(2.0)
+
+    def ulp_x(self, ulp: float) -> float:
+        """Tightened Ahues-Tisseur relative threshold ``eps^(1+at_pwr16/16)``."""
+        return ulp ** (1.0 + self.at_pwr16 / 16.0)
+
+
+default_config = AlgoConfig()
+
+# ----------------------------------------------------------------------------
+# Verbosity: host-side only (never read inside traced code).  Mirrors
+# setverbosity (reference: src/diagnostics.jl:5-31) with keyed channels.
+_VERBOSITY = {
+    "main": 0,
+    "krylov": 0,
+    "sylswap": 0,
+    "rordschur": 0,
+    "r2x2": 0,
+}
+
+
+def setverbosity(level: int, key: str = "main") -> None:
+    """Set diagnostic verbosity for a subsystem.
+
+    Keys: ``main`` (iteration cores), ``krylov``, ``sylswap``, ``rordschur``,
+    ``r2x2``.  Levels: 0 silent, 1 progress, 2 chatty, 3+ matrix dumps.
+    """
+    if key not in _VERBOSITY:
+        raise ValueError(f"unknown verbosity key {key!r}; known: {sorted(_VERBOSITY)}")
+    _VERBOSITY[key] = int(level)
+
+
+def verbosity(key: str = "main") -> int:
+    return _VERBOSITY[key]
