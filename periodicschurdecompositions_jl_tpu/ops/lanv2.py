@@ -13,6 +13,7 @@ that could poison the selected value.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -36,11 +37,12 @@ def _hypot(x, y):
 
 
 def lanv2(a, b, c, d):
-    """Standardize [[a,b],[c,d]]; returns (a, b, c, d, cs, sn, w1, w2).
+    """Standardize [[a,b],[c,d]].
 
-    (cs, sn) is the Givens rotation G = [[cs, sn], [-sn, cs]] with
-    G @ [[a0,b0],[c0,d0]] @ G.T = [[a,b],[c,d]]; w1, w2 are the complex
-    eigenvalues.
+    Returns (a, b, c, d, cs, sn, w1r, w1i, w2r, w2i): (cs, sn) is the Givens
+    rotation G = [[cs, sn], [-sn, cs]] with G @ [[a0,b0],[c0,d0]] @ G.T =
+    [[a,b],[c,d]]; the eigenvalues are returned as real/imag PAIRS because
+    complex128 is unsupported on TPU.
     """
     dt = jnp.result_type(a, b, c, d)
     a, b, c, d = (jnp.asarray(x, dt) for x in (a, b, c, d))
@@ -130,8 +132,8 @@ def lanv2(a, b, c, d):
     snf = jnp.where(is_b1 | is_b3, zero, jnp.where(is_b2, one, snB4))
 
     # ---- eigenvalues ----------------------------------------------------
+    # returned as (re, im) PAIRS: complex128 does not exist on TPU, so the
+    # whole real pipeline must stay complex-free
     rti = jnp.sqrt(jnp.abs(bf)) * jnp.sqrt(jnp.abs(cf))
-    cdt = jnp.complex128 if dt == jnp.float64 else jnp.complex64
-    w1 = jnp.where(cf == 0, af.astype(cdt), af + 1j * rti)
-    w2 = jnp.where(cf == 0, df.astype(cdt), df - 1j * rti)
-    return af, bf, cf, df, csf, snf, w1, w2
+    imagpart = jnp.where(cf == 0, jnp.zeros_like(rti), rti)
+    return af, bf, cf, df, csf, snf, af, imagpart, df, -imagpart

@@ -395,12 +395,13 @@ def pqr_real_core(
                 bh12 = a11 * hp12 + a12 * hp22
                 bh21 = a21 * hp11
                 bh22 = a21 * hp12 + a22 * hp22
-                _, _, cc_, _, cs0, sn0, w1, w2 = lanv2(bh11, bh12, bh21, bh22)
+                (_, _, cc_, _, cs0, sn0,
+                 w1r, w1i, w2r, w2i) = lanv2(bh11, bh12, bh21, bh22)
                 lam_real = cc_ == 0
-                wr = wr.at[i - 1].set(w1.real)
-                wi = wi.at[i - 1].set(w1.imag)
-                wr = wr.at[i].set(w2.real)
-                wi = wi.at[i].set(w2.imag)
+                wr = wr.at[i - 1].set(w1r)
+                wi = wi.at[i - 1].set(w1i)
+                wr = wr.at[i].set(w2r)
+                wi = wi.at[i].set(w2i)
 
                 # negligible-diagonal detection in the triangular factors
                 lv = jnp.arange(p, dtype=jnp.int32)
@@ -441,11 +442,11 @@ def pqr_real_core(
                 # --- branch B: rotation + retriangularization ---------
                 def chainB(HZ):
                     H, Z = HZ
-                    a1 = jnp.abs(w1)
-                    a2 = jnp.abs(w2)
+                    a1 = jnp.hypot(w1r, w1i)
+                    a2 = jnp.hypot(w2r, w2i)
                     amx = jnp.maximum(a1, a2)
                     amn = jnp.minimum(a1, a2)
-                    prod0 = (w1 == 0) | (w2 == 0)
+                    prod0 = ((w1r == 0) & (w1i == 0)) | ((w2r == 0) & (w2i == 0))
                     tinyrat = amn < ulp * amx
                     replace0 = ((jmax >= 1) & lam_real) | prod0 | \
                         ((~prod0) & lam_real & tinyrat)
@@ -514,7 +515,7 @@ def pqr_real_core(
                 for f in range(1, p):
                     l1 = l1 * getel(H[f], i - 1, i - 1)
                     l2 = l2 * getel(H[f], i, i)
-                swap = lam_real & (jnp.abs(l1 - w1.real) > jnp.abs(l1 - w2.real))
+                swap = lam_real & (jnp.abs(l1 - w1r) > jnp.abs(l1 - w2r))
                 wr1, wr2 = wr[i - 1], wr[i]
                 wr = wr.at[i - 1].set(jnp.where(swap, wr2, wr1))
                 wr = wr.at[i].set(jnp.where(swap, wr1, wr2))
@@ -535,11 +536,16 @@ def pqr_real_core(
         (H, Z, wr, wi, i, l, its, itleft, jiter) = st
         return (i >= 0) & (jiter < maxit)
 
+    def body_guarded(st):
+        # no-op once converged: keeps semantics exact under vmap (a batched
+        # while_loop keeps stepping until every lane's cond is false)
+        return lax.cond(st[4] >= 0, body, lambda s: s, st)
+
     wr0 = jnp.zeros((n,), dt)
     wi0 = jnp.zeros((n,), dt)
     st = (Hp_, Zp_, wr0, wi0, jnp.int32(n - 1), jnp.int32(0), jnp.int32(1),
           jnp.int32(maxit), jnp.int32(0))
-    H, Z, wr, wi, i, l, its, itleft, jiter = lax.while_loop(cond, body, st)
+    H, Z, wr, wi, i, l, its, itleft, jiter = lax.while_loop(cond, body_guarded, st)
     ok = i < 0
 
     H = H[:, :n, :n]
@@ -566,7 +572,10 @@ def pschur_real_pipeline(A, orient, want_t=True, want_z=True, maxitfac=30,
                                      cfg=cfg)
     if not bool(ok):
         raise ConvergenceFailure(-1)
-    values = wr + 1j * wi
+    # complex packaging on host: c128 does not exist on TPU devices
+    import numpy as _np
+    values = jnp.asarray(_np.asarray(wr) + 1j * _np.asarray(wi),
+                         device=jax.devices("cpu")[0])
     P = PeriodicSchur(Ts=T, Zs=Z, values=values, orientation="R", schurindex=0)
     if orient == "L":
         P = rev_alias(P)

@@ -362,10 +362,14 @@ def pqz_complex_core(
         ilast = st[5]
         return (ilast >= 0) & (jiter < maxit)
 
+    def body_guarded(full):
+        st, jiter = full
+        return lax.cond(st[5] >= 0, body, lambda f: (f[0], f[1] + 1), full)
+
     st0 = (H, Zs, alpha0, beta0, scal0, jnp.int32(n - 1), jnp.int32(0),
            jnp.int32(ziter0), key0)
     (H, Zs, alpha, beta, scal, ilast, _, _, _), _ = lax.while_loop(
-        cond, body, (st0, jnp.int32(0)))
+        cond, body_guarded, (st0, jnp.int32(0)))
     ok = ilast < 0
 
     # ------------------------------------------------------------------

@@ -142,7 +142,10 @@ class TestReflector:
 
 class TestLanv2:
     def _check(self, a0, b0, c0, d0):
-        a, b, c, d, cs, sn, w1, w2 = (np.asarray(v) for v in lanv2(a0, b0, c0, d0))
+        a, b, c, d, cs, sn, w1r, w1i, w2r, w2i = (
+            np.asarray(v) for v in lanv2(a0, b0, c0, d0))
+        w1 = w1r + 1j * w1i
+        w2 = w2r + 1j * w2i
         G = np.array([[cs, sn], [-sn, cs]], dtype=float)
         assert abs(cs**2 + sn**2 - 1) < 1e-14
         M0 = np.array([[a0, b0], [c0, d0]], dtype=float)
