@@ -1,6 +1,291 @@
-"""Eigenvalue reordering (stub; lands with the swap engine)."""
+"""Eigenvalue reordering for periodic Schur decompositions.
+
+Behavioral contract from the reference's `ordschur!` methods (complex:
+src/ordschur.jl:11-73; real: src/rordschur.jl:3-132 with the `_moveblock!`
+state machine :141-251) on the stacked pytree types:
+
+* normalize to left orientation with the Schur factor at slot 0
+  (rev_alias + cyclic relabeling, like the reference :17-33),
+* bubble selected blocks to the top with adjacent swaps; every swap runs
+  weak/strong stability tests and a rejection raises
+  IllConditionedException (reference src/ordschur.jl:62),
+* real decompositions silently widen `select` across conjugate pairs and
+  move 1x1/2x2 blocks with the split-tracking state machine,
+* eigenvalues are recomputed from the reordered diagonals (`_updateλ!`,
+  reference src/ordschur.jl:75-314), re-solving 2x2 blocks via the scaled
+  window-block product.
+
+The driver is host-side (numpy) — see ops/reorder_np.py for why — and
+functional: a NEW decomposition is returned, inputs are untouched.
+"""
 from __future__ import annotations
 
+from typing import List, Sequence
 
-def ordschur(*args, **kwargs):
-    raise NotImplementedError("ordschur lands in a later commit this round")
+import numpy as np
+import jax.numpy as jnp
+
+from ..types import GeneralizedPeriodicSchur, IllConditionedException, PeriodicSchur
+from ..utils.circshift import circshift_psd, rev_alias
+from ..ops.reorder_np import swapadj1x1, swapadjqr
+
+
+def _safeprod_np(vals, S):
+    """(alpha, beta, scale) of prod vals[l]^{±1} with exact 2-exponent
+    renormalization (numpy mirror of utils.safeprod)."""
+    alpha = 1.0 + 0.0j if np.iscomplexobj(np.asarray(vals)) else 1.0
+    beta = 1.0
+    scale = 0
+    for l, x in enumerate(vals):
+        if S[l]:
+            alpha = alpha * x
+        else:
+            if x == 0:
+                beta = 0.0
+            else:
+                alpha = alpha / x
+        a = abs(alpha)
+        if a == 0:
+            scale = 0
+            alpha = 0.0 * alpha
+        else:
+            e = int(np.frexp(a)[1])
+            alpha = alpha * 2.0 ** (1 - e)
+            scale += e - 1
+    return alpha, beta, scale
+
+
+def _eig2x2_prod_np(W, S):
+    """Eigenvalues of the signed 2x2 window-block product, scaled
+    (numpy mirror of ops.pqz_real.eig2x2_product)."""
+    P = np.eye(2, dtype=W[0].dtype)
+    e = 0
+    beta = 1.0
+    for l in range(len(S)):
+        if S[l]:
+            P = P @ W[l]
+        else:
+            a, b, d = W[l][0, 0], W[l][0, 1], W[l][1, 1]
+            if a == 0 or d == 0:
+                beta = 0.0
+                continue
+            P = P @ np.array([[1 / a, -b / (a * d)], [0, 1 / d]])
+        m = np.abs(P).max()
+        if m > 0:
+            ee = int(np.frexp(m)[1])
+            P = P * 2.0 ** (1 - ee)
+            e += ee - 1
+    w = np.linalg.eigvals(P)
+    out = []
+    for wj in w:
+        a = abs(wj)
+        if a == 0:
+            out.append((0.0 + 0.0j, 0))
+        else:
+            ee = int(np.frexp(a)[1])
+            out.append((wj * 2.0 ** (1 - ee), e + ee - 1))
+    # standardize conjugates
+    (w1, s1), (w2, s2) = out
+    if abs(w1.imag) > 0 or abs(w2.imag) > 0:
+        wr = (w1.real + w2.real) / 2
+        wi = abs(w1.imag - w2.imag) / 2
+        w1, w2 = wr + 1j * wi, wr - 1j * wi
+        s2 = s1
+    return (w1, s1), (w2, s2), beta
+
+
+def _normalize(P):
+    """-> (Pn, undo): left orientation, Schur factor at slot 0."""
+    steps = []
+    if P.orientation == "R":
+        P = rev_alias(P)
+        steps.append("rev")
+    p = P.period
+    if P.schurindex == 0:
+        pass
+    elif P.schurindex == p - 1:
+        P = circshift_psd(P, 1)
+        steps.append("shift")
+    else:
+        raise ValueError("ordschur: schurindex must be 0 or p-1 after "
+                         "orientation normalization")
+    return P, steps
+
+
+def _denormalize(P, steps):
+    for s in reversed(steps):
+        if s == "shift":
+            P = circshift_psd(P, -1)
+        else:
+            P = rev_alias(P)
+    return P
+
+
+def _np_lists(P):
+    p = P.period
+    T = [np.array(P.Ts[l]) for l in range(p)]
+    Z = None if P.Zs is None else [np.array(P.Zs[l]) for l in range(p)]
+    S = P.S if isinstance(P, GeneralizedPeriodicSchur) else (True,) * p
+    return T, Z, S
+
+
+def _swap_blocks(T, Z, S, i1, nb1, nb2):
+    """Swap adjacent blocks of sizes (nb1, nb2) at row i1 (0-based)."""
+    if nb1 == 1 and nb2 == 1:
+        return swapadj1x1(T, Z, S, i1)
+    return swapadjqr(T, Z, S, i1, nb1, nb2)
+
+
+def _moveblock(T, Z, S, jsrc, jdest):
+    """Move the block starting at jsrc up to jdest (reference
+    `_moveblock!`, src/rordschur.jl:141-251).  Returns (jsrc, jdest, ok)."""
+    A1 = T[0]
+    n = A1.shape[0]
+    if jsrc > 0 and A1[jsrc, jsrc - 1] != 0:
+        jsrc -= 1
+    nbsrc = 2 if (jsrc < n - 1 and A1[jsrc + 1, jsrc] != 0) else 1
+    if jdest > 0 and A1[jdest, jdest - 1] != 0:
+        jdest -= 1
+    if jsrc == jdest:
+        return jsrc, jdest, True
+    if jdest > jsrc:
+        raise ValueError("only upward moves are implemented")
+
+    here = jsrc
+    splitsrc = False
+    while here > jdest:
+        if not splitsrc:
+            nbnext = 2 if (here >= 2 and A1[here - 1, here - 2] != 0) else 1
+            ok = _swap_blocks(T, Z, S, here - nbnext, nbnext, nbsrc)
+            if not ok:
+                return jsrc, here, False
+            here -= nbnext
+            if nbsrc == 2 and A1[here + 1, here] == 0:
+                splitsrc = True
+        else:
+            nbnext = 2 if (here >= 2 and A1[here - 1, here - 2] != 0) else 1
+            ok = _swap_blocks(T, Z, S, here - nbnext, nbnext, 1)
+            if not ok:
+                return jsrc, here, False
+            if nbnext == 1:
+                ok = _swap_blocks(T, Z, S, here, nbnext, 1)
+                if not ok:
+                    return jsrc, here, False
+            else:
+                if A1[here, here - 1] == 0:
+                    nbnext = 1
+                if nbnext == 2:
+                    ok = _swap_blocks(T, Z, S, here - 1, 2, 1)
+                    if not ok:
+                        return jsrc, here, False
+                    here -= 2
+                else:
+                    ok = _swap_blocks(T, Z, S, here, 1, 1)
+                    if not ok:
+                        return jsrc, here, False
+                    ok = _swap_blocks(T, Z, S, here - 1, 1, 1)
+                    if not ok:
+                        return jsrc, here, False
+                    here -= 2
+                continue
+            here -= nbnext
+    return jsrc, here, True
+
+
+def _update_values(P, T, S):
+    """Recompute eigenvalues from reordered diagonals (reference _updateλ!).
+
+    Works in normalized (left, slot-0) space; the cyclic product rotation
+    used for 2x2 re-solves starts at slot 0: [T0, T_{p-1}, ..., T1].
+    """
+    p = len(T)
+    n = T[0].shape[0]
+    isreal_t = not np.iscomplexobj(T[0])
+    order = [0] + list(range(p - 1, 0, -1))
+    Sx = [S[l] for l in order]
+    alpha = np.zeros(n, complex)
+    beta = np.zeros(n)
+    scale = np.zeros(n, np.int64)
+    j = 0
+    while j < n:
+        pair = isreal_t and j < n - 1 and T[0][j + 1, j] != 0
+        if pair:
+            W = [T[l][j:j + 2, j:j + 2] for l in order]
+            (w1, s1), (w2, s2), bflag = _eig2x2_prod_np(W, Sx)
+            alpha[j], alpha[j + 1] = w1, w2
+            beta[j] = beta[j + 1] = bflag
+            scale[j], scale[j + 1] = s1, s2
+            j += 2
+        else:
+            vals = [T[l][j, j] for l in order]
+            a, b, sc = _safeprod_np(vals, Sx)
+            alpha[j], beta[j], scale[j] = a, b, sc
+            j += 1
+    return alpha, beta, scale
+
+
+def ordschur(P, select: Sequence[bool], want_z: bool = True):
+    """Reorder a periodic Schur decomposition: move the eigenvalues selected
+    by `select` (and their invariant subspace) to the top.
+
+    For real decompositions `select` is widened over conjugate pairs.  A
+    swap failing its stability tests raises IllConditionedException.
+    Returns a new decomposition of the same type/orientation.
+    """
+    if P.Zs is None and want_z:
+        raise ValueError("ordschur requires Schur vectors (want_z decompositions)")
+    Pn, steps = _normalize(P)
+    T, Z, S = _np_lists(Pn)
+    n = T[0].shape[0]
+    select = list(bool(x) for x in select)
+    if len(select) != n:
+        raise ValueError("select length must match the decomposition size")
+    isreal_t = not np.iscomplexobj(T[0])
+
+    if not isreal_t:
+        # complex: all blocks are 1x1 (reference src/ordschur.jl:52-65)
+        js = 0
+        for j in range(n):
+            if select[j]:
+                if j != js:
+                    for i in range(j - 1, js - 1, -1):
+                        if not swapadj1x1(T, Z, S, i):
+                            raise IllConditionedException(j)
+                js += 1
+    else:
+        # real: widen select over pairs, then move blocks upward
+        j = 0
+        while j < n:
+            if j < n - 1 and T[0][j + 1, j] != 0:
+                if select[j] or select[j + 1]:
+                    select[j] = select[j + 1] = True
+                j += 2
+            else:
+                j += 1
+        jdest = 0
+        j = 0
+        while j < n:
+            pair = j < n - 1 and T[0][j + 1, j] != 0
+            if select[j]:
+                if j != jdest:
+                    jsrc2, jd2, ok = _moveblock(T, Z, S, j, jdest)
+                    if not ok:
+                        raise IllConditionedException(j)
+                jdest += 2 if pair else 1
+            j += 2 if pair else 1
+
+    alpha, beta, scale = _update_values(Pn, T, S)
+
+    Ts = jnp.asarray(np.stack(T))
+    Zs = None if Z is None else jnp.asarray(np.stack(Z))
+    if isinstance(Pn, GeneralizedPeriodicSchur):
+        out = GeneralizedPeriodicSchur(
+            S=Pn.S, schurindex=0, Ts=Ts, Zs=Zs, alpha=jnp.asarray(alpha),
+            beta=jnp.asarray(beta), alphascale=jnp.asarray(scale, jnp.int32),
+            orientation=Pn.orientation)
+    else:
+        values = alpha / np.where(beta == 0, np.nan, beta) * \
+            np.exp2(scale.astype(float))
+        out = PeriodicSchur(Ts=Ts, Zs=Zs, values=jnp.asarray(values),
+                            orientation=Pn.orientation, schurindex=0)
+    return _denormalize(out, steps)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .householder import refl_left, refl_right, reflector_masked
+from functools import partial
 
 
 def _fix_column(M, i, beta, zero_below):
@@ -40,6 +41,7 @@ def _fix_column(M, i, beta, zero_below):
     return lax.dynamic_update_slice(M, newcol[:, None], (jnp.int32(0), i))
 
 
+@partial(jax.jit, static_argnames=("want_q",))
 def phessenberg_core(A: jax.Array, want_q: bool = True
                      ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Reduce a stacked cycle to periodic Hessenberg/triangular form.
@@ -108,6 +110,7 @@ def _rq(A):
     return R, Q
 
 
+@partial(jax.jit, static_argnames=("S", "want_q"))
 def phessenberg_signed_core(A: jax.Array, S, want_q: bool = True
                             ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Generalized periodic Hessenberg-triangular reduction (mixed signature).
@@ -125,7 +128,6 @@ def phessenberg_signed_core(A: jax.Array, S, want_q: bool = True
     ``Q[(l+1)%p]^H A[l] Q[l] = H[l]``.
     """
     p, n, _ = A.shape
-    S = tuple(bool(x) for x in S)
     assert S[0], "signature entry S[0] must be True"
     dt = A.dtype
     Q0 = jnp.broadcast_to(jnp.eye(n, dtype=dt), (p, n, n)).copy() if want_q else None

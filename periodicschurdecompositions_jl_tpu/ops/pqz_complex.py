@@ -122,102 +122,10 @@ def pqz_complex_core(
         return (H, Z, al, be, sc, ilast, iiter, ziter, key)
 
     # ------------------------------------------------------------------
-    # action 3: controlled zero shift (reference src/generalized.jl:356-448)
+    # action 3: controlled zero shift (shared core)
     def act_czshift(st, info):
         H, Z, al, be, sc, ilast, iiter, ziter, key = st
-        jlo = info["jlo"]
-
-        # stage A: triangularize the Hessenberg factor on [jlo, ilast]
-        def stage_a(k, carry):
-            H0, Gc, Gs = carry
-            act = (k >= jlo) & (k <= ilast - 1)
-            f = getel(H0, k, k)
-            g = getel(H0, k + 1, k)
-            c, s, r = givens_complex(f, g)
-            H0 = setel(H0, k, k, r, active=act)
-            H0 = setel(H0, k + 1, k, jnp.zeros((), dt), active=act)
-            H0 = rowsk(H0, k, lmat(c, s), lo=k + 1, active=act)
-            Gc = Gc.at[k].set(jnp.where(act, c, Gc[k]))
-            Gs = Gs.at[k].set(jnp.where(act, s, Gs[k]))
-            return H0, Gc, Gs
-
-        Gc = jnp.ones((n,), rdt)
-        Gs = jnp.zeros((n,), dt)
-        H0, Gc, Gs = lax.fori_loop(0, n - 1, stage_a, (H[0], Gc, Gs))
-        H = H.at[0].set(H0)
-
-        def chain_right(M, Gc, Gs, klo, khi):
-            """Apply the stored chain to columns of M (full row range)."""
-            def body(k, M):
-                act = (k >= klo) & (k <= khi)
-                return colsk(M, k, rmat_adj(Gc[k], Gs[k]), active=act)
-            return lax.fori_loop(0, n - 1, body, M)
-
-        if want_z:
-            Z = Z.at[0].set(chain_right(Z[0], Gc, Gs, jlo, ilast - 1))
-
-        # stage B: propagate backwards through the triangular factors
-        for l in range(p - 1, 0, -1):
-            if S[l]:
-                def stage_b_pos(k, carry):
-                    Hl, Gc, Gs = carry
-                    act = (k >= jlo) & (k <= ilast - 1) & (Gs[k] != 0)
-                    Hl = colsk(Hl, k, rmat_adj(Gc[k], Gs[k]), hi=k + 2, active=act)
-                    tol = jnp.abs(getel(Hl, k, k)) + jnp.abs(getel(Hl, k + 1, k + 1))
-                    tol = jnp.maximum(ulp * tol, smlnum)
-                    negl = jnp.abs(getel(Hl, k + 1, k)) <= tol
-                    f = getel(Hl, k, k)
-                    g = getel(Hl, k + 1, k)
-                    c, s, r = givens_complex(f, g)
-                    use = act & (~negl)
-                    Hl = setel(Hl, k, k, r, active=use)
-                    Hl = setel(Hl, k + 1, k, jnp.zeros((), dt), active=act)
-                    Hl = rowsk(Hl, k, lmat(c, s), lo=k + 1, active=use)
-                    cnew = jnp.where(negl, jnp.ones((), rdt), c)
-                    snew = jnp.where(negl, jnp.zeros((), dt), s)
-                    Gc = Gc.at[k].set(jnp.where(act, cnew, Gc[k]))
-                    Gs = Gs.at[k].set(jnp.where(act, snew, Gs[k]))
-                    return Hl, Gc, Gs
-
-                Hl, Gc, Gs = lax.fori_loop(0, n - 1, stage_b_pos, (H[l], Gc, Gs))
-            else:
-                def stage_b_neg(k, carry):
-                    Hl, Gc, Gs = carry
-                    act = (k >= jlo) & (k <= ilast - 1) & (Gs[k] != 0)
-                    Hl = rowsk(Hl, k, lmat(Gc[k], Gs[k]), lo=k, active=act)
-                    tol = jnp.abs(getel(Hl, k, k)) + jnp.abs(getel(Hl, k + 1, k + 1))
-                    tol = jnp.maximum(ulp * tol, smlnum)
-                    negl = jnp.abs(getel(Hl, k + 1, k)) <= tol
-                    f = getel(Hl, k + 1, k + 1)
-                    g = getel(Hl, k + 1, k)
-                    c, s, r = givens_complex(f, g)
-                    use = act & (~negl)
-                    Hl = setel(Hl, k + 1, k + 1, r, active=use)
-                    Hl = setel(Hl, k + 1, k, jnp.zeros((), dt), active=act)
-                    # rmul!(view(Hl, 1:j, :), Givens(j+1, j, c, s')') == right
-                    # multiply pair (k, k+1) by lmat(c, s) on rows [0, k]
-                    Hl = colsk(Hl, k, lmat(c, s), hi=k + 1, active=use)
-                    cnew = jnp.where(negl, jnp.ones((), rdt), c)
-                    snew = jnp.where(negl, jnp.zeros((), dt), -s)
-                    Gc = Gc.at[k].set(jnp.where(act, cnew, Gc[k]))
-                    Gs = Gs.at[k].set(jnp.where(act, snew, Gs[k]))
-                    return Hl, Gc, Gs
-
-                Hl, Gc, Gs = lax.fori_loop(0, n - 1, stage_b_neg, (H[l], Gc, Gs))
-            H = H.at[l].set(Hl)
-            if want_z:
-                Z = Z.at[l].set(chain_right(Z[l], Gc, Gs, jlo, ilast - 1))
-
-        # stage C: apply final chain to the right side of the Hessenberg
-        def stage_c(k, carry):
-            H0, zflag = carry
-            act = (k >= jlo) & (k <= ilast - 1)
-            H0 = colsk(H0, k, rmat_adj(Gc[k], Gs[k]), hi=k + 2, active=act)
-            zflag = zflag | (act & (Gs[k] == 0))
-            return H0, zflag
-
-        H0, zflag = lax.fori_loop(0, n - 1, stage_c, (H[0], jnp.asarray(False)))
-        H = H.at[0].set(H0)
+        H, Z, zflag = czshift_core(H, Z, info["jlo"], ilast)
         ziter = jnp.where(zflag, jnp.int32(1), jnp.int32(0))
         return (H, Z, al, be, sc, ilast, iiter, ziter, key)
 
@@ -300,9 +208,19 @@ def pqz_complex_core(
 
     # ------------------------------------------------------------------
     # actions 1/2: singular triangular factor deflations
-    from .pqz_deflate import make_deflate_actions
-    act_pos, act_neg = make_deflate_actions(
+    from .pqz_deflate import make_deflate_cores
+    pos_core, neg_core, czshift_core = make_deflate_cores(
         p=p, n=n, S=S, dt=dt, rdt=rdt, want_z=want_z, ulp=ulp, smlnum=smlnum)
+
+    def act_pos(st, info):
+        H, Z, al, be, sc, ilast, iiter, ziter, key = st
+        H, Z = pos_core(H, Z, info["jlo"], info["ldef"], info["jdef"], ilast)
+        return (H, Z, al, be, sc, ilast, iiter, ziter, key)
+
+    def act_neg(st, info):
+        H, Z, al, be, sc, ilast, iiter, ziter, key = st
+        H, Z = neg_core(H, Z, info["jlo"], info["ldef"], info["jdef"], ilast)
+        return (H, Z, al, be, sc, ilast, iiter, ziter, key)
 
     # ------------------------------------------------------------------
     # per-iteration deflation analysis + dispatch

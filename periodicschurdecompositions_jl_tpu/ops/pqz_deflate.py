@@ -24,10 +24,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .rotations import colsk, getel, givens_complex, lmat, rmat_adj, rowsk, setel
+from .rotations import colsk, getel, givens, lmat, rmat_adj, rowsk, setel
 
 
-def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
+def make_deflate_cores(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
     S_arr = jnp.asarray(S)
     zero_c = jnp.zeros((), dt)
 
@@ -70,10 +70,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
 
     # =====================================================================
     # DEFLATE_POS (reference src/generalized.jl:453-566)
-    def act_pos(st, info):
-        H, Z, al, be, sc, ilast, iiter, ziter, key = st
-        jlo, ldef, jdef = info["jlo"], info["ldef"], info["jdef"]
-
+    def pos_core(H, Z, jlo, ldef, jdef, ilast):
         # zero the negligible diagonal entry of the deflated factor
         Hl = dget(H, ldef)
         Hl = setel(Hl, jdef, jdef, zero_c)
@@ -86,7 +83,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
         def a1(k, carry):
             H0, Gc, Gs = carry
             act = (k >= jlo) & (k <= jdef - 1)
-            c, s, r = givens_complex(getel(H0, k, k), getel(H0, k + 1, k))
+            c, s, r = givens(getel(H0, k, k), getel(H0, k + 1, k))
             H0 = setel(H0, k, k, r, active=act)
             H0 = setel(H0, k + 1, k, zero_c, active=act)
             H0 = rowsk(H0, k, lmat(c, s), lo=k + 1, active=act)
@@ -106,7 +103,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
                     Hl, Gc, Gs = carry
                     act = (k >= jlo) & (k <= ntra)
                     Hl = colsk(Hl, k, rmat_adj(Gc[k], Gs[k]), hi=k + 2, active=act)
-                    c, s, r = givens_complex(getel(Hl, k, k), getel(Hl, k + 1, k))
+                    c, s, r = givens(getel(Hl, k, k), getel(Hl, k + 1, k))
                     Hl = setel(Hl, k, k, r, active=act)
                     Hl = setel(Hl, k + 1, k, zero_c, active=act)
                     Hl = rowsk(Hl, k, lmat(c, s), lo=k + 1, active=act)
@@ -118,7 +115,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
                     Hl, Gc, Gs = carry
                     act = (k >= jlo) & (k <= ntra)
                     Hl = rowsk(Hl, k, lmat(Gc[k], Gs[k]), lo=k, active=act)
-                    c, s, r = givens_complex(getel(Hl, k + 1, k + 1),
+                    c, s, r = givens(getel(Hl, k + 1, k + 1),
                                              getel(Hl, k + 1, k))
                     Hl = setel(Hl, k + 1, k + 1, r, active=act)
                     Hl = setel(Hl, k + 1, k, zero_c, active=act)
@@ -146,7 +143,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
             H0, G2c, G2s = carry
             j = ilast - t
             act = j >= jdef + 1
-            c, s, r = givens_complex(getel(H0, j, j), getel(H0, j, j - 1))
+            c, s, r = givens(getel(H0, j, j), getel(H0, j, j - 1))
             H0 = setel(H0, j, j, r, active=act)
             H0 = setel(H0, j, j - 1, zero_c, active=act)
             H0 = colsk(H0, j - 1, lmat(c, s), hi=j, active=act)
@@ -169,7 +166,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
                     act = j >= ntra
                     Hl = colsk(Hl, j - 1, rmat_adj(G2c[j], G2s[j]), hi=j + 1,
                                active=act)
-                    c, s, r = givens_complex(getel(Hl, j - 1, j - 1),
+                    c, s, r = givens(getel(Hl, j - 1, j - 1),
                                              getel(Hl, j, j - 1))
                     Hl = setel(Hl, j - 1, j - 1, r, active=act)
                     Hl = setel(Hl, j, j - 1, zero_c, active=act)
@@ -184,7 +181,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
                     act = j >= ntra
                     Hl = rowsk(Hl, j - 1, lmat(G2c[j], G2s[j]), lo=j - 1,
                                active=act)
-                    c, s, r = givens_complex(getel(Hl, j, j), getel(Hl, j, j - 1))
+                    c, s, r = givens(getel(Hl, j, j), getel(Hl, j, j - 1))
                     Hl = setel(Hl, j, j, r, active=act)
                     Hl = setel(Hl, j, j - 1, zero_c, active=act)
                     Hl = colsk(Hl, j - 1, lmat(c, s), hi=j, active=act)
@@ -204,7 +201,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
             return rowsk(H0, j - 1, lmat(G2c[j], G2s[j]), lo=j - 1, active=act)
 
         H = H.at[0].set(lax.fori_loop(0, n, c2, H[0]))
-        return (H, Z, al, be, sc, ilast, iiter, ziter, key)
+        return H, Z
 
     # =====================================================================
     # DEFLATE_NEG (reference src/generalized.jl:568-740)
@@ -214,7 +211,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
     def hess_dn(op):
         Hln, j, c, s = op
         Hln = rowsk(Hln, j, lmat(c, s), lo=j - 1)
-        cn, sn, r = givens_complex(getel(Hln, j + 1, j), getel(Hln, j + 1, j - 1))
+        cn, sn, r = givens(getel(Hln, j + 1, j), getel(Hln, j + 1, j - 1))
         Hln = setel(Hln, j + 1, j, r)
         Hln = setel(Hln, j + 1, j - 1, zero_c)
         Hln = colsk(Hln, j - 1, lmat(cn, sn), hi=j + 1)
@@ -223,7 +220,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
     def pos_dn(op):
         Hln, j, c, s = op
         Hln = rowsk(Hln, j, lmat(c, s), lo=j)
-        cn, sn, r = givens_complex(getel(Hln, j + 1, j + 1), getel(Hln, j + 1, j))
+        cn, sn, r = givens(getel(Hln, j + 1, j + 1), getel(Hln, j + 1, j))
         Hln = setel(Hln, j + 1, j + 1, r)
         Hln = setel(Hln, j + 1, j, zero_c)
         Hln = colsk(Hln, j, lmat(cn, sn), hi=j + 1)
@@ -232,7 +229,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
     def neg_dn(op):
         Hln, j, c, s = op
         Hln = colsk(Hln, j, rmat_adj(c, s), hi=j + 2)
-        cn, sn, r = givens_complex(getel(Hln, j, j), getel(Hln, j + 1, j))
+        cn, sn, r = givens(getel(Hln, j, j), getel(Hln, j + 1, j))
         Hln = setel(Hln, j, j, r)
         Hln = setel(Hln, j + 1, j, zero_c)
         Hln = rowsk(Hln, j, lmat(cn, sn), lo=j + 1)
@@ -242,7 +239,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
     def hess_up(op):
         Hln, j, c, s = op
         Hln = colsk(Hln, j - 1, rmat_adj(c, s), hi=j + 2)
-        cn, sn, r = givens_complex(getel(Hln, j, j - 1), getel(Hln, j + 1, j - 1))
+        cn, sn, r = givens(getel(Hln, j, j - 1), getel(Hln, j + 1, j - 1))
         Hln = setel(Hln, j, j - 1, r)
         Hln = setel(Hln, j + 1, j - 1, zero_c)
         Hln = rowsk(Hln, j, lmat(cn, sn), lo=j)
@@ -251,7 +248,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
     def neg_up(op):
         Hln, j, c, s = op
         Hln = rowsk(Hln, j - 1, lmat(c, s), lo=j - 1)
-        cn, sn, r = givens_complex(getel(Hln, j, j), getel(Hln, j, j - 1))
+        cn, sn, r = givens(getel(Hln, j, j), getel(Hln, j, j - 1))
         Hln = setel(Hln, j, j, r)
         Hln = setel(Hln, j, j - 1, zero_c)
         Hln = colsk(Hln, j - 1, lmat(cn, sn), hi=j)
@@ -260,16 +257,13 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
     def pos_up(op):
         Hln, j, c, s = op
         Hln = colsk(Hln, j - 1, rmat_adj(c, s), hi=j + 1)
-        cn, sn, r = givens_complex(getel(Hln, j - 1, j - 1), getel(Hln, j, j - 1))
+        cn, sn, r = givens(getel(Hln, j - 1, j - 1), getel(Hln, j, j - 1))
         Hln = setel(Hln, j - 1, j - 1, r)
         Hln = setel(Hln, j, j - 1, zero_c)
         Hln = rowsk(Hln, j - 1, lmat(cn, sn), lo=j)
         return Hln, j, cn, sn
 
-    def act_neg(st, info):
-        H, Z, al, be, sc, ilast, iiter, ziter, key = st
-        jlo, ldef, jdef = info["jlo"], info["ldef"], info["jdef"]
-
+    def neg_core(H, Z, jlo, ldef, jdef, ilast):
         Hl = dget(H, ldef)
         Hl = setel(Hl, jdef, jdef, zero_c)
         H = dset(H, ldef, Hl)
@@ -287,7 +281,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
                     H, Z = HZ
                     j = j1
                     Hl = dget(H, ldef)
-                    c, s, r = givens_complex(getel(Hl, j, j + 1),
+                    c, s, r = givens(getel(Hl, j, j + 1),
                                              getel(Hl, j + 1, j + 1))
                     Hl = setel(Hl, j, j + 1, r)
                     Hl = setel(Hl, j + 1, j + 1, zero_c)
@@ -323,7 +317,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
             # deflate the last element of the Hessenberg factor
             j = ilast
             H0 = H[0]
-            c, s, r = givens_complex(getel(H0, j, j), getel(H0, j, j - 1))
+            c, s, r = givens(getel(H0, j, j), getel(H0, j, j - 1))
             H0 = setel(H0, j, j, r)
             H0 = setel(H0, j, j - 1, zero_c)
             H0 = colsk(H0, j - 1, lmat(c, s), hi=j)
@@ -338,7 +332,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
                     Hl = H[l]
                     if not S[l]:
                         Hl = colsk(Hl, j - 1, rmat_adj(c2, s2), hi=j + 1)
-                        cn, sn, r = givens_complex(getel(Hl, j - 1, j - 1),
+                        cn, sn, r = givens(getel(Hl, j - 1, j - 1),
                                                    getel(Hl, j, j - 1))
                         Hl = setel(Hl, j - 1, j - 1, r)
                         Hl = setel(Hl, j, j - 1, zero_c)
@@ -346,7 +340,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
                         cf, sf = cn, sn
                     else:
                         Hl = rowsk(Hl, j - 1, lmat(c2, s2), lo=j - 1)
-                        cn, sn, r = givens_complex(getel(Hl, j, j),
+                        cn, sn, r = givens(getel(Hl, j, j),
                                                    getel(Hl, j, j - 1))
                         Hl = setel(Hl, j, j, r)
                         Hl = setel(Hl, j, j - 1, zero_c)
@@ -374,7 +368,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
                     H, Z = HZ
                     j = j1
                     Hl = dget(H, ldef)
-                    c, s, r = givens_complex(getel(Hl, j - 1, j),
+                    c, s, r = givens(getel(Hl, j - 1, j),
                                              getel(Hl, j - 1, j - 1))
                     Hl = setel(Hl, j - 1, j, r)
                     Hl = setel(Hl, j - 1, j - 1, zero_c)
@@ -411,7 +405,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
             # deflate the first element of the Hessenberg factor
             j = jlo
             H0 = H[0]
-            c, s, r = givens_complex(getel(H0, j, j), getel(H0, j + 1, j))
+            c, s, r = givens(getel(H0, j, j), getel(H0, j + 1, j))
             H0 = setel(H0, j, j, r)
             H0 = setel(H0, j + 1, j, zero_c)
             H0 = rowsk(H0, j, lmat(c, s), lo=j + 1)
@@ -426,7 +420,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
                     Hl = H[l]
                     if S[l]:
                         Hl = colsk(Hl, j, rmat_adj(c2, s2), hi=j + 2)
-                        cn, sn, r = givens_complex(getel(Hl, j, j),
+                        cn, sn, r = givens(getel(Hl, j, j),
                                                    getel(Hl, j + 1, j))
                         Hl = setel(Hl, j, j, r)
                         Hl = setel(Hl, j + 1, j, zero_c)
@@ -434,7 +428,7 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
                         cf, sf = cn, sn
                     else:
                         Hl = rowsk(Hl, j, lmat(c2, s2), lo=j)
-                        cn, sn, r = givens_complex(getel(Hl, j + 1, j + 1),
+                        cn, sn, r = givens(getel(Hl, j + 1, j + 1),
                                                    getel(Hl, j + 1, j))
                         Hl = setel(Hl, j + 1, j + 1, r)
                         Hl = setel(Hl, j + 1, j, zero_c)
@@ -451,6 +445,106 @@ def make_deflate_actions(*, p, n, S, dt, rdt, want_z, ulp, smlnum):
             return H, Z
 
         H, Z = lax.cond(bottom, chase_down, chase_up, (H, Z))
-        return (H, Z, al, be, sc, ilast, iiter, ziter, key)
+        return H, Z
 
-    return act_pos, act_neg
+    # =====================================================================
+    # ------------------------------------------------------------------
+    # controlled zero shift (reference src/generalized.jl:356-448; identical
+    # structure in the real core, src/rgeneralized.jl:229-324)
+    def czshift_core(H, Z, jlo, ilast):
+
+        # stage A: triangularize the Hessenberg factor on [jlo, ilast]
+        def stage_a(k, carry):
+            H0, Gc, Gs = carry
+            act = (k >= jlo) & (k <= ilast - 1)
+            f = getel(H0, k, k)
+            g = getel(H0, k + 1, k)
+            c, s, r = givens(f, g)
+            H0 = setel(H0, k, k, r, active=act)
+            H0 = setel(H0, k + 1, k, jnp.zeros((), dt), active=act)
+            H0 = rowsk(H0, k, lmat(c, s), lo=k + 1, active=act)
+            Gc = Gc.at[k].set(jnp.where(act, c, Gc[k]))
+            Gs = Gs.at[k].set(jnp.where(act, s, Gs[k]))
+            return H0, Gc, Gs
+
+        Gc = jnp.ones((n,), rdt)
+        Gs = jnp.zeros((n,), dt)
+        H0, Gc, Gs = lax.fori_loop(0, n - 1, stage_a, (H[0], Gc, Gs))
+        H = H.at[0].set(H0)
+
+        def chain_right(M, Gc, Gs, klo, khi):
+            """Apply the stored chain to columns of M (full row range)."""
+            def body(k, M):
+                act = (k >= klo) & (k <= khi)
+                return colsk(M, k, rmat_adj(Gc[k], Gs[k]), active=act)
+            return lax.fori_loop(0, n - 1, body, M)
+
+        if want_z:
+            Z = Z.at[0].set(chain_right(Z[0], Gc, Gs, jlo, ilast - 1))
+
+        # stage B: propagate backwards through the triangular factors
+        for l in range(p - 1, 0, -1):
+            if S[l]:
+                def stage_b_pos(k, carry):
+                    Hl, Gc, Gs = carry
+                    act = (k >= jlo) & (k <= ilast - 1) & (Gs[k] != 0)
+                    Hl = colsk(Hl, k, rmat_adj(Gc[k], Gs[k]), hi=k + 2, active=act)
+                    tol = jnp.abs(getel(Hl, k, k)) + jnp.abs(getel(Hl, k + 1, k + 1))
+                    tol = jnp.maximum(ulp * tol, smlnum)
+                    negl = jnp.abs(getel(Hl, k + 1, k)) <= tol
+                    f = getel(Hl, k, k)
+                    g = getel(Hl, k + 1, k)
+                    c, s, r = givens(f, g)
+                    use = act & (~negl)
+                    Hl = setel(Hl, k, k, r, active=use)
+                    Hl = setel(Hl, k + 1, k, jnp.zeros((), dt), active=act)
+                    Hl = rowsk(Hl, k, lmat(c, s), lo=k + 1, active=use)
+                    cnew = jnp.where(negl, jnp.ones((), rdt), c)
+                    snew = jnp.where(negl, jnp.zeros((), dt), s)
+                    Gc = Gc.at[k].set(jnp.where(act, cnew, Gc[k]))
+                    Gs = Gs.at[k].set(jnp.where(act, snew, Gs[k]))
+                    return Hl, Gc, Gs
+
+                Hl, Gc, Gs = lax.fori_loop(0, n - 1, stage_b_pos, (H[l], Gc, Gs))
+            else:
+                def stage_b_neg(k, carry):
+                    Hl, Gc, Gs = carry
+                    act = (k >= jlo) & (k <= ilast - 1) & (Gs[k] != 0)
+                    Hl = rowsk(Hl, k, lmat(Gc[k], Gs[k]), lo=k, active=act)
+                    tol = jnp.abs(getel(Hl, k, k)) + jnp.abs(getel(Hl, k + 1, k + 1))
+                    tol = jnp.maximum(ulp * tol, smlnum)
+                    negl = jnp.abs(getel(Hl, k + 1, k)) <= tol
+                    f = getel(Hl, k + 1, k + 1)
+                    g = getel(Hl, k + 1, k)
+                    c, s, r = givens(f, g)
+                    use = act & (~negl)
+                    Hl = setel(Hl, k + 1, k + 1, r, active=use)
+                    Hl = setel(Hl, k + 1, k, jnp.zeros((), dt), active=act)
+                    # rmul!(view(Hl, 1:j, :), Givens(j+1, j, c, s')') == right
+                    # multiply pair (k, k+1) by lmat(c, s) on rows [0, k]
+                    Hl = colsk(Hl, k, lmat(c, s), hi=k + 1, active=use)
+                    cnew = jnp.where(negl, jnp.ones((), rdt), c)
+                    snew = jnp.where(negl, jnp.zeros((), dt), -s)
+                    Gc = Gc.at[k].set(jnp.where(act, cnew, Gc[k]))
+                    Gs = Gs.at[k].set(jnp.where(act, snew, Gs[k]))
+                    return Hl, Gc, Gs
+
+                Hl, Gc, Gs = lax.fori_loop(0, n - 1, stage_b_neg, (H[l], Gc, Gs))
+            H = H.at[l].set(Hl)
+            if want_z:
+                Z = Z.at[l].set(chain_right(Z[l], Gc, Gs, jlo, ilast - 1))
+
+        # stage C: apply final chain to the right side of the Hessenberg
+        def stage_c(k, carry):
+            H0, zflag = carry
+            act = (k >= jlo) & (k <= ilast - 1)
+            H0 = colsk(H0, k, rmat_adj(Gc[k], Gs[k]), hi=k + 2, active=act)
+            zflag = zflag | (act & (Gs[k] == 0))
+            return H0, zflag
+
+        H0, zflag = lax.fori_loop(0, n - 1, stage_c, (H[0], jnp.asarray(False)))
+        H = H.at[0].set(H0)
+        return H, Z, zflag
+
+
+    return pos_core, neg_core, czshift_core

@@ -1,0 +1,688 @@
+"""Real generalized periodic Schur core (periodic QZ with signatures).
+
+Behavioral contract from the reference's real `pschur!`
+(src/rgeneralized.jl:49-1083, MB03BD semantics): quasi-triangularize the
+Hessenberg factor of a signed cycle, keeping 2x2 blocks for complex pairs,
+with eigenvalues in decomposed ``alpha/beta * 2^scale`` form.
+
+Shares the deflation framework (tests 1-4, singular-factor deflations,
+controlled zero shift) with the complex core via
+:mod:`.pqz_deflate.make_deflate_cores`.  Real-specific machinery:
+
+* the double-implicit-shift sweep with two Givens rotations per step and
+  per-factor re-triangularization (reference :888-1054),
+* the trailing 2x2 block attack: a real single-shift 2x2 periodic QZ
+  (`rp2x2ssr`, MB03BF semantics, reference src/rpschur2x2.jl:280-317) tries
+  to split two real eigenvalues with a perfect shift; otherwise the block is
+  accepted as a complex-pair 2x2 (reference :661-790).
+
+Documented re-design (TPU-first, replacing the reference's MB03AF/MB03AB
+rotation cascades, whose Julia translations carry PUZZLE/CHECKME zones and
+an undefined-variable branch in `_shift2rot`):
+
+* shifts are the eigenvalues of the EXACT trailing 2x2 of the cyclically
+  rotated product ``ℍ₁ = H1^±···Hp-1^± H0`` — exact because triangularity
+  confines the trailing block to the window-block product — accumulated as
+  a scaled (mantissa, exponent) 2x2 product;
+* the opening double-shift rotations come from the first 3 components of
+  ``(ℍ₁ - λ1)(ℍ₁ - λ2) e1``, computed exactly from scaled leading 3x3
+  window-block products (inverting 3x3 triangular blocks for inverted
+  factors), with exponent-clamped shift coefficients;
+* 2x2 block eigenvalues come from the scaled signed product of the window
+  blocks standardized by dlanv2 (exact conjugate pairs by construction),
+  rather than the iterative MB03BB scheme.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import ConvergenceFailure, GeneralizedPeriodicSchur
+from ..utils.circshift import rev_alias
+from ..utils.safeprod import safeprod_signed
+from .lanv2 import lanv2
+from .rotations import colsk, getel, givens_real, lmat, rmat_adj, rowsk, setel
+
+
+# ---------------------------------------------------------------------------
+# 2x2 cycle machinery (C10)
+
+
+def qzrot2x2(B, S2):
+    """Opening rotation for a single-shift 2x2 periodic QZ sweep.
+
+    MB03AF('Single') semantics (reference src/rpschur2x2.jl:1364-1396):
+    ``B`` is a (p, 2, 2) block cycle with the (full) Hessenberg block LAST;
+    ``S2`` its static signature.  Returns (c, s).
+    """
+    p = B.shape[0]
+    one = jnp.ones((), B.dtype)
+    Hl = B[p - 1]
+    c1, s1, r = givens_real(Hl[0, 0], Hl[1, 0])
+    c2, s2, _ = givens_real(r, one)
+    for l in range(p - 2, -1, -1):
+        Hl = B[l]
+        if S2[l]:
+            al = c2 * (c1 * Hl[0, 0] + s1 * Hl[0, 1])
+            be = s1 * c2 * Hl[1, 1]
+            ga = s2 * Hl[1, 1]
+            c1, s1, r = givens_real(al, be)
+            c2, s2, _ = givens_real(r, ga)
+        else:
+            al = c1 * s2 * Hl[0, 0]
+            ga = s1 * Hl[0, 0]
+            be = s2 * (c1 * Hl[0, 1] + s1 * Hl[1, 1])
+            de = c1 * Hl[1, 1] - s1 * Hl[0, 1]
+            c1, s1, _ = givens_real(de, ga)
+            al = c1 * al + s1 * be
+            be = c2 * Hl[1, 1]
+            c2, s2, r = givens_real(be, al)
+    Hl = B[p - 1]
+    al = s2 * Hl[1, 1] - c1 * c2
+    be = -s1 * c2
+    c1, s1, _ = givens_real(al, be)
+    return c1, s1
+
+
+def rp2x2ssr(B, S2, maxit: int = 40):
+    """Real single-shift periodic QZ on a 2x2 block cycle (MB03BF semantics).
+
+    ``B``: (p, 2, 2), Hessenberg block last; returns (B, done) where done
+    means the Hessenberg block's subdiagonal became negligible (two real
+    eigenvalues).  Reference: src/rpschur2x2.jl:280-317.
+    """
+    p = B.shape[0]
+    dt = B.dtype
+    ulp = float(jnp.finfo(dt).eps)
+
+    def body(t, carry):
+        B, done = carry
+
+        def step(B):
+            c, s = qzrot2x2(B, S2)
+            B = B.at[p - 1].set(B[p - 1] @ rmat_adj(c, s).astype(dt))
+            for l in range(p - 1):
+                Hl = B[l]
+                if S2[l]:
+                    Hl = lmat(c, s).astype(dt) @ Hl
+                    c, s, r = givens_real(Hl[1, 1], -Hl[1, 0])
+                    row0 = jnp.stack([c * Hl[0, 0] + s * Hl[0, 1],
+                                      c * Hl[0, 1] - s * Hl[0, 0]])
+                    Hl = jnp.stack([row0, jnp.stack([jnp.zeros((), dt), r])])
+                else:
+                    Hl = Hl @ rmat_adj(c, s).astype(dt)
+                    c, s, r = givens_real(Hl[0, 0], Hl[1, 0])
+                    row0 = jnp.stack([r, c * Hl[0, 1] + s * Hl[1, 1]])
+                    row1 = jnp.stack([jnp.zeros((), dt),
+                                      c * Hl[1, 1] - s * Hl[0, 1]])
+                    Hl = jnp.stack([row0, row1])
+                B = B.at[l].set(Hl)
+            B = B.at[p - 1].set(lmat(c, s).astype(dt) @ B[p - 1])
+            return B
+
+        Bn = step(B)
+        B = jax.tree_util.tree_map(lambda a, b: jnp.where(done, a, b), B, Bn)
+        Hp = B[p - 1]
+        done = done | (jnp.abs(Hp[1, 0]) < ulp * jnp.maximum(
+            jnp.maximum(jnp.abs(Hp[0, 0]), jnp.abs(Hp[0, 1])),
+            jnp.abs(Hp[1, 1])))
+        return B, done
+
+    B, done = lax.fori_loop(0, maxit, body, (B, jnp.asarray(False)))
+    return B, done
+
+
+def _renorm2x2(P, e):
+    m = jnp.max(jnp.abs(P))
+    _, ee = jnp.frexp(jnp.where(m == 0, jnp.ones_like(m), m))
+    k = (1 - ee).astype(jnp.int32)
+    P2 = jnp.ldexp(P, k)
+    e2 = e + (ee - 1).astype(jnp.int32)
+    keep = m == 0
+    return jnp.where(keep, P, P2), jnp.where(keep, e, e2)
+
+
+def eig2x2_product(W, S):
+    """Eigenvalues of the signed product of a (p, 2, 2) window-block cycle.
+
+    Returns (w1r, w1i, w2r, w2i, scale, beta): eigenvalues are
+    ``(wr + i wi) * 2^scale`` (exact conjugates or exact reals via dlanv2);
+    beta = 0 flags a singular inverted factor (infinite pair).
+    """
+    p = W.shape[0]
+    dt = W.dtype
+    P = jnp.eye(2, dtype=dt)
+    e = jnp.zeros((), jnp.int32)
+    beta = jnp.ones((), dt)
+    for l in range(p):
+        Wl = W[l]
+        if S[l]:
+            P = P @ Wl
+        else:
+            a, b, d = Wl[0, 0], Wl[0, 1], Wl[1, 1]
+            sing = (a == 0) | (d == 0)
+            beta = jnp.where(sing, jnp.zeros((), dt), beta)
+            asafe = jnp.where(a == 0, jnp.ones((), dt), a)
+            dsafe = jnp.where(d == 0, jnp.ones((), dt), d)
+            inv = jnp.stack([
+                jnp.stack([1.0 / asafe, -b / (asafe * dsafe)]),
+                jnp.stack([jnp.zeros((), dt), 1.0 / dsafe])])
+            P = P @ inv
+        P, e = _renorm2x2(P, e)
+    _, _, _, _, _, _, w1r, w1i, w2r, w2i = lanv2(P[0, 0], P[0, 1],
+                                                 P[1, 0], P[1, 1])
+
+    def norm_one(wr, wi):
+        m = jnp.hypot(wr, wi)
+        _, ee = jnp.frexp(jnp.where(m == 0, jnp.ones_like(m), m))
+        k = (1 - ee).astype(jnp.int32)
+        keep = m == 0
+        sc = jnp.where(keep, jnp.int32(0), (ee - 1).astype(jnp.int32))
+        return (jnp.where(keep, wr, jnp.ldexp(wr, k)),
+                jnp.where(keep, wi, jnp.ldexp(wi, k)), sc)
+
+    w1r, w1i, s1 = norm_one(w1r, w1i)
+    w2r, w2i, s2 = norm_one(w2r, w2i)
+    # conjugate pairs have equal magnitude -> equal scales; use s1 for both
+    return w1r, w1i, w2r, w2i, s1 + e, s2 + e, beta
+
+
+# ---------------------------------------------------------------------------
+# shift + opening rotations for the double-implicit-shift sweep
+
+
+def _tri3inv(B):
+    """Inverse of an upper-triangular 3x3 (guarded diagonals)."""
+    dt = B.dtype
+    a, b, c = B[0, 0], B[0, 1], B[0, 2]
+    d, ee = B[1, 1], B[1, 2]
+    f = B[2, 2]
+    a_ = jnp.where(a == 0, jnp.ones((), dt), a)
+    d_ = jnp.where(d == 0, jnp.ones((), dt), d)
+    f_ = jnp.where(f == 0, jnp.ones((), dt), f)
+    i00 = 1.0 / a_
+    i11 = 1.0 / d_
+    i22 = 1.0 / f_
+    i01 = -b / (a_ * d_)
+    i12 = -ee / (d_ * f_)
+    i02 = (b * ee - c * d) / (a_ * d_ * f_)
+    z = jnp.zeros((), dt)
+    return jnp.stack([jnp.stack([i00, i01, i02]),
+                      jnp.stack([z, i11, i12]),
+                      jnp.stack([z, z, i22])])
+
+
+def _opening_rotations(H, S, j, ilast, key, iiter):
+    """Two rotations starting a Francis double-shift sweep on the window.
+
+    See module docstring: Wilkinson shifts from the exact trailing 2x2 of
+    the rotated product, opening vector from exact leading 3x3 window-block
+    products.  Every 10th iteration uses random exceptional rotations.
+    """
+    p, _, n = H.shape
+    dt = H.dtype
+
+    # leading 3x3 triangular-chain product (factors 1..p-1), scaled
+    T3 = jnp.eye(3, dtype=dt)
+    eT = jnp.zeros((), jnp.int32)
+    for l in range(1, p):
+        blk = jnp.triu(lax.dynamic_slice(H[l], (j, j), (3, 3)))
+        T3 = T3 @ (blk if S[l] else _tri3inv(blk))
+        T3, eT = _renorm2x2(T3, eT)
+    H0w = lax.dynamic_slice(H[0], (j, j), (3, 3))
+    # guard: the (2,0) entry is outside the Hessenberg band
+    H0w = H0w.at[2, 0].set(0.0)
+    y1 = T3 @ H0w[:, 0]
+    y2 = T3 @ (H0w @ y1)
+
+    # exact trailing 2x2 of the rotated product, scaled
+    B2 = jnp.eye(2, dtype=dt)
+    eB = jnp.zeros((), jnp.int32)
+    it = jnp.asarray(ilast - 1, jnp.int32)
+    for l in range(1, p):
+        blk = jnp.triu(lax.dynamic_slice(H[l], (it, it), (2, 2)))
+        if S[l]:
+            B2 = B2 @ blk
+        else:
+            a, b, d = blk[0, 0], blk[0, 1], blk[1, 1]
+            a_ = jnp.where(a == 0, jnp.ones((), dt), a)
+            d_ = jnp.where(d == 0, jnp.ones((), dt), d)
+            z = jnp.zeros((), dt)
+            B2 = B2 @ jnp.stack([jnp.stack([1.0 / a_, -b / (a_ * d_)]),
+                                 jnp.stack([z, 1.0 / d_])])
+        B2, eB = _renorm2x2(B2, eB)
+    B2 = B2 @ lax.dynamic_slice(H[0], (it, it), (2, 2))
+    B2, eB = _renorm2x2(B2, eB)
+    trc = B2[0, 0] + B2[1, 1]
+    det = B2[0, 0] * B2[1, 1] - B2[0, 1] * B2[1, 0]
+
+    d_exp = jnp.clip(eB - eT, -500, 500).astype(dt)
+    f = jnp.exp2(d_exp)
+    e1v = jnp.zeros((3,), dt).at[0].set(1.0)
+    v = y2 - trc * f * y1 + det * f * f * e1v
+
+    c2, s2, r2 = givens_real(v[1], v[2])
+    c1, s1, _ = givens_real(v[0], r2)
+
+    # exceptional shift: random rotations every 10 iterations
+    key, sub = jax.random.split(key)
+    rr = jax.random.normal(sub, (4,), dt)
+    ce1, se1, _ = givens_real(rr[0], rr[1])
+    ce2, se2, _ = givens_real(rr[2], rr[3])
+    exc = (iiter % 10) == 0
+    c1 = jnp.where(exc, ce1, c1)
+    s1 = jnp.where(exc, se1, s1)
+    c2 = jnp.where(exc, ce2, c2)
+    s2 = jnp.where(exc, se2, s2)
+    return c1, s1, c2, s2, key
+
+
+# ---------------------------------------------------------------------------
+# main core
+
+
+@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac"))
+def pqz_real_gen_core(
+    H: jax.Array,
+    S: Tuple[bool, ...],
+    Z: Optional[jax.Array] = None,
+    want_z: bool = True,
+    maxitfac: int = 120,
+    seed: int = 1234,
+):
+    """Run the real generalized periodic QZ iteration.
+
+    Args:
+      H: (p, n, n) real stack; H[0] upper Hessenberg, H[1:] upper triangular.
+      S: static signature tuple, S[0] True; p must be >= 2 (route p == 1 /
+         all-positive problems to the plain real core).
+
+    Returns:
+      (T, Z, alpha_r, alpha_i, beta, alphascale, ok): T quasi-triangular
+      stack (T[0] carries 2x2 blocks for complex pairs).
+    """
+    p, n, _ = H.shape
+    assert S[0], "signature entry S[0] must be True"
+    assert p >= 2, "use pqr_real_core for p == 1"
+    dt = H.dtype
+    rdt = dt
+    fi = jnp.finfo(dt)
+    ulp = float(fi.eps)
+    unfl = float(fi.tiny)
+    smlnum = unfl * (n / ulp)
+    maxit = maxitfac * n
+    ziter0 = -1 if p >= math.log2(fi.tiny) / math.log2(ulp) else 0
+
+    if want_z:
+        Zs = jnp.broadcast_to(jnp.eye(n, dtype=dt), (p, n, n)).astype(dt) \
+            if Z is None else Z
+    else:
+        Zs = jnp.zeros((p, 1, 1), dt)
+
+    if n == 1:
+        a, b, s = safeprod_signed(H[:, 0, 0], S)
+        return (H, Zs if want_z else None, a[None], jnp.zeros((1,), dt),
+                b[None], s[None], jnp.asarray(True))
+
+    from .pqz_deflate import make_deflate_cores
+    pos_core, neg_core, czshift_core = make_deflate_cores(
+        p=p, n=n, S=S, dt=dt, rdt=rdt, want_z=want_z, ulp=ulp, smlnum=smlnum)
+
+    iv = jnp.arange(n, dtype=jnp.int32)
+    zero = jnp.zeros((), dt)
+    key0 = jax.random.PRNGKey(seed)
+
+    def zup(Z, l, k, M, active=None):
+        if not want_z:
+            return Z
+        return Z.at[l].set(colsk(Z[l], k, M, active=active))
+
+    # --- shared "510" single-rotation chain (reference :1020-1048) --------
+    def chain510(H, Z, j, c1, s1):
+        H = H.at[0].set(rowsk(H[0], j, lmat(c1, s1), lo=j))
+        Z = zup(Z, 0, j, rmat_adj(c1, s1))
+        for l in range(p - 1, 0, -1):
+            Hl = H[l]
+            if S[l]:
+                Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 2)
+                c1, s1, r = givens_real(getel(Hl, j, j), getel(Hl, j + 1, j))
+                Hl = setel(Hl, j, j, r)
+                Hl = setel(Hl, j + 1, j, zero)
+                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j + 1)
+            else:
+                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j)
+                c1, s1, r = givens_real(getel(Hl, j + 1, j + 1),
+                                        -getel(Hl, j + 1, j))
+                Hl = setel(Hl, j + 1, j + 1, r)
+                Hl = setel(Hl, j + 1, j, zero)
+                Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 1)
+            H = H.at[l].set(Hl)
+            Z = zup(Z, l, j, rmat_adj(c1, s1))
+        H = H.at[0].set(colsk(H[0], j, rmat_adj(c1, s1)))
+        return H, Z
+
+    # ------------------------------------------------------------------
+    def act_split(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        dvals = lax.dynamic_slice(H, (jnp.int32(0), ilast, ilast),
+                                  (p, 1, 1))[:, 0, 0]
+        a, b, s = safeprod_signed(dvals, S)
+        alr = alr.at[ilast].set(a)
+        ali = ali.at[ilast].set(0.0)
+        be = be.at[ilast].set(b)
+        sc = sc.at[ilast].set(s)
+        ilast = ilast - 1
+        iiter = jnp.int32(0)
+        ziter = jnp.where(ziter != -1, jnp.int32(0), ziter)
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    def act_pos(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        H, Z = pos_core(H, Z, info["jlo"], info["ldef"], info["jdef"], ilast)
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    def act_neg(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        H, Z = neg_core(H, Z, info["jlo"], info["ldef"], info["jdef"], ilast)
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    def act_czshift(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        H, Z, zflag = czshift_core(H, Z, info["jlo"], ilast)
+        ziter = jnp.where(zflag, jnp.int32(1), jnp.int32(0))
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    # --- trailing 2x2 block attack (reference :661-790) ------------------
+    def act_attack(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        j = ilast - 1
+        W = jnp.stack([lax.dynamic_slice(H[l], (j, j), (2, 2))
+                       for l in range(p)])
+        # attack ordering: Hessenberg block last
+        B = jnp.stack([W[(t + 1) % p] for t in range(p)])
+        S2 = tuple(S[(t + 1) % p] for t in range(p))
+        B, done2 = rp2x2ssr(B, S2)
+
+        def real_pair(HZ):
+            H, Z = HZ
+            # perfect-shift cascade (reference :695-709)
+            one = jnp.ones((), dt)
+            c1, s1 = one, one
+            for l in range(p - 1, 0, -1):
+                r = B[l - 1][1, 1]
+                hjj = getel(H[l], j, j)
+                if S[l]:
+                    c1, s1, _ = givens_real(c1 * hjj, s1 * r)
+                else:
+                    c1, s1, _ = givens_real(c1 * r, s1 * hjj)
+            r = B[p - 1][1, 1]
+            c1, s1, _ = givens_real(
+                c1 * getel(H[0], j, j) - r * s1, c1 * getel(H[0], j + 1, j))
+            return chain510(H, Z, j, c1, s1)
+
+        def complex_pair(HZ):
+            return HZ
+
+        H, Z = lax.cond(done2, real_pair, complex_pair, (H, Z))
+
+        # complex-pair bookkeeping (only when not done2)
+        w1r, w1i, w2r, w2i, s1c, s2c, bflag = eig2x2_product(W, S)
+        # standardize: alpha[j] has +|imag|, alpha[j+1] the conjugate
+        wi_abs = jnp.abs(w1i)
+        upd = ~done2
+        alr = jnp.where(upd, alr.at[j].set(w1r).at[j + 1].set(w1r), alr)
+        ali = jnp.where(upd, ali.at[j].set(wi_abs).at[j + 1].set(-wi_abs), ali)
+        be = jnp.where(upd, be.at[j].set(bflag).at[j + 1].set(bflag), be)
+        sc = jnp.where(upd, sc.at[j].set(s1c).at[j + 1].set(s2c), sc)
+        ilast = jnp.where(upd, ilast - 2, ilast)
+        iiter = jnp.where(upd, jnp.int32(0), iiter)
+        ziter = jnp.where(upd & (ziter != -1), jnp.int32(0), ziter)
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    # --- double-implicit-shift sweep (reference :888-1054) ---------------
+    def act_sweep(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        ifirst = info["jlo"]
+        iiter = iiter + 1
+        ziter = ziter + 1
+        c1, s1, c2, s2, key = _opening_rotations(H, S, ifirst, ilast, key,
+                                                 iiter)
+
+        # opening (reference :890-943); j = ifirst
+        j = ifirst
+        H0 = colsk(H[0], j + 1, rmat_adj(c2, s2), hi=ilast + 1)
+        H0 = colsk(H0, j, rmat_adj(c1, s1), hi=ilast + 1)
+        H = H.at[0].set(H0)
+        Z = zup(Z, 1 % p, j + 1, rmat_adj(c2, s2))
+        Z = zup(Z, 1 % p, j, rmat_adj(c1, s1))
+        for l in range(1, p):
+            Hl = H[l]
+            if S[l]:
+                Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j)
+                c2, s2, r = givens_real(getel(Hl, j + 2, j + 2),
+                                        -getel(Hl, j + 2, j + 1))
+                Hl = setel(Hl, j + 2, j + 2, r)
+                Hl = setel(Hl, j + 2, j + 1, zero)
+                Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), hi=j + 2)
+                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j)
+                c1, s1, r = givens_real(getel(Hl, j + 1, j + 1),
+                                        -getel(Hl, j + 1, j))
+                Hl = setel(Hl, j + 1, j + 1, r)
+                Hl = setel(Hl, j + 1, j, zero)
+                Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 1)
+            else:
+                Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), hi=j + 3)
+                c2, s2, r = givens_real(getel(Hl, j + 1, j + 1),
+                                        getel(Hl, j + 2, j + 1))
+                Hl = setel(Hl, j + 1, j + 1, r)
+                Hl = setel(Hl, j + 2, j + 1, zero)
+                Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j + 2)
+                Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 2)
+                c1, s1, r = givens_real(getel(Hl, j, j), getel(Hl, j + 1, j))
+                Hl = setel(Hl, j, j, r)
+                Hl = setel(Hl, j + 1, j, zero)
+                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j + 1)
+            H = H.at[l].set(Hl)
+            ln = (l + 1) % p
+            Z = zup(Z, ln, j + 1, rmat_adj(c2, s2))
+            Z = zup(Z, ln, j, rmat_adj(c1, s1))
+        H = H.at[0].set(rowsk(H[0], j + 1, lmat(c2, s2), lo=j))
+        H = H.at[0].set(rowsk(H[0], j, lmat(c1, s1), lo=j))
+
+        # chase (reference :953-1014); j1 in [ifirst+1, ilast-2]
+        def chase_step(j1, carry):
+            H, Z = carry
+            act = (j1 >= ifirst + 1) & (j1 <= ilast - 2)
+
+            def run(HZ):
+                H, Z = HZ
+                j = j1
+                c2, s2, r2 = givens_real(getel(H[0], j + 1, j - 1),
+                                         getel(H[0], j + 2, j - 1))
+                c1, s1, r1 = givens_real(getel(H[0], j, j - 1), r2)
+                H0 = setel(H[0], j, j - 1, r1)
+                H0 = setel(H0, j + 1, j - 1, zero)
+                H0 = setel(H0, j + 2, j - 1, zero)
+                H0 = rowsk(H0, j + 1, lmat(c2, s2), lo=j)
+                H0 = rowsk(H0, j, lmat(c1, s1), lo=j)
+                H = H.at[0].set(H0)
+                Z = zup(Z, 0, j + 1, rmat_adj(c2, s2))
+                Z = zup(Z, 0, j, rmat_adj(c1, s1))
+                for l in range(p - 1, 0, -1):
+                    Hl = H[l]
+                    if S[l]:
+                        Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), hi=j + 3)
+                        c2, s2, r = givens_real(getel(Hl, j + 1, j + 1),
+                                                getel(Hl, j + 2, j + 1))
+                        Hl = setel(Hl, j + 1, j + 1, r)
+                        Hl = setel(Hl, j + 2, j + 1, zero)
+                        Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j + 2)
+                        Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 2)
+                        c1, s1, r = givens_real(getel(Hl, j, j),
+                                                getel(Hl, j + 1, j))
+                        Hl = setel(Hl, j, j, r)
+                        Hl = setel(Hl, j + 1, j, zero)
+                        Hl = rowsk(Hl, j, lmat(c1, s1), lo=j + 1)
+                    else:
+                        Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j)
+                        c2, s2, r = givens_real(getel(Hl, j + 2, j + 2),
+                                                -getel(Hl, j + 2, j + 1))
+                        Hl = setel(Hl, j + 2, j + 2, r)
+                        Hl = setel(Hl, j + 2, j + 1, zero)
+                        Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), hi=j + 2)
+                        Hl = rowsk(Hl, j, lmat(c1, s1), lo=j)
+                        c1, s1, r = givens_real(getel(Hl, j + 1, j + 1),
+                                                -getel(Hl, j + 1, j))
+                        Hl = setel(Hl, j + 1, j + 1, r)
+                        Hl = setel(Hl, j + 1, j, zero)
+                        Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 1)
+                    H = H.at[l].set(Hl)
+                    Z = zup(Z, l, j + 1, rmat_adj(c2, s2))
+                    Z = zup(Z, l, j, rmat_adj(c1, s1))
+                lm = jnp.minimum(j + 3, n - 1)
+                H = H.at[0].set(colsk(H[0], j + 1, rmat_adj(c2, s2),
+                                      hi=lm + 1))
+                H = H.at[0].set(colsk(H[0], j, rmat_adj(c1, s1), hi=lm + 1))
+                return H, Z
+
+            return lax.cond(act, run, lambda x: x, (H, Z))
+
+        H, Z = lax.fori_loop(0, n, chase_step, (H, Z))
+
+        # closing rotation at j = ilast-1 (reference :1015-1048)
+        j = ilast - 1
+        c1, s1, r1 = givens_real(getel(H[0], j, j - 1),
+                                 getel(H[0], j + 1, j - 1))
+        H0 = setel(H[0], j, j - 1, r1)
+        H0 = setel(H0, j + 1, j - 1, zero)
+        H = H.at[0].set(H0)
+        H, Z = chain510(H, Z, j, c1, s1)
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    # ------------------------------------------------------------------
+    def body(full):
+        st, jiter = full
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+
+        # Test 1
+        d0 = jnp.diagonal(H[0])
+        sub0 = jnp.concatenate([jnp.zeros((1,), dt), jnp.diagonal(H[0], -1)])
+        tol1 = jnp.abs(jnp.concatenate([jnp.zeros((1,), dt), d0[:-1]])) + \
+            jnp.abs(d0)
+        tol1 = jnp.maximum(ulp * tol1, smlnum)
+        neg1 = (jnp.abs(sub0) <= tol1) & (iv >= 1) & (iv <= ilast)
+        any1 = jnp.any(neg1)
+        jstar = jnp.max(jnp.where(neg1, iv, -1))
+        jlo = jnp.where(any1, jstar, 0)
+        split1 = (ilast == 0) | (any1 & (jstar == ilast))
+        H = H.at[0].set(setel(H[0], jstar, jstar - 1, zero, active=any1))
+
+        # Tests 2/3
+        dl = jnp.diagonal(H, axis1=1, axis2=2)
+        sup = jnp.concatenate(
+            [jnp.diagonal(H, 1, 1, 2), jnp.zeros((p, 1), dt)], axis=1)
+        supm1 = jnp.concatenate([jnp.zeros((p, 1), dt), sup[:, :-1]], axis=1)
+        toltr = jnp.where(
+            iv[None, :] == ilast, jnp.abs(supm1),
+            jnp.where(iv[None, :] == jlo, jnp.abs(sup),
+                      jnp.abs(supm1) + jnp.abs(sup)))
+        toltr = jnp.maximum(ulp * toltr, smlnum)
+        lv = jnp.arange(p, dtype=jnp.int32)
+        negtr = (jnp.abs(dl) <= toltr) & (iv[None, :] >= jlo) & \
+                (iv[None, :] <= ilast) & (lv[:, None] >= 1)
+        bestj = jnp.max(jnp.where(negtr, iv[None, :], -1), axis=1)
+        s_arr = jnp.asarray(S)
+        pos_l = jnp.min(jnp.where(s_arr & (bestj >= 0) & (lv >= 1), lv, p + 1))
+        neg_l = jnp.min(jnp.where((~s_arr) & (bestj >= 0) & (lv >= 1), lv,
+                                  p + 1))
+        has_pos = pos_l <= p
+        has_neg = neg_l <= p
+        ldef = jnp.where(has_pos, pos_l, neg_l).astype(jnp.int32)
+        jdef = bestj[jnp.clip(ldef, 0, p - 1)]
+
+        attack = jlo == ilast - 1
+        action = jnp.where(
+            split1, 0,
+            jnp.where(has_pos, 1,
+                      jnp.where(has_neg, 2,
+                                jnp.where((ziter >= 7) | (ziter < 0), 3,
+                                          jnp.where(attack, 5, 4)))))
+
+        info = {"jlo": jlo, "ldef": ldef, "jdef": jdef}
+        st = (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+        # n == 2: the only window is 2x2, the sweep can never fire (and its
+        # trace would build 3x3 slices) -- route slot 4 to the attack too
+        sweep_fn = act_attack if n == 2 else act_sweep
+        st = lax.switch(action, [act_split, act_pos, act_neg, act_czshift,
+                                 sweep_fn, act_attack], st, info)
+        return st, jiter + 1
+
+    def cond(full):
+        st, jiter = full
+        return (st[6] >= 0) & (jiter < maxit)
+
+    def body_guarded(full):
+        st, jiter = full
+        return lax.cond(st[6] >= 0, body, lambda f: (f[0], f[1] + 1), full)
+
+    st0 = (H, Zs, jnp.zeros((n,), dt), jnp.zeros((n,), dt),
+           jnp.zeros((n,), dt), jnp.zeros((n,), jnp.int32),
+           jnp.int32(n - 1), jnp.int32(0), jnp.int32(ziter0), key0)
+    (H, Zs, alr, ali, be, sc, ilast, _, _, _), _ = lax.while_loop(
+        cond, body_guarded, (st0, jnp.int32(0)))
+    ok = ilast < 0
+
+    # scrub: zero subdiagonals under real eigenvalues; triangularize others
+    sub = jnp.diagonal(H[0], -1) * jnp.where(ali[:-1] == 0, 0.0, 1.0)
+    H0 = H[0] - jnp.diag(jnp.diagonal(H[0], -1), -1) + jnp.diag(sub, -1)
+    H = H.at[0].set(H0)
+    H = H.at[1:].set(jnp.triu(H[1:]))
+    Zout = Zs if want_z else None
+    return H, Zout, alr, ali, be, sc, ok
+
+
+def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
+                             maxitfac=120):
+    """Full real GPSD: reduction + iteration + packaging."""
+    import numpy as _np
+    from .hessenberg import phessenberg_core, phessenberg_signed_core
+    from .pqr_real import pqr_real_core
+    p = A.shape[0]
+    if orient == "L":
+        A = A[::-1]
+        S = tuple(reversed(S))
+    if not S[0]:
+        raise ValueError("the leftmost signature entry must be +1 (True)")
+    if p == 1 or all(S):
+        H, Q = phessenberg_core(A, want_q=want_z)
+        if p == 1:
+            T, Z, wr, wi, ok = pqr_real_core(H, Z=Q, want_z=want_z)
+            if not bool(ok):
+                raise ConvergenceFailure(-1)
+            wr_n, wi_n = _np.asarray(wr), _np.asarray(wi)
+            mag = _np.hypot(wr_n, wi_n)
+            m, e = _np.frexp(_np.where(mag == 0, 1.0, mag))
+            k = _np.where(mag == 0, 0, (e - 1)).astype(_np.int32)
+            alpha = (wr_n + 1j * wi_n) * _np.exp2(-k.astype(float))
+            P = GeneralizedPeriodicSchur(
+                S=S, schurindex=0, Ts=T, Zs=Z,
+                alpha=jnp.asarray(alpha), beta=jnp.ones((A.shape[1],)),
+                alphascale=jnp.asarray(k), orientation="R")
+            return rev_alias(P) if orient == "L" else P
+    else:
+        H, Q = phessenberg_signed_core(A, S, want_q=want_z)
+    T, Z, alr, ali, be, sc, ok = pqz_real_gen_core(
+        H, S, Z=Q, want_z=want_z, maxitfac=maxitfac)
+    if not bool(ok):
+        raise ConvergenceFailure(-1)
+    alpha = jnp.asarray(_np.asarray(alr) + 1j * _np.asarray(ali),
+                        device=jax.devices("cpu")[0])
+    P = GeneralizedPeriodicSchur(
+        S=S, schurindex=0, Ts=T, Zs=Z, alpha=alpha, beta=be,
+        alphascale=sc, orientation="R")
+    return rev_alias(P) if orient == "L" else P
