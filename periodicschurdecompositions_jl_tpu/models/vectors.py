@@ -1,6 +1,126 @@
-"""Eigenvector extraction (stub; lands after reordering)."""
+"""Eigenvector extraction from periodic Schur decompositions.
+
+Behavioral contract from the reference's `eigvecs` (src/vectors.jl:25-138):
+selected right eigenvectors of the cyclic product are obtained by reordering
+the wanted eigenvalue to the top and reading scaled leading Schur columns
+(simple eigenvalues) or solving a row-replaced 2x2 cyclic system via the
+BABD solver (real conjugate pairs), then rotating the selection window.
+
+Vectors satisfy ``A[l] @ V[l][:, k] = mu * V[(l+1)%p][:, k]`` with
+``mu = lambda^(1/p)`` for left orientation; for right orientation the
+returned ``V[0]`` satisfies ``A[0] @ ... @ A[p-1] @ v = lambda v`` (the
+internal computation normalizes to left and maps the slots back).
+"""
 from __future__ import annotations
 
+from typing import Sequence
 
-def eigvecs(*args, **kwargs):
-    raise NotImplementedError("eigvecs lands in a later commit this round")
+import numpy as np
+import jax.numpy as jnp
+
+from ..types import PeriodicSchur
+from ..utils.circshift import rev_alias
+from ..ops.reorder_np import babd_qr, babd_solve
+from .ordschur import ordschur
+
+
+def _cyclic_block_solve(Zd, Zl, y):
+    K = len(Zd)
+    if K == 1:
+        return np.linalg.solve(Zd[0] + Zl[0], y)
+    if K == 2:
+        m = Zd[0].shape[0]
+        M = np.zeros((2 * m, 2 * m), dtype=Zd[0].dtype)
+        M[:m, :m] = Zd[0]
+        M[:m, m:] = Zl[1]
+        M[m:, :m] = Zl[0]
+        M[m:, m:] = Zd[1]
+        return np.linalg.solve(M, y)
+    R, Zu, Zr, yq = babd_qr(Zd, Zl, y)
+    return babd_solve(R, Zu, Zr, yq)
+
+
+def eigvecs(P, select: Sequence[bool], shifted: bool = True):
+    """Selected right eigenvectors of the cyclic product.
+
+    Args:
+      P: a PeriodicSchur with Schur vectors.
+      select: which eigenvalues (by position in ``P.values``); for real
+        decompositions conjugate partners are added automatically.
+      shifted: also return eigenvectors of the cyclically shifted products
+        (one matrix per cycle slot); otherwise a single-matrix list.
+
+    Returns:
+      list of (n, nvec) complex matrices.
+    """
+    if not isinstance(P, PeriodicSchur):
+        raise TypeError("eigvecs is implemented for PeriodicSchur")
+    if P.Zs is None:
+        raise ValueError("eigvecs requires Schur vectors in the decomposition")
+    p = P.period
+    n = P.n
+    right = P.orientation == "R"
+    Pw = rev_alias(P) if right else P   # work in left orientation
+
+    select = list(bool(x) for x in select)
+    vals = np.asarray(Pw.values)
+    isreal_t = not np.iscomplexobj(np.asarray(Pw.Ts))
+    if isreal_t:
+        # widen over conjugate pairs
+        inpair = False
+        for j in range(n):
+            if inpair:
+                if select[j - 1] or select[j]:
+                    select[j - 1] = select[j] = True
+                inpair = False
+                continue
+            inpair = abs(vals[j].imag) > 0
+    if not all(select):
+        Pw = ordschur(Pw, select)
+    nvec = int(np.sum(select))
+    nmat = p if shifted else 1
+    Vs = [np.zeros((n, nvec), complex) for _ in range(nmat)]
+
+    sel = np.zeros(n, bool)
+    sel[:nvec] = True
+    ilam = 0
+    while ilam < nvec:
+        vals = np.asarray(Pw.values)
+        T = [np.asarray(Pw.Ts[(Pw.schurindex + l) % p]) for l in range(p)]
+        # T[l] above is factor (schurindex + l) % p; build factor-indexed list
+        Tfac = [np.asarray(Pw.Ts[l]) for l in range(p)]
+        Z = [np.asarray(Pw.Zs[l]) for l in range(p)]
+        lam = complex(vals[0])
+        mu = lam ** (1.0 / p)
+        if isreal_t and abs(lam.imag) > 0:
+            # conjugate pair: row-replaced 2x2 cyclic system (ref :70-112)
+            Zd = [(-mu * np.eye(2)).astype(complex) for _ in range(p)]
+            Zl = [Tfac[l][0:2, 0:2].astype(complex) for l in range(p)]
+            y = np.zeros(2 * p, complex)
+            y[0] = 1.0
+            Zd[0][0, :] = 0.0
+            Zl[p - 1][0, :] = 0.0
+            Zd[0][0, 0:2] = 1.0
+            x = _cyclic_block_solve(Zd, Zl, y)
+            t = 1.0 / np.linalg.norm(x[0:2])
+            for l in range(nmat):
+                i0 = 2 * l
+                Vs[l][:, ilam] = t * (Z[l][:, 0:2] @ x[i0:i0 + 2])
+                if ilam + 1 < nvec:
+                    Vs[l][:, ilam + 1] = np.conj(Vs[l][:, ilam])
+            nlam = 2
+        else:
+            fac = 1.0 + 0.0j
+            for l in range(nmat):
+                Vs[l][:, ilam] = fac * Z[l][:, 0]
+                fac *= Tfac[l][0, 0] / mu
+            nlam = 1
+        sel[:nlam] = False
+        ilam += nlam
+        if ilam < nvec:
+            Pw = ordschur(Pw, list(sel))
+            sel = np.roll(sel, -nlam)
+    if right:
+        # map slots back to the caller's factor labeling: V_A[j] = V_B[(p-j)%p]
+        Vs = [Vs[(p - j) % p] if shifted else Vs[0] for j in range(nmat)]
+    return [jnp.asarray(v) for v in Vs]

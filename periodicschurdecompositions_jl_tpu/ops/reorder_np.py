@@ -147,16 +147,19 @@ def pgsylsolve(A, B, C, S) -> np.ndarray:
                 raise IllConditionedException()
         return babd_solve(R, Zu, Zr, yq)
     # dense cyclic Kronecker fallback for K <= 2
+    # (block row k carries Zd[k] on the diagonal and Zl[(k-1) % K] in
+    # column (k-1) % K — the corner for row 0)
     n = pp * K
     M = np.zeros((n, n), dtype=dt)
     for k in range(K):
         i0 = k * pp
-        j1 = ((k - 1) % K) * pp
+        kl = (k - 1) % K
+        j1 = kl * pp
         M[i0:i0 + pp, i0:i0 + pp] += Zd[k]
         if j1 == i0:
-            M[i0:i0 + pp, i0:i0 + pp] += Zl[k]
+            M[i0:i0 + pp, i0:i0 + pp] += Zl[kl]
         else:
-            M[i0:i0 + pp, j1:j1 + pp] += Zl[k]
+            M[i0:i0 + pp, j1:j1 + pp] += Zl[kl]
     try:
         return np.linalg.solve(M, y)
     except np.linalg.LinAlgError as exc:

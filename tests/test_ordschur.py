@@ -1,0 +1,113 @@
+"""Reordering tests (mirrors reference test/ordschur.jl strategy)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from periodicschurdecompositions_jl_tpu.models.drivers import pschur
+from periodicschurdecompositions_jl_tpu.models.ordschur import ordschur
+from periodicschurdecompositions_jl_tpu.diagnostics import check_psd
+
+EPS = np.finfo(np.float64).eps
+
+
+def _sorted_key(z):
+    return (abs(z), abs(np.angle(z)))
+
+
+def _check_reorder(A, P, select, S=None, lr="R", tol=1e-6):
+    """Reorder; verify decomposition still checks out and the selected
+    eigenvalues (as a multiset) lead the new spectrum."""
+    want = np.asarray(P.values)[np.asarray(select)]
+    P2 = ordschur(P, select)
+    ok, rep = check_psd(P2, np.asarray(A), tol=2000.0)
+    assert ok, rep
+    got = np.asarray(P2.values)[:len(want)]
+    ws = sorted(want, key=_sorted_key)
+    gs = sorted(got, key=_sorted_key)
+    scale = max(abs(z) for z in np.asarray(P.values)) or 1.0
+    for a, b in zip(ws, gs):
+        err = min(abs(a - b), abs(a - np.conj(b)))
+        assert err < tol * scale, (a, b)
+    return P2
+
+
+class TestOrdschurComplex:
+    @pytest.mark.parametrize("p", [1, 2, 3])
+    def test_random(self, rng, p):
+        n = 6
+        A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+        # well-separated spectrum by construction (ref test/ordschur.jl:3-55)
+        A = A * 0.05
+        for l in range(p):
+            A[l] += np.diag(2.0 ** np.arange(n))
+        P = pschur(jnp.asarray(A), "R")
+        select = [False, True, False, True, False, False][:n]
+        _check_reorder(A, P, select)
+
+    def test_left_orientation(self, rng):
+        p, n = 2, 5
+        A = (rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n)))
+        A = A * 0.05
+        for l in range(p):
+            A[l] += np.diag(2.0 ** np.arange(n))
+        P = pschur(jnp.asarray(A), "L")
+        _check_reorder(A, P, [False, False, True, False, True], lr="L")
+
+    def test_generalized(self, rng):
+        p, n = 2, 5
+        A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+        A = A * 0.02
+        for l in range(p):
+            A[l] += np.diag(2.0 ** np.arange(n))
+        S = (True, False)
+        P = pschur(jnp.asarray(A), "R", S=S)
+        _check_reorder(A, P, [False, True, False, False, True], S=S)
+
+
+class TestOrdschurReal:
+    def test_real_singletons(self, rng):
+        p, n = 3, 6
+        A = rng.standard_normal((p, n, n)) * 0.05
+        for l in range(p):
+            A[l] += np.diag(2.0 ** np.arange(n))
+        P = pschur(jnp.asarray(A), "R")
+        assert np.abs(np.asarray(P.values).imag).max() < 1e-8
+        _check_reorder(A, P, [False, False, True, False, True, False])
+
+    def test_real_with_pairs(self, rng):
+        # plant a rotation block -> conjugate pair somewhere in the spectrum
+        p, n = 2, 6
+        th = 0.8
+        D = np.eye(n) * 0.0 + np.diag([8.0, 4.0, 2.0, 1.0, 0.5, 0.25])
+        D[2:4, 2:4] = 2.0 * np.array([[np.cos(th), -np.sin(th)],
+                                      [np.sin(th), np.cos(th)]])
+        q1, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        q2, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        A = np.stack([q1 @ D @ q2.T, q2 @ np.eye(n) @ q1.T])
+        P = pschur(jnp.asarray(A), "R")
+        vals = np.asarray(P.values)
+        # select the complex pair (wherever it landed)
+        sel = [abs(v.imag) > 1e-8 for v in vals]
+        assert sum(sel) == 2
+        P2 = _check_reorder(A, P, sel)
+        assert abs(np.asarray(P2.values)[0].imag) > 1e-8
+
+    def test_select_widening(self, rng):
+        # selecting one half of a pair must bring the whole pair
+        p, n = 2, 4
+        th = 0.9
+        D = np.diag([4.0, 2.0, 1.0, 0.5])
+        D[1:3, 1:3] = 1.5 * np.array([[np.cos(th), -np.sin(th)],
+                                      [np.sin(th), np.cos(th)]])
+        q1, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        A = np.stack([q1 @ D, q1.T])
+        P = pschur(jnp.asarray(A), "R")
+        vals = np.asarray(P.values)
+        ipair = int(np.argmax(np.abs(vals.imag) > 1e-8))
+        sel = [False] * n
+        sel[ipair] = True
+        P2 = ordschur(P, sel)
+        ok, rep = check_psd(P2, A, tol=2000.0)
+        assert ok, rep
+        v2 = np.asarray(P2.values)
+        assert abs(v2[0].imag) > 1e-8 and abs(v2[1].imag) > 1e-8

@@ -1,0 +1,93 @@
+"""Eigenvector tests (mirrors reference test/vectors.jl + ev_check)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from periodicschurdecompositions_jl_tpu.models.drivers import pschur
+from periodicschurdecompositions_jl_tpu.models.vectors import eigvecs
+
+
+def ev_check(As, Vs, lams, left, tol=1e-7):
+    """A[l] V[l] = mu V[(l+1)%p] with mu = lam^(1/p) (reference
+    test/testfuncs.jl:424-436, left orientation)."""
+    p = len(As)
+    nev = Vs[0].shape[1]
+    for ki in range(nev):
+        mu = complex(lams[ki]) ** (1.0 / p)
+        for l in range(p):
+            if left:
+                lhs = As[l] @ np.asarray(Vs[l])[:, ki]
+                rhs = mu * np.asarray(Vs[(l + 1) % p])[:, ki]
+            else:
+                lhs = As[l] @ np.asarray(Vs[(l + 1) % p])[:, ki]
+                rhs = mu * np.asarray(Vs[l])[:, ki]
+            ref = abs(mu) * np.linalg.norm(rhs) + 1e-30
+            assert np.linalg.norm(lhs - rhs) < tol * max(ref, 1), (ki, l)
+
+
+@pytest.mark.parametrize("cplx", [False, True])
+@pytest.mark.parametrize("which", ["largest", "smallest"])
+def test_eigvecs_left(rng, cplx, which):
+    p, n = 3, 6
+    A = rng.standard_normal((p, n, n)) * 0.05
+    if cplx:
+        A = A + 1j * rng.standard_normal((p, n, n)) * 0.05
+    for l in range(p):
+        A[l] += np.diag(2.0 ** np.arange(n))
+    P = pschur(jnp.asarray(A), "L")
+    vals = np.asarray(P.values)
+    order = np.argsort(np.abs(vals))
+    pick = order[-2:] if which == "largest" else order[:2]
+    select = [j in pick for j in range(n)]
+    Vs = eigvecs(P, select)
+    assert len(Vs) == p and Vs[0].shape == (n, 2)
+    ev_check(A, Vs, vals[sorted(pick, key=lambda j: list(select).index(True) if False else 0)] if False else np.asarray(
+        [v for j, v in enumerate(vals) if select[j]]), left=True)
+
+
+def test_eigvecs_pair(rng):
+    # real cycle with a conjugate pair: 2x2 cyclic solve path
+    p, n = 2, 4
+    th = 0.9
+    D = np.diag([4.0, 2.0, 1.0, 0.5])
+    D[1:3, 1:3] = 1.5 * np.array([[np.cos(th), -np.sin(th)],
+                                  [np.sin(th), np.cos(th)]])
+    q1, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = np.stack([q1 @ D, q1.T])
+    P = pschur(jnp.asarray(A), "L")
+    vals = np.asarray(P.values)
+    sel = [abs(v.imag) > 1e-8 for v in vals]
+    assert sum(sel) == 2
+    Vs = eigvecs(P, sel)
+    lams = np.asarray([v for j, v in enumerate(vals) if sel[j]])
+    ev_check(A, Vs, lams, left=True, tol=1e-6)
+
+
+def test_eigvecs_right(rng):
+    p, n = 2, 5
+    A = rng.standard_normal((p, n, n)) * 0.05
+    for l in range(p):
+        A[l] += np.diag(2.0 ** np.arange(n))
+    P = pschur(jnp.asarray(A), "R")
+    vals = np.asarray(P.values)
+    j = int(np.argmax(np.abs(vals)))
+    sel = [jj == j for jj in range(n)]
+    Vs = eigvecs(P, sel)
+    v = np.asarray(Vs[0])[:, 0]
+    lhs = A[0] @ A[1] @ v
+    assert np.linalg.norm(lhs - vals[j] * v) < 1e-7 * abs(vals[j])
+
+
+def test_eigvecs_unshifted(rng):
+    p, n = 3, 5
+    A = rng.standard_normal((p, n, n)) * 0.05
+    for l in range(p):
+        A[l] += np.diag(2.0 ** np.arange(n))
+    P = pschur(jnp.asarray(A), "L")
+    vals = np.asarray(P.values)
+    j = int(np.argmax(np.abs(vals)))
+    Vs = eigvecs(P, [jj == j for jj in range(n)], shifted=False)
+    assert len(Vs) == 1
+    v = np.asarray(Vs[0])[:, 0]
+    lhs = A[2] @ A[1] @ A[0] @ v
+    assert np.linalg.norm(lhs - vals[j] * v) < 1e-7 * abs(vals[j])
