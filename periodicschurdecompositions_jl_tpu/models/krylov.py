@@ -1,10 +1,605 @@
-"""Periodic Krylov-Schur (stub; lands after the dense cores)."""
+"""Periodic Krylov-Schur: a few exterior eigenvalues of large cyclic products.
+
+Behavioral contract from the reference's `partial_pschur` (src/krylov.jl, a
+Kressner Numer. Math. 2006 scheme): build p coupled orthonormal bases with a
+periodic Arnoldi process (one operator application per factor per step,
+iterated Gram-Schmidt with the 1/sqrt(2) re-orthogonalization test), solve
+the small projected periodic Schur problem with the dense cores, estimate
+Ritz residuals by trial reordering per candidate, lock converged wanted
+pairs, purge converged unwanted ones, truncate, restore the Hessenberg
+structure with a row-wise periodic reduction that preserves the Arnoldi
+"foot", and restart.  Left orientation only (like the reference).
+
+Architecture: the restart loop and all O(k^2 p) bookkeeping run host-side
+(numpy); the only device-facing work is the operator applications —
+``A`` may be a stacked (p, n, n) array (dense matvecs run through jax on
+the default device) or a list of callables (user-controlled device code,
+e.g. the factor-ring pipeline in parallel/ring.py).  The projected problem
+uses the jitted dense cores.
+"""
 from __future__ import annotations
 
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Union
 
+import numpy as np
+import jax.numpy as jnp
+
+from ..types import IllConditionedException, PartialPeriodicSchur, PeriodicSchur, PKSFailure
+from ..ops.pqr_real import pqr_real_core
+from ..ops.pqz_complex import pqz_complex_core
+from .ordschur import ordschur
+
+ETA_ORTH = 1.0 / np.sqrt(2.0)
+
+
+@dataclasses.dataclass
 class ArnoldiHistory:
-    pass
+    """Iteration summary (reference uses ArnoldiMethod.History)."""
+    nprods: int
+    nconverged: int
+    converged: bool
+    nev: int
 
 
-def partial_pschur(*args, **kwargs):
-    raise NotImplementedError("partial_pschur lands in a later commit this round")
+# ---------------------------------------------------------------------------
+# ordering targets
+
+
+def _order_key(which: str):
+    which = which.upper()
+    if which == "LM":
+        return lambda lam: -abs(lam)
+    if which == "SM":
+        return lambda lam: abs(lam)
+    if which == "LR":
+        return lambda lam: -lam.real
+    if which == "SR":
+        return lambda lam: lam.real
+    if which == "LI":
+        return lambda lam: -lam.imag
+    if which == "SI":
+        return lambda lam: lam.imag
+    raise ValueError(f"unknown target {which!r}; use LM/SM/LR/SR/LI/SI")
+
+
+# ---------------------------------------------------------------------------
+# operators
+
+
+def _as_ops(A, n=None, dtype=None):
+    if hasattr(A, "ndim") or isinstance(A, (list, tuple)) and hasattr(A[0], "ndim"):
+        An = [np.asarray(a) for a in A]
+        n = An[0].shape[0]
+        dtype = An[0].dtype
+        return [lambda x, a=a: a @ x for a in An], len(An), n, np.dtype(dtype)
+    if not (isinstance(A, (list, tuple)) and callable(A[0])):
+        raise TypeError("A must be a (p, n, n) stack, list of matrices, or "
+                        "list of callables")
+    if n is None or dtype is None:
+        raise ValueError("matrix-free operators need n= and dtype= arguments")
+    return list(A), len(A), int(n), np.dtype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# periodic Arnoldi (reference src/krylov.jl:228-414)
+
+
+class _PKrylov:
+    def __init__(self, p, n, kmax, dtype, rng):
+        self.p, self.n, self.kmax = p, n, kmax
+        self.V = [np.zeros((n, kmax + 1), dtype)] + \
+            [np.zeros((n, kmax), dtype) for _ in range(p - 1)]
+        self.B = [np.zeros((kmax, kmax), dtype) for _ in range(p - 1)] + \
+            [np.zeros((kmax + 1, kmax), dtype)]
+        self.k = 0
+        self.rng = rng
+        self.dtype = np.dtype(dtype)
+
+    def vrand(self, shape):
+        v = self.rng.standard_normal(shape)
+        if np.issubdtype(self.dtype, np.complexfloating):
+            v = v + 1j * self.rng.standard_normal(shape)
+        return v.astype(self.dtype)
+
+
+def _reinitialize(PK: _PKrylov, l: int, j: int) -> bool:
+    """Random re-start of basis column j of slot l, orthogonalized
+    (reference :152-181)."""
+    v = PK.vrand(PK.n)
+    rnorm = np.linalg.norm(v)
+    if j > 0:
+        U = PK.V[l][:, :j]
+        h = U.conj().T @ v
+        v = v - U @ h
+        w = np.linalg.norm(v)
+        if w < ETA_ORTH * rnorm:
+            rnorm = w
+            h = U.conj().T @ v
+            v = v - U @ h
+            w = np.linalg.norm(v)
+        if w <= ETA_ORTH * rnorm:
+            return False
+        v = v / w
+    else:
+        v = v / rnorm
+    PK.V[l][:, j] = v
+    return True
+
+
+def _orth_step(U, v):
+    """One iterated-CGS orthogonalization; returns (h, v, wnorm, in_span)."""
+    rnorm = np.linalg.norm(v)
+    h = U.conj().T @ v
+    v = v - U @ h
+    w = np.linalg.norm(v)
+    if w < ETA_ORTH * rnorm:
+        rnorm = w
+        corr = U.conj().T @ v
+        v = v - U @ corr
+        h = h + corr
+        w = np.linalg.norm(v)
+    return h, v, w, w <= ETA_ORTH * rnorm
+
+
+def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
+                     tol1: float) -> bool:
+    """Extend the periodic Krylov decomposition to columns [k1, k2).
+
+    0-based: fills columns k1..k2-1.  Returns False after too many
+    singularity repairs (reference's 5-strike budget, :396-407).
+    """
+    p, n = PK.p, PK.n
+    PK.V[0][:, k1] = u
+    j = k1
+    singularities = 0
+    while j < k2:
+        ldef, jdef = -1, -1
+        null1 = False
+        for l in range(p - 1):
+            v = np.asarray(ops[l](PK.V[l][:, j]))
+            if j > 0:
+                h, v, w, inspan = _orth_step(PK.V[l + 1][:, :j], v)
+                PK.B[l][:j, j] = h
+            else:
+                w = np.linalg.norm(v)
+                inspan = False
+                if w < tol1:
+                    null1 = True
+                    break
+            if inspan:
+                if ldef < 0:
+                    ldef, jdef = l, j
+                PK.B[l][j, j] = 0.0
+                if not _reinitialize(PK, l + 1, j):
+                    raise PKSFailure("Arnoldi reinitialization failed")
+            else:
+                PK.B[l][j, j] = w
+                PK.V[l + 1][:, j] = v / w
+        if null1:
+            _reinitialize(PK, 0, 0)
+            continue
+
+        v = np.asarray(ops[p - 1](PK.V[p - 1][:, j]))
+        h, v, w, inspan = _orth_step(PK.V[0][:, :j + 1], v)
+        PK.B[p - 1][:j + 1, j] = h
+        if inspan:
+            PK.B[p - 1][j + 1, j] = 0.0
+            if ldef < 0:
+                # trivial deflation: restart the next column randomly
+                if not _reinitialize(PK, 0, j + 1):
+                    raise PKSFailure("Arnoldi reinitialization failed")
+                ldef = -1
+            else:
+                pass
+        else:
+            PK.B[p - 1][j + 1, j] = w
+            PK.V[0][:, j + 1] = v / w
+
+        if ldef >= 0:
+            # exact deflation inside the cycle: rotate the zero out
+            _deflate_krylov(PK, ldef, jdef)
+            hn = np.linalg.norm(PK.B[p - 1][:jdef + 1, :jdef + 1])
+            if abs(PK.B[p - 1][jdef + 1, jdef]) >= 100 * np.finfo(
+                    PK.V[0].real.dtype).eps * max(hn, 1e-300):
+                singularities += 1
+                if singularities > 5:
+                    return False
+                if jdef + 1 < k2:
+                    if not _reinitialize(PK, 0, jdef + 1):
+                        raise PKSFailure("Arnoldi reinitialization failed")
+        PK.k = j + 1
+        j += 1
+    return True
+
+
+def _deflate_krylov(PK: _PKrylov, ldef: int, jdef: int):
+    """Unshifted half-sweep pushing an in-cycle zero to the foot
+    (reference `_deflate!`, src/krylov.jl:184-226)."""
+    from ..ops.reorder_np import _givens_np, _gmat
+    p = PK.p
+    j1 = PK.k if PK.k > 0 else jdef
+    nwid = jdef + 1
+    Bp = PK.B[p - 1]
+    G = []
+    for j in range(jdef):
+        c, s, _ = _givens_np(Bp[j, j], Bp[j + 1, j])
+        M = _gmat(c, s)
+        Bp[j:j + 2, :] = M @ Bp[j:j + 2, :]
+        Bp[j + 1, j] = 0.0
+        G.append(M)
+    Z = [np.eye(nwid, dtype=PK.dtype) for _ in range(p)]
+    for j in range(jdef - 1):
+        Z[0][:, j:j + 2] = Z[0][:, j:j + 2] @ G[j].conj().T
+    for l in range(p - 1):
+        Bl = PK.B[l]
+        for j in range(jdef - 1):
+            Bl[:, j:j + 2] = Bl[:, j:j + 2] @ G[j].conj().T
+            c, s, _ = _givens_np(Bl[j, j], Bl[j + 1, j])
+            M = _gmat(c, s)
+            Bl[j:j + 2, :] = M @ Bl[j:j + 2, :]
+            Bl[j + 1, j] = 0.0
+            G[j] = M
+        for j in range(jdef - 1):
+            Z[l + 1][:, j:j + 2] = Z[l + 1][:, j:j + 2] @ G[j].conj().T
+    for j in range(jdef - 2):
+        Bp[:, j:j + 2] = Bp[:, j:j + 2] @ G[j].conj().T
+    for l in range(p):
+        w = PK.V[l][:, :nwid] @ Z[l][:nwid, :nwid]
+        PK.V[l][:, :nwid] = w
+
+
+# ---------------------------------------------------------------------------
+# row-wise periodic Hessenberg restoration (reference src/rhessx.jl)
+
+
+def _unitary_row_annihilator(u):
+    """Hermitian unitary R with R @ u = phase * |u| * e_last."""
+    m = len(u)
+    nu = np.linalg.norm(u)
+    if nu == 0:
+        return np.eye(m, dtype=u.dtype)
+    phase = u[-1] / abs(u[-1]) if u[-1] != 0 else 1.0
+    t = np.zeros(m, dtype=complex if np.iscomplexobj(u) else float)
+    t[-1] = phase * nu
+    w = u - t
+    wn = np.vdot(w, w).real
+    if wn < np.finfo(float).tiny:
+        return np.eye(m, dtype=u.dtype)
+    return (np.eye(m) - 2.0 * np.outer(w, np.conj(w)) / wn).astype(u.dtype)
+
+
+def _restore_hessenberg(PK: _PKrylov, active: int, k: int):
+    """Row-wise left-oriented periodic Hessenberg reduction on the window
+    [active, k) that preserves the Arnoldi foot (reference `_rphessenberg!`
+    semantics: row reflectors annihilate LEADING entries)."""
+    p = PK.p
+    a = active
+    Bp = PK.B[p - 1]
+    nwrk = k - a
+    Q = [np.eye(nwrk, dtype=PK.dtype) for _ in range(p)]
+
+    def apply_w(slot, hi, W):
+        """W acts on window-columns [0, hi) of the slot's B and the rows of
+        the previous slot's B; accumulate into Q[slot]."""
+        prev = (slot - 1) % p
+        Bs = PK.B[slot]
+        Bs[:, a:a + hi] = Bs[:, a:a + hi] @ W
+        Bprev = PK.B[prev]
+        Bprev[a:a + hi, :] = W.conj().T @ Bprev[a:a + hi, :]
+        Q[slot][:, :hi] = Q[slot][:, :hi] @ W
+
+    # foot row of the Hessenberg slot (if the window touches it)
+    if k == PK.k:
+        u = np.conj(Bp[k, a:k])
+        W = _unitary_row_annihilator(u)
+        apply_w(p - 1, nwrk, W)
+        Bp[k, a:k - 1] = 0.0
+    for i in range(nwrk - 1, 0, -1):
+        # triangularize rows i of the triangular slots
+        for l in range(p - 2, -1, -1):
+            u = np.conj(PK.B[l][a + i, a:a + i + 1])
+            W = _unitary_row_annihilator(u)
+            apply_w(l, i + 1, W)
+            PK.B[l][a + i, a:a + i] = 0.0
+        u = np.conj(Bp[a + i, a:a + i])
+        W = _unitary_row_annihilator(u)
+        apply_w(p - 1, i, W)
+        Bp[a + i, a:a + i - 1] = 0.0
+    # apply accumulated Q to the bases and the locked coupling rows
+    for l in range(p):
+        PK.V[l][:, a:k] = PK.V[l][:, a:k] @ Q[l]
+        if a > 0:
+            PK.B[l][:a, a:k] = PK.B[l][:a, a:k] @ Q[l]
+
+
+# ---------------------------------------------------------------------------
+# driver
+
+
+def _small_pschur(B: List[np.ndarray], active: int, kmax: int, dtype):
+    """Dense periodic Schur of the projected window (right-ordered stack)."""
+    p = len(B)
+    sub = slice(active, kmax)
+    mats = [np.triu(B[p - 1][sub, sub], -1)] + \
+        [np.triu(B[l][sub, sub]) for l in range(p - 2, -1, -1)]
+    H = jnp.asarray(np.stack(mats))
+    if np.issubdtype(dtype, np.complexfloating):
+        T, Z, al, be, sc, ok = pqz_complex_core(H, (True,) * p)
+        values = np.asarray(al) / np.asarray(be) * np.exp2(
+            np.asarray(sc).astype(float))
+    else:
+        T, Z, wr, wi, ok = pqr_real_core(H)
+        values = np.asarray(wr) + 1j * np.asarray(wi)
+    if not bool(ok):
+        raise PKSFailure("projected periodic Schur failed to converge")
+    return PeriodicSchur(Ts=T, Zs=Z, values=jnp.asarray(values),
+                         orientation="R", schurindex=0)
+
+
+def _slot_q(PS: PeriodicSchur) -> List[np.ndarray]:
+    """Map the small right-oriented Z stack onto Krylov basis slots:
+    Q[l] = W[(p - l) % p] (see module docstring derivation)."""
+    p = PS.period
+    W = np.asarray(PS.Zs)
+    return [W[(p - l) % p] for l in range(p)]
+
+
+def _residuals(PS, foot, ritz_ord, lams, active, isreal_t):
+    """Ritz residuals by trial reordering each candidate to the top
+    (reference `_compute_ritz_resids!`, src/krylov.jl:833-919)."""
+    nwrk = len(lams)
+    rs = np.full(nwrk, np.inf)
+    skip_next = False
+    for idx, j in enumerate(ritz_ord):
+        if skip_next:
+            skip_next = False
+            continue
+        lam = lams[j]
+        pair = isreal_t and lam.imag != 0
+        select = np.zeros(nwrk, bool)
+        select[j] = True
+        if pair:
+            jc = j + 1 if j + 1 < nwrk and abs(np.conj(lams[j + 1]) - lam) <= \
+                1e-8 * max(abs(lam), 1e-300) else j - 1
+            select[jc] = True
+            skip_next = True
+        try:
+            PSx = ordschur(PS, list(select))
+        except IllConditionedException:
+            rs[j] = np.abs(foot[:j + 1]).max()
+            continue
+        Q = _slot_q(PSx)
+        newrow = foot @ Q[p_of(PSx)]
+        if pair:
+            r = max(abs(newrow[0]), abs(newrow[1]))
+            rs[j] = r
+            rs[jc] = r
+        else:
+            rs[j] = abs(newrow[0])
+    return rs
+
+
+def p_of(PS):
+    return PS.period - 1
+
+
+def partial_pschur(
+    A,
+    nev: int = 6,
+    which: str = "LM",
+    *,
+    n: Optional[int] = None,
+    dtype=None,
+    mindim: Optional[int] = None,
+    maxdim: Optional[int] = None,
+    tol: Optional[float] = None,
+    restarts: int = 100,
+    purgebuffer: int = 2,
+    u1: Optional[np.ndarray] = None,
+    seed: int = 1234,
+):
+    """Find ``nev`` exterior eigenvalues of the product ``A[p-1] @ ... @ A[0]``
+    (left orientation, like the reference) by periodic Krylov-Schur.
+
+    Args:
+      A: (p, n, n) stack / list of matrices / list of matvec callables
+         (callables need ``n=`` and ``dtype=``).
+      which: LM, SM, LR, SR, LI or SI.
+      tol: convergence tolerance (default sqrt(eps)).
+
+    Returns:
+      (PartialPeriodicSchur, ArnoldiHistory)
+    """
+    ops, p, n, dtype = _as_ops(A, n=n, dtype=dtype)
+    isreal_t = not np.issubdtype(dtype, np.complexfloating)
+    eps = float(np.finfo(dtype).eps)
+    if tol is None:
+        tol = float(np.sqrt(eps))
+    if nev < 1:
+        raise ValueError("nev must be >= 1")
+    if mindim is None:
+        mindim = min(max(10, nev), n)
+    if maxdim is None:
+        maxdim = min(max(20, 2 * nev), n)
+    if not (nev <= mindim <= maxdim <= p * n):
+        raise ValueError(f"need nev <= mindim <= maxdim <= p*n, got "
+                         f"{nev} <= {mindim} <= {maxdim} <= {p * n}")
+    rng = np.random.default_rng(seed)
+    PK = _PKrylov(p, n, maxdim, dtype, rng)
+    key = _order_key(which)
+    eps23 = eps ** (2.0 / 3.0)
+
+    if u1 is None:
+        v = PK.vrand(n)
+    else:
+        v = np.asarray(u1, dtype=dtype)
+    v = v / np.linalg.norm(v)
+    tol1 = 100 * eps
+
+    pa_ok = periodic_arnoldi(ops, PK, 0, mindim, v, tol1)
+    nprods = p * mindim
+    nlock = 0
+    active = 0
+    k = mindim
+    lams_all = np.zeros(maxdim, complex)
+    rs_all = np.full(maxdim, np.inf)
+
+    for it in range(restarts):
+        if it > 0:
+            _restore_hessenberg(PK, active, k)
+        u = PK.V[0][:, k]
+        pa_ok = periodic_arnoldi(ops, PK, k, maxdim, u, tol1)
+        nprods += p * (maxdim - k)
+
+        PS = _small_pschur(PK.B, active, maxdim, dtype)
+        Hnorm = np.linalg.norm(np.asarray(PS.T1))
+        foot = PK.B[p - 1][maxdim, active:maxdim].copy()
+        lams = np.asarray(PS.values)
+        lams_all[active:maxdim] = lams
+        nwrk = maxdim - active
+
+        def conv(lam, r):
+            return r < max(eps23 * Hnorm, tol * abs(lam))
+
+        # order all current estimates by preference
+        order = sorted(range(maxdim), key=lambda j: key(lams_all[j]))
+        # effective nev: widen across a conjugate pair boundary
+        eff_nev = nev
+        if isreal_t and eff_nev < maxdim:
+            lj = lams_all[order[eff_nev - 1]]
+            ln = lams_all[order[eff_nev]] if eff_nev < maxdim else 0
+            if lj.imag != 0 and abs(np.conj(lj) - ln) <= 1e-8 * max(
+                    abs(lj), 1e-300):
+                eff_nev += 1
+
+        rs = _residuals(PS, foot, list(range(nwrk)),
+                        lams, active, isreal_t)
+        rs_all[active:maxdim] = rs
+
+        # locking: leading wanted candidates that have converged
+        nlock = 0
+        for i in range(eff_nev):
+            j = order[i]
+            if conv(lams_all[j], rs_all[j]):
+                nlock += 1
+            else:
+                break
+
+        # move locked-but-active candidates to the top of the window
+        if nlock > active:
+            select = np.zeros(nwrk, bool)
+            for i in range(nlock):
+                j = order[i]
+                if active <= j < maxdim:
+                    select[j - active] = True
+            if select.any():
+                PS = ordschur(PS, list(select))
+                perm = _perm_from_select(select)
+                lams_all[active:maxdim] = lams_all[active:maxdim][perm]
+                rs_all[active:maxdim] = rs_all[active:maxdim][perm]
+
+        # truncation length (conjugate-pair safe)
+        k = min(nlock + mindim, (mindim + maxdim) // 2)
+        k = max(k, nlock + 1)
+        if isreal_t and k < maxdim:
+            lk = lams_all[k - 1]
+            if lk.imag != 0 and abs(np.conj(lk) - lams_all[k]) <= \
+                    1e-8 * max(abs(lk), 1e-300):
+                k += 1
+        k = min(k, maxdim - 1)
+
+        # retain the k preferred candidates (re-sorted after locking moves)
+        order2 = sorted(range(maxdim), key=lambda j: key(lams_all[j]))
+        select = np.zeros(nwrk, bool)
+        nsel = 0
+        for i in range(maxdim):
+            j = order2[i]
+            if active <= j < maxdim and nsel < k - active:
+                select[j - active] = True
+                nsel += 1
+        try:
+            PS2 = ordschur(PS, list(select))
+            perm = _perm_from_select(select)
+            lams_all[active:maxdim] = lams_all[active:maxdim][perm]
+            rs_all[active:maxdim] = rs_all[active:maxdim][perm]
+            PS = PS2
+        except IllConditionedException:
+            pass
+
+        # write the small solution back into the Krylov decomposition
+        Q = _slot_q(PS)
+        Ts = np.asarray(PS.Ts)
+        Bp = PK.B[p - 1]
+        Bp[active:maxdim, active:maxdim] = Ts[0]
+        Bp[maxdim, active:maxdim] = foot @ Q[p - 1]
+        for l in range(p - 1):
+            # right-ordered stack index of factor-l window: p-1-l
+            PK.B[l][active:maxdim, active:maxdim] = Ts[(p - 1 - l) % p]
+        for l in range(p):
+            PK.V[l][:, active:maxdim] = PK.V[l][:, active:maxdim] @ Q[l]
+            if active > 0:
+                PK.B[l][:active, active:maxdim] = \
+                    PK.B[l][:active, active:maxdim] @ Q[l]
+
+        # truncate
+        PK.V[0][:, k] = PK.V[0][:, maxdim]
+        Bp[k, :k] = Bp[maxdim, :k]
+        Bp[k + 1:, :] = 0.0
+        for l in range(p - 1):
+            PK.B[l][k:, :] = 0.0
+        PK.k = k
+
+        # verify locks against the actual foot (reference `_verify_locks!`)
+        nlock = _verify_locks(PK, lams_all, rs_all, nlock, conv, isreal_t)
+        if not pa_ok:
+            break
+        active = nlock
+        if active >= nev:
+            break
+
+    nconv = active
+    Vc = np.stack([PK.V[l][:, :nconv] for l in range(p)])
+    Tc = np.stack([np.triu(PK.B[l][:nconv, :nconv],
+                           -1 if l == p - 1 else 0) for l in range(p)])
+    # stacked factor order: slot l holds B[l]; Schur factor is slot p-1
+    ps = PartialPeriodicSchur(
+        Ts=jnp.asarray(Tc),
+        Vs=jnp.asarray(Vc),
+        values=jnp.asarray(lams_all[:nconv]),
+        residuals=jnp.asarray(rs_all[:nconv]),
+        orientation="L", schurindex=p - 1)
+    hist = ArnoldiHistory(nprods=nprods, nconverged=nconv,
+                          converged=nconv >= nev, nev=nev)
+    return ps, hist
+
+
+def _perm_from_select(select):
+    sel = [i for i, s in enumerate(select) if s]
+    uns = [i for i, s in enumerate(select) if not s]
+    return np.array(sel + uns)
+
+
+def _verify_locks(PK, lams, rs, nlock, conv, isreal_t):
+    p = PK.p
+    k = PK.k
+    Bp = PK.B[p - 1]
+    i = 0
+    ncv = 0
+    while i < nlock:
+        lam = lams[i]
+        if isreal_t and lam.imag != 0:
+            r = np.hypot(abs(Bp[k, i]), abs(Bp[k, i + 1]) if i + 1 <= k else 0.0)
+            rs[i] = rs[i + 1] = r
+            if not conv(lam, r):
+                break
+            ncv = i + 2
+            i += 2
+        else:
+            r = abs(Bp[k, i])
+            rs[i] = r
+            if not conv(lam, r):
+                break
+            ncv = i + 1
+            i += 1
+    return ncv

@@ -53,6 +53,9 @@ def eigvecs(P, select: Sequence[bool], shifted: bool = True):
     Returns:
       list of (n, nvec) complex matrices.
     """
+    from ..types import PartialPeriodicSchur
+    if isinstance(P, PartialPeriodicSchur):
+        return eigvecs_partial(P, select, shifted=shifted)
     if not isinstance(P, PeriodicSchur):
         raise TypeError("eigvecs is implemented for PeriodicSchur")
     if P.Zs is None:
@@ -124,3 +127,22 @@ def eigvecs(P, select: Sequence[bool], shifted: bool = True):
         # map slots back to the caller's factor labeling: V_A[j] = V_B[(p-j)%p]
         Vs = [Vs[(p - j) % p] if shifted else Vs[0] for j in range(nmat)]
     return [jnp.asarray(v) for v in Vs]
+
+
+def eigvecs_partial(P, select: Sequence[bool], shifted: bool = True):
+    """Eigenvectors from a PartialPeriodicSchur (reference src/krylov.jl:
+    996-1022): solve the small k x k problem with identity bases, then lift
+    through the Ritz bases ``V[l]``."""
+    from ..types import PartialPeriodicSchur
+    if not isinstance(P, PartialPeriodicSchur):
+        raise TypeError("eigvecs_partial expects a PartialPeriodicSchur")
+    p = P.period
+    k = P.Ts.shape[-1]
+    small = PeriodicSchur(
+        Ts=P.Ts, Zs=jnp.broadcast_to(jnp.eye(k, dtype=P.Ts.dtype),
+                                     (p, k, k)),
+        values=P.values, orientation=P.orientation, schurindex=P.schurindex)
+    V0 = eigvecs(small, select, shifted=shifted)
+    nmat = p if shifted else 1
+    return [jnp.asarray(np.asarray(P.Vs[l]) @ np.asarray(V0[l]))
+            for l in range(nmat)]
