@@ -47,7 +47,7 @@ from .types import (  # noqa: E402
     PKSFailure,
 )
 from .config import AlgoConfig, default_config, setverbosity, verbosity  # noqa: E402
-from .diagnostics import check_psd  # noqa: E402
+from .diagnostics import check_psd, FacChecker  # noqa: E402
 from .models.drivers import (  # noqa: E402
     gpschur,
     phessenberg,
@@ -56,6 +56,7 @@ from .models.drivers import (  # noqa: E402
 from .models.ordschur import ordschur  # noqa: E402
 from .models.vectors import eigvecs  # noqa: E402
 from .models.krylov import partial_pschur, ArnoldiHistory  # noqa: E402
+from .utils.io import load_decomposition, save_decomposition  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -79,4 +80,7 @@ __all__ = [
     "partial_pschur",
     "ArnoldiHistory",
     "check_psd",
+    "FacChecker",
+    "save_decomposition",
+    "load_decomposition",
 ]

@@ -14,6 +14,7 @@ from typing import Optional
 
 import numpy as np
 
+
 from .types import GeneralizedPeriodicSchur
 
 
@@ -88,3 +89,37 @@ def check_psd(P, A: Optional[np.ndarray] = None, *, qtol: float = 10.0,
     if verbose:
         print("check_psd:", "OK" if ok else "FAIL", report)
     return bool(ok), report
+
+
+class FacChecker:
+    """Transformation-chain verifier for debugging iteration cores.
+
+    Behavioral contract from the reference's `_FacChecker`
+    (src/diagnostics.jl:45-178): capture the initial cycle, then recompute
+    the implied original factors from the current (H, Z) at any point in an
+    iteration and report the drift.  Use inside host-side experiments (the
+    jitted cores can be stepped by lowering maxitfac).
+    """
+
+    def __init__(self, A, S=None, left=False):
+        self.A = np.asarray(A).copy()
+        self.p = self.A.shape[0]
+        self.S = tuple(bool(x) for x in S) if S is not None else (True,) * self.p
+        self.left = left
+
+    def __call__(self, label: str, H, Z, verbose: bool = True) -> float:
+        H = np.asarray(H)
+        Z = np.asarray(Z)
+        p = self.p
+        worst = 0.0
+        for l in range(p):
+            ln = (l + 1) % p
+            if self.S[l] ^ self.left:
+                Ax = Z[l] @ H[l] @ Z[ln].conj().T
+            else:
+                Ax = Z[ln] @ H[l] @ Z[l].conj().T
+            scale = max(np.abs(self.A[l]).max(), 1e-300)
+            worst = max(worst, np.abs(Ax - self.A[l]).max() / scale)
+        if verbose:
+            print(f"FacChecker[{label}]: worst factor drift {worst:.3e}")
+        return worst
