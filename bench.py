@@ -32,20 +32,23 @@ def _run(device, A_np):
     from periodicschurdecompositions_jl_tpu.ops.hessenberg import phessenberg_core
     from periodicschurdecompositions_jl_tpu.ops.pqr_real import pqr_real_core
 
-    A = jax.device_put(jnp.asarray(A_np), device)
-
     def pipeline(A):
         H, Q = phessenberg_core(A, want_q=True)
         return pqr_real_core(H, Z=Q, want_z=True, maxitfac=MAXITFAC)
 
-    # warmup (compile)
+    # warmup (compile) on a scaled copy; NOTE block_until_ready is unreliable
+    # under the axon remote runtime, so all timings force a host transfer of
+    # the results, and the measured run uses fresh input data to defeat any
+    # content-addressed execution caching.
+    A = jax.device_put(jnp.asarray(A_np * 0.5), device)
     out = pipeline(A)
-    jax.block_until_ready(out[:4])
-    ok = bool(out[4])
+    _ = np.asarray(out[0])
+    A = jax.device_put(jnp.asarray(A_np), device)
     t0 = time.time()
     out = pipeline(A)
-    jax.block_until_ready(out[:4])
+    _ = np.asarray(out[0]), np.asarray(out[1])
     dt = time.time() - t0
+    ok = bool(out[4])
     return dt, out, ok
 
 
@@ -60,6 +63,7 @@ def main():
 
     t_tpu, out_tpu, ok_tpu = _run(tpu, A_np)
     t_cpu, out_cpu, ok_cpu = _run(cpu, A_np)
+    t_f32, out_f32, ok_f32 = _run(tpu, A_np.astype(np.float32))
 
     # backward error on each backend
     def backerr(out):
@@ -74,10 +78,12 @@ def main():
 
     err_tpu = backerr(out_tpu)
     err_cpu = backerr(out_cpu)
+    err_f32 = backerr(out_f32)
     print(
-        f"[bench] pschur_real p={P_CYCLE} n={N}: tpu {t_tpu:.2f}s (ok={ok_tpu}, "
-        f"backerr {err_tpu:.2e}) | cpu {t_cpu:.2f}s (ok={ok_cpu}, "
-        f"backerr {err_cpu:.2e})",
+        f"[bench] pschur_real p={P_CYCLE} n={N}: tpu-f64 {t_tpu:.2f}s "
+        f"(ok={ok_tpu}, backerr {err_tpu:.2e}) | cpu-f64 {t_cpu:.2f}s "
+        f"(ok={ok_cpu}, backerr {err_cpu:.2e}) | tpu-f32 {t_f32:.2f}s "
+        f"(ok={ok_f32}, backerr {err_f32:.2e})",
         file=sys.stderr,
     )
 

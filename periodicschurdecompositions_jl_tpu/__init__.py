@@ -36,6 +36,10 @@ from __future__ import annotations
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# On TPU, float32 matmuls default to bfloat16 MXU passes (~1e-2 relative
+# error), which destroys backward stability; this library's contract is
+# LAPACK-grade accuracy, so demand full-precision matmuls everywhere.
+_jax.config.update("jax_default_matmul_precision", "highest")
 
 from .types import (  # noqa: E402
     AbstractPeriodicSchur,

@@ -27,8 +27,11 @@ update (two matvecs), which XLA maps onto the MXU/VPU.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+from .rotations import _rdiv, _rsqrt
 
 
 def _safemin(rdt) -> float:
@@ -47,8 +50,8 @@ def _scaled_norm(x2, mask=None):
         a = jnp.where(mask, a, 0.0)
     m = jnp.max(a) if a.ndim else a
     msafe = jnp.where(m == 0, 1.0, m)
-    ssq = jnp.sum((a / msafe) ** 2)
-    return m * jnp.sqrt(ssq)
+    ssq = jnp.sum(_rdiv(a, msafe) ** 2)
+    return m * _rsqrt(ssq)
 
 
 def _copysign(mag, sgn):
@@ -77,7 +80,8 @@ def _reflector_from(alpha, tail, tail_mask, dt):
     def hyp3(x, y, z):
         m = jnp.maximum(jnp.maximum(jnp.abs(x), jnp.abs(y)), jnp.abs(z))
         ms = jnp.where(m == 0, 1.0, m)
-        return m * jnp.sqrt((x / ms) ** 2 + (y / ms) ** 2 + (z / ms) ** 2)
+        return m * _rsqrt(_rdiv(x, ms) ** 2 + _rdiv(y, ms) ** 2
+                          + _rdiv(z, ms) ** 2)
 
     beta = -_copysign(hyp3(ar, ai, xnorm), ar)
 
@@ -94,14 +98,20 @@ def _reflector_from(alpha, tail, tail_mask, dt):
 
     bsafe = jnp.where(beta_in == 0, jnp.ones((), rdt), beta_in)
     if cplx:
-        tau = (beta_in - ar) / bsafe - 1j * (ai / bsafe)
+        tau = _rdiv(beta_in - ar, bsafe) - 1j * _rdiv(ai, bsafe)
         alpha_s = ar + 1j * ai
     else:
-        tau = (beta_in - ar) / bsafe
+        tau = _rdiv(beta_in - ar, bsafe)
         alpha_s = ar
     denom = alpha_s - beta_in
     dsafe = jnp.where(denom == 0, jnp.ones((), dt), denom.astype(dt))
-    vtail = tail / dsafe
+    if cplx:
+        d2 = (dsafe * jnp.conj(dsafe)).real
+        inv = jax.lax.complex(_rdiv(jnp.conj(dsafe).real, d2),
+                              _rdiv(jnp.conj(dsafe).imag, d2))
+        vtail = tail * inv
+    else:
+        vtail = _rdiv(tail, dsafe)
     beta_out = jnp.where(need, beta_in * sfmin, beta_in)
 
     zero_t = jnp.zeros((), dt)

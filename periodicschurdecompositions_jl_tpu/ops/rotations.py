@@ -28,6 +28,25 @@ from jax import lax
 
 # -----------------------------------------------------------------------------
 # Generation
+#
+# The TPU emulates float64 with a division only ~4e-12 accurate; one Newton
+# correction step (residual computed with accurately emulated mul/sub)
+# restores full precision.  Rotation parameters are generation-critical
+# (c^2 + s^2 must hold to ~eps for the factors to stay orthogonal), so every
+# division/sqrt here is refined.
+
+
+def _rdiv(a, b):
+    """Division with one Newton correction (full f64 accuracy on TPU)."""
+    q = a / b
+    return q + (a - q * b) / b
+
+
+def _rsqrt(x):
+    """Square root with one Newton correction."""
+    s = jnp.sqrt(x)
+    ssafe = jnp.where(s == 0, jnp.ones_like(s), s)
+    return jnp.where(s == 0, s, s - (s * s - x) / (2.0 * ssafe))
 
 
 def givens_real(f, g):
@@ -42,12 +61,12 @@ def givens_real(f, g):
     af, ag = jnp.abs(f), jnp.abs(g)
     scale = jnp.maximum(af, ag)
     sc = jnp.where(scale == 0, jnp.asarray(1.0, dt), scale)
-    fs, gs = f / sc, g / sc
-    d = sc * jnp.sqrt(fs * fs + gs * gs)
+    fs, gs = _rdiv(f, sc), _rdiv(g, sc)
+    d = sc * _rsqrt(fs * fs + gs * gs)
     dsafe = jnp.where(d == 0, jnp.asarray(1.0, dt), d)
     r_gen = jnp.where(f >= 0, d, -d)
-    c_gen = af / dsafe
-    s_gen = g / jnp.where(r_gen == 0, jnp.asarray(1.0, dt), r_gen)
+    c_gen = _rdiv(af, dsafe)
+    s_gen = _rdiv(g, jnp.where(r_gen == 0, jnp.asarray(1.0, dt), r_gen))
     sgn_g = jnp.where(g >= 0, jnp.asarray(1.0, dt), jnp.asarray(-1.0, dt))
     c = jnp.where(g == 0, jnp.asarray(1.0, dt), jnp.where(f == 0, jnp.asarray(0.0, dt), c_gen))
     s = jnp.where(g == 0, jnp.asarray(0.0, dt), jnp.where(f == 0, sgn_g, s_gen))
@@ -74,20 +93,22 @@ def givens_complex(f, g):
         jnp.maximum(jnp.abs(g.real), jnp.abs(g.imag)),
     )
     sc = jnp.where(scale == 0, one, scale)
-    fs, gs = f / sc, g / sc
-    af = jnp.abs(fs)
+    fs = jax.lax.complex(_rdiv(f.real, sc), _rdiv(f.imag, sc))
+    gs = jax.lax.complex(_rdiv(g.real, sc), _rdiv(g.imag, sc))
     d2 = (fs * jnp.conj(fs) + gs * jnp.conj(gs)).real
-    d = jnp.sqrt(d2)
+    af = _rsqrt((fs * jnp.conj(fs)).real)
+    d = _rsqrt(d2)
     dsafe = jnp.where(d == 0, one, d)
     afsafe = jnp.where(af == 0, one, af)
-    c_gen = af / dsafe
-    fsign = fs / afsafe  # f / |f|
+    c_gen = _rdiv(af, dsafe)
+    fsign = jax.lax.complex(_rdiv(fs.real, afsafe), _rdiv(fs.imag, afsafe))
     r_gen = fsign * d * sc
-    s_gen = fsign * jnp.conj(gs) / dsafe
+    sg_num = fsign * jnp.conj(gs)
+    s_gen = jax.lax.complex(_rdiv(sg_num.real, dsafe), _rdiv(sg_num.imag, dsafe))
 
-    ag = jnp.abs(gs)
+    ag = _rsqrt((gs * jnp.conj(gs)).real)
     agsafe = jnp.where(ag == 0, one, ag)
-    s_f0 = jnp.conj(gs) / agsafe
+    s_f0 = jax.lax.complex(_rdiv(gs.real, agsafe), -_rdiv(gs.imag, agsafe))
     r_f0 = (ag * sc).astype(dt)
 
     g_is0 = (g.real == 0) & (g.imag == 0)
