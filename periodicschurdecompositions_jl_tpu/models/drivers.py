@@ -11,7 +11,7 @@ pytree result types of :mod:`..types`.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

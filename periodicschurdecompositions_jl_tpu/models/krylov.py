@@ -20,7 +20,7 @@ uses the jitted dense cores.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Union
+from typing import List, Optional
 
 import numpy as np
 import jax.numpy as jnp

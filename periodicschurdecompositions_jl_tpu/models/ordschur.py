@@ -20,7 +20,7 @@ functional: a NEW decomposition is returned, inputs are untouched.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp

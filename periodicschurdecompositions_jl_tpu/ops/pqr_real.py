@@ -31,9 +31,8 @@ compares against the freshly computed pair (the reference compares against
 """
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +43,8 @@ from ..types import ConvergenceFailure, PeriodicSchur
 from ..utils.circshift import rev_alias
 from .householder import refl_mat, reflector_small
 from .lanv2 import lanv2
-from .rotations import colsk, getel, givens_real, lmat, rmat_adj, rowsk, setel
+from .rotations import (colsk, getcol, getel, givens_real, lmat, rmat_adj,
+                        rowsk, setcol, setel)
 
 
 def _band_products(H, n):
@@ -304,19 +304,14 @@ def pqr_real_core(
                 act = (k >= m) & (k <= i - 1)
                 nr3 = (i - k + 1) >= 3  # reflector order is 3 else 2
                 hi_r = jnp.minimum(k + 3, i) + 1  # rows 0..min(k+nr,i)
-                # entries H0[k:k+3, k-1]
-                col = jnp.stack([getel(H[0], k, k - 1),
-                                 getel(H[0], k + 1, k - 1),
-                                 getel(H[0], k + 2, k - 1)])
+                col = getcol(H[0], k, k - 1, 3)
                 vk = jnp.where(k > m, col, v)
                 vk = jnp.where(nr3, vk, vk * jnp.array([1.0, 1.0, 0.0], dt))
                 w, tau, beta = reflector_small(vk)
                 M3 = refl_mat(w, tau)
-                H0 = H[0]
-                H0 = setel(H0, k, k - 1, beta, active=act & (k > m))
-                H0 = setel(H0, k + 1, k - 1, zero, active=act & (k > m))
-                H0 = setel(H0, k + 2, k - 1, zero,
-                           active=act & (k > m) & (k < i - 1))
+                newc = jnp.stack([jnp.asarray(beta, dt), zero,
+                                  jnp.where(k < i - 1, zero, col[2])])
+                H0 = setcol(H[0], k, k - 1, newc, active=act & (k > m))
                 # first step with mlast > l would flip sign; mlast == l here
                 H0 = rowsk(H0, k, M3, lo=k, active=act)
                 H = H.at[0].set(H0)
@@ -324,16 +319,14 @@ def pqr_real_core(
                     colsk(H[p - 1 if p > 1 else 0], k, M3, hi=hi_r, active=act))
                 Z = zup(Z, 0, k, M3, active=act)
                 for f in range(p - 1, 0, -1):
-                    colv = jnp.stack([getel(H[f], k, k),
-                                      getel(H[f], k + 1, k),
-                                      getel(H[f], k + 2, k)])
-                    colv = jnp.where(nr3, colv, colv.at[2].set(zero))
+                    colv = getcol(H[f], k, k, 3)
+                    colv = jnp.where(nr3, colv, colv * jnp.array(
+                        [1.0, 1.0, 0.0], dt))
                     w2, tau2, beta2 = reflector_small(colv)
                     M3b = refl_mat(w2, tau2)
-                    Hf = H[f]
-                    Hf = setel(Hf, k, k, beta2, active=act)
-                    Hf = setel(Hf, k + 1, k, zero, active=act)
-                    Hf = setel(Hf, k + 2, k, zero, active=act & nr3)
+                    newc = jnp.stack([jnp.asarray(beta2, dt), zero,
+                                      jnp.where(nr3, zero, colv[2])])
+                    Hf = setcol(H[f], k, k, newc, active=act)
                     Hf = rowsk(Hf, k, M3b, lo=k + 1, active=act)
                     H = H.at[f].set(Hf)
                     H = H.at[f - 1].set(colsk(H[f - 1], k, M3b, hi=hi_r,
@@ -341,13 +334,12 @@ def pqr_real_core(
                     Z = zup(Z, f, k, M3b, active=act)
                     # second (2-element) re-triangularization when nr == 3
                     act2 = act & nr3
-                    x0 = getel(H[f], k + 1, k + 1)
-                    x1 = getel(H[f], k + 2, k + 1)
-                    wb, taub, betab = reflector_small(jnp.stack([x0, x1]))
+                    xc = getcol(H[f], k + 1, k + 1, 2)
+                    wb, taub, betab = reflector_small(xc)
                     M2 = refl_mat(wb, taub)
-                    Hf = H[f]
-                    Hf = setel(Hf, k + 1, k + 1, betab, active=act2)
-                    Hf = setel(Hf, k + 2, k + 1, zero, active=act2)
+                    Hf = setcol(H[f], k + 1, k + 1,
+                                jnp.stack([jnp.asarray(betab, dt), zero]),
+                                active=act2)
                     Hf = rowsk(Hf, k + 1, M2, lo=k + 2, active=act2)
                     H = H.at[f].set(Hf)
                     H = H.at[f - 1].set(colsk(H[f - 1], k + 1, M2, hi=hi_r,

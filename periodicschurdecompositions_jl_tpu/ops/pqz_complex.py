@@ -33,14 +33,15 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..utils.safeprod import safeprod_signed
-from .rotations import colsk, getel, givens_complex, lmat, rmat_adj, rowsk, setel
+from .rotations import (colsk, getcol, getel, getrow, givens_complex, lmat,
+                        rmat_adj, rowsk, setcol, setel, setrow)
 
 
 def _eye_stack(p, n, dt):
@@ -168,11 +169,11 @@ def pqz_complex_core(
             H, Z, c, s = carry
             act = (k >= ifirst) & (k <= ilast - 1)
             regen = act & (k > ifirst)
-            f = getel(H[0], k, k - 1)
-            g = getel(H[0], k + 1, k - 1)
-            cn, sn, r = givens_complex(f, g)
-            H = H.at[0].set(setel(H[0], k, k - 1, r, active=regen))
-            H = H.at[0].set(setel(H[0], k + 1, k - 1, jnp.zeros((), dt), active=regen))
+            fg = getcol(H[0], k, k - 1, 2)
+            cn, sn, r = givens_complex(fg[0], fg[1])
+            H = H.at[0].set(setcol(H[0], k, k - 1,
+                                   jnp.stack([r, jnp.zeros((), dt)]),
+                                   active=regen))
             c = jnp.where(regen, cn, c)
             s = jnp.where(regen, sn, s)
             H = H.at[0].set(rowsk(H[0], k, lmat(c, s), lo=k, active=act))
@@ -180,19 +181,17 @@ def pqz_complex_core(
             for l in range(p - 1, 0, -1):
                 if S[l]:
                     Hl = colsk(H[l], k, rmat_adj(c, s), hi=k + 2, active=act)
-                    f = getel(Hl, k, k)
-                    g = getel(Hl, k + 1, k)
-                    cn, sn, r = givens_complex(f, g)
-                    Hl = setel(Hl, k, k, r, active=act)
-                    Hl = setel(Hl, k + 1, k, jnp.zeros((), dt), active=act)
+                    fg = getcol(Hl, k, k, 2)
+                    cn, sn, r = givens_complex(fg[0], fg[1])
+                    Hl = setcol(Hl, k, k, jnp.stack([r, jnp.zeros((), dt)]),
+                                active=act)
                     Hl = rowsk(Hl, k, lmat(cn, sn), lo=k + 1, active=act)
                 else:
                     Hl = rowsk(H[l], k, lmat(c, s), lo=k, active=act)
-                    f = getel(Hl, k + 1, k + 1)
-                    g = getel(Hl, k + 1, k)
-                    cn, sn, r = givens_complex(f, g)
-                    Hl = setel(Hl, k + 1, k + 1, r, active=act)
-                    Hl = setel(Hl, k + 1, k, jnp.zeros((), dt), active=act)
+                    fg = getrow(Hl, k + 1, k, 2)
+                    cn, sn, r = givens_complex(fg[1], fg[0])
+                    Hl = setrow(Hl, k + 1, k,
+                                jnp.stack([jnp.zeros((), dt), r]), active=act)
                     Hl = colsk(Hl, k, lmat(cn, sn), hi=k + 1, active=act)
                     sn = -sn
                 H = H.at[l].set(Hl)

@@ -46,7 +46,8 @@ from ..types import ConvergenceFailure, GeneralizedPeriodicSchur
 from ..utils.circshift import rev_alias
 from ..utils.safeprod import safeprod_signed
 from .lanv2 import lanv2
-from .rotations import colsk, getel, givens_real, lmat, rmat_adj, rowsk, setel
+from .rotations import (colsk, getcol, getel, getrow, givens_real, lmat,
+                        rmat_adj, rowsk, setcol, setel, setrow)
 
 
 # ---------------------------------------------------------------------------
@@ -502,12 +503,10 @@ def pqz_real_gen_core(
             def run(HZ):
                 H, Z = HZ
                 j = j1
-                c2, s2, r2 = givens_real(getel(H[0], j + 1, j - 1),
-                                         getel(H[0], j + 2, j - 1))
-                c1, s1, r1 = givens_real(getel(H[0], j, j - 1), r2)
-                H0 = setel(H[0], j, j - 1, r1)
-                H0 = setel(H0, j + 1, j - 1, zero)
-                H0 = setel(H0, j + 2, j - 1, zero)
+                col3 = getcol(H[0], j, j - 1, 3)
+                c2, s2, r2 = givens_real(col3[1], col3[2])
+                c1, s1, r1 = givens_real(col3[0], r2)
+                H0 = setcol(H[0], j, j - 1, jnp.stack([r1, zero, zero]))
                 H0 = rowsk(H0, j + 1, lmat(c2, s2), lo=j)
                 H0 = rowsk(H0, j, lmat(c1, s1), lo=j)
                 H = H.at[0].set(H0)
@@ -517,29 +516,25 @@ def pqz_real_gen_core(
                     Hl = H[l]
                     if S[l]:
                         Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), hi=j + 3)
-                        c2, s2, r = givens_real(getel(Hl, j + 1, j + 1),
-                                                getel(Hl, j + 2, j + 1))
-                        Hl = setel(Hl, j + 1, j + 1, r)
-                        Hl = setel(Hl, j + 2, j + 1, zero)
+                        fg = getcol(Hl, j + 1, j + 1, 2)
+                        c2, s2, r = givens_real(fg[0], fg[1])
+                        Hl = setcol(Hl, j + 1, j + 1, jnp.stack([r, zero]))
                         Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j + 2)
                         Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 2)
-                        c1, s1, r = givens_real(getel(Hl, j, j),
-                                                getel(Hl, j + 1, j))
-                        Hl = setel(Hl, j, j, r)
-                        Hl = setel(Hl, j + 1, j, zero)
+                        fg = getcol(Hl, j, j, 2)
+                        c1, s1, r = givens_real(fg[0], fg[1])
+                        Hl = setcol(Hl, j, j, jnp.stack([r, zero]))
                         Hl = rowsk(Hl, j, lmat(c1, s1), lo=j + 1)
                     else:
                         Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j)
-                        c2, s2, r = givens_real(getel(Hl, j + 2, j + 2),
-                                                -getel(Hl, j + 2, j + 1))
-                        Hl = setel(Hl, j + 2, j + 2, r)
-                        Hl = setel(Hl, j + 2, j + 1, zero)
+                        fg = getrow(Hl, j + 2, j + 1, 2)
+                        c2, s2, r = givens_real(fg[1], -fg[0])
+                        Hl = setrow(Hl, j + 2, j + 1, jnp.stack([zero, r]))
                         Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), hi=j + 2)
                         Hl = rowsk(Hl, j, lmat(c1, s1), lo=j)
-                        c1, s1, r = givens_real(getel(Hl, j + 1, j + 1),
-                                                -getel(Hl, j + 1, j))
-                        Hl = setel(Hl, j + 1, j + 1, r)
-                        Hl = setel(Hl, j + 1, j, zero)
+                        fg = getrow(Hl, j + 1, j, 2)
+                        c1, s1, r = givens_real(fg[1], -fg[0])
+                        Hl = setrow(Hl, j + 1, j, jnp.stack([zero, r]))
                         Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 1)
                     H = H.at[l].set(Hl)
                     Z = zup(Z, l, j + 1, rmat_adj(c2, s2))

@@ -36,15 +36,25 @@ from jax import lax
 # division/sqrt here is refined.
 
 
+def _needs_refine() -> bool:
+    # trace-time decision: CPU division/sqrt are correctly rounded already;
+    # the refinement only pays for itself on the TPU's emulated f64
+    return jax.default_backend() != "cpu"
+
+
 def _rdiv(a, b):
     """Division with one Newton correction (full f64 accuracy on TPU)."""
     q = a / b
+    if not _needs_refine():
+        return q
     return q + (a - q * b) / b
 
 
 def _rsqrt(x):
     """Square root with one Newton correction."""
     s = jnp.sqrt(x)
+    if not _needs_refine():
+        return s
     ssafe = jnp.where(s == 0, jnp.ones_like(s), s)
     return jnp.where(s == 0, s, s - (s * s - x) / (2.0 * ssafe))
 
@@ -234,5 +244,47 @@ def setel(H, i, j, val, active=None):
     old = lax.dynamic_slice(H, (i, j), (1, 1))
     new = jnp.asarray(val, H.dtype).reshape(1, 1)
     if active is not None:
+        new = jnp.where(active, new, old)
+    return lax.dynamic_update_slice(H, new, (i, j))
+
+
+def getcol(H, i, j, k):
+    """Clamped (k,) column fragment H[i:i+k, j] (one slice op)."""
+    m, n = H.shape
+    i = jnp.clip(jnp.asarray(i, jnp.int32), 0, m - k)
+    j = jnp.clip(jnp.asarray(j, jnp.int32), 0, n - 1)
+    return lax.dynamic_slice(H, (i, j), (k, 1))[:, 0]
+
+
+def setcol(H, i, j, vals, active=None):
+    """Masked write of a (k,) column fragment H[i:i+k, j] (one update op)."""
+    k = vals.shape[0]
+    m, n = H.shape
+    i = jnp.clip(jnp.asarray(i, jnp.int32), 0, m - k)
+    j = jnp.clip(jnp.asarray(j, jnp.int32), 0, n - 1)
+    new = vals.reshape(k, 1).astype(H.dtype)
+    if active is not None:
+        old = lax.dynamic_slice(H, (i, j), (k, 1))
+        new = jnp.where(active, new, old)
+    return lax.dynamic_update_slice(H, new, (i, j))
+
+
+def getrow(H, i, j, k):
+    """Clamped (k,) row fragment H[i, j:j+k] (one slice op)."""
+    m, n = H.shape
+    i = jnp.clip(jnp.asarray(i, jnp.int32), 0, m - 1)
+    j = jnp.clip(jnp.asarray(j, jnp.int32), 0, n - k)
+    return lax.dynamic_slice(H, (i, j), (1, k))[0, :]
+
+
+def setrow(H, i, j, vals, active=None):
+    """Masked write of a (k,) row fragment H[i, j:j+k] (one update op)."""
+    k = vals.shape[0]
+    m, n = H.shape
+    i = jnp.clip(jnp.asarray(i, jnp.int32), 0, m - 1)
+    j = jnp.clip(jnp.asarray(j, jnp.int32), 0, n - k)
+    new = vals.reshape(1, k).astype(H.dtype)
+    if active is not None:
+        old = lax.dynamic_slice(H, (i, j), (1, k))
         new = jnp.where(active, new, old)
     return lax.dynamic_update_slice(H, new, (i, j))

@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -50,6 +49,11 @@ def batched_pschur_real(A_batch: jax.Array, mesh: Optional[Mesh] = None,
     independently (the cores' loop bodies freeze converged lanes, so a
     batched while_loop is exact).  With a mesh, lanes shard over ``axis``
     and run embarrassingly parallel across devices.
+
+    Caveat (measured): on the TPU itself, per-lane index divergence turns
+    the cores' dynamic slices into gathers, making an in-device vmapped
+    batch far slower than sequential runs — use one lane per DEVICE (batch
+    size == mesh size), or run problems back-to-back on one chip.
 
     Returns (T, Z, wr, wi, ok) with a leading batch axis.
     """
