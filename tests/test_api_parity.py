@@ -1,0 +1,92 @@
+"""API-surface parity tests (reference test/runtests.jl + generalized.jl)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import periodicschurdecompositions_jl_tpu as psd
+
+EPS = np.finfo(np.float64).eps
+
+
+def test_want_z_false_gpschur(rng):
+    A = rng.standard_normal((3, 6, 6)) + 1j * rng.standard_normal((3, 6, 6))
+    P = psd.pschur(jnp.asarray(A), "R", S=(True, False, True), want_z=False)
+    P2 = psd.pschur(jnp.asarray(A), "R", S=(True, False, True))
+    v1 = sorted(np.asarray(P.values), key=lambda z: (abs(z), np.angle(z)))
+    v2 = sorted(np.asarray(P2.values), key=lambda z: (abs(z), np.angle(z)))
+    assert np.allclose(v1, v2, rtol=1e-8)
+    assert P.Zs is None or P.Zs.shape[-1] <= 1
+
+
+def test_infinite_eigenvalue_via_gpschur(rng):
+    # singular B -> infinite eigenvalue of B^{-1} A chains
+    As = [rng.standard_normal((4, 4)) + 3 * np.eye(4) for _ in range(2)]
+    Bs = [rng.standard_normal((4, 4)) + 3 * np.eye(4) for _ in range(2)]
+    Bs[0][2, :] = 0.0  # rank-deficient
+    # make it exactly singular upper-triangularizable: zero a diagonal after QR
+    G = psd.gpschur([jnp.asarray(a) for a in As], [jnp.asarray(b) for b in Bs])
+    beta = np.asarray(G.beta)
+    vals = np.asarray(G.values)
+    # after the reduction the planted zero becomes ~eps-level, so the pencil
+    # eigenvalue is either flagged infinite (beta == 0) or astronomically
+    # large (the reference guarantees exact detection only for zeros planted
+    # directly on pre-reduced triangular diagonals; see the planted-hole
+    # tests in test_pqz_complex/test_pqz_real for that contract)
+    assert (beta == 0).sum() >= 1 or np.abs(vals).max() > 1e12
+
+
+def test_complex_p1(rng):
+    A = rng.standard_normal((1, 7, 7)) + 1j * rng.standard_normal((1, 7, 7))
+    P = psd.pschur(jnp.asarray(A))
+    ok, rep = psd.check_psd(P, A)
+    assert ok, rep
+    w = np.linalg.eigvals(A[0])
+    v = np.asarray(P.values)
+    ws = sorted(w, key=lambda z: (abs(z), np.angle(z)))
+    vs = sorted(v, key=lambda z: (abs(z), np.angle(z)))
+    assert max(abs(a - b) for a, b in zip(ws, vs)) < 1e-10
+
+
+def test_check_psd_negative(rng):
+    A = rng.standard_normal((2, 5, 5))
+    P = psd.pschur(jnp.asarray(A))
+    ok, _ = psd.check_psd(P, A)
+    assert ok
+    # against the wrong input it must fail
+    ok2, _ = psd.check_psd(P, A + 1e-3)
+    assert not ok2
+
+
+def test_list_input_and_properties(rng):
+    As = [rng.standard_normal((5, 5)) for _ in range(3)]
+    P = psd.pschur([jnp.asarray(a) for a in As])
+    assert P.period == 3 and P.n == 5
+    assert len(P.T) == 2 and len(P.Z) == 3
+    T1 = np.asarray(P.T1)
+    assert np.abs(np.tril(T1, -2)).max() == 0.0
+
+
+def test_expsplit_gpschur(rng):
+    # exponentially-split spectrum through the generalized real core
+    fac = 0.1
+    p = 4
+    A1 = np.array([[9, 4, 1, 4], [6, 8, 2, 4], [0, 7, 4, 4],
+                   [0, 0, 8, 4]], float)
+    Aj = np.diag([fac, fac ** 2, 1, 1])
+    A = np.stack([A1] + [Aj] * (p - 1))
+    P = psd.pschur(jnp.asarray(A), "R", S=(True,) * p)
+    ok, rep = psd.check_psd(P, A, tol=500)
+    assert ok, rep
+    prod = np.linalg.multi_dot(list(A))
+    w = sorted(np.linalg.eigvals(prod), key=abs)
+    v = sorted(np.asarray(P.values), key=abs)
+    for a, b in zip(w, v):
+        err = min(abs(a - b), abs(a - np.conj(b)))
+        assert err < 1e-4 * max(abs(a), 1e-10), (a, b)
+
+
+def test_maxitfac_failure(rng):
+    from periodicschurdecompositions_jl_tpu.types import ConvergenceFailure
+    A = rng.standard_normal((2, 12, 12))
+    with pytest.raises(ConvergenceFailure):
+        psd.pschur(jnp.asarray(A), maxitfac=1)
