@@ -75,7 +75,8 @@ def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac):
 
 
 def pschur(A, lr="R", S: Optional[Sequence[bool]] = None, *,
-           want_t: bool = True, want_z: bool = True, maxitfac: Optional[int] = None):
+           want_t: bool = True, want_z: bool = True,
+           maxitfac: Optional[int] = None, aggressive: bool = False):
     """Periodic (generalized) Schur decomposition of a matrix cycle.
 
     Args:
@@ -90,6 +91,12 @@ def pschur(A, lr="R", S: Optional[Sequence[bool]] = None, *,
     Returns:
       PeriodicSchur (S is None) or GeneralizedPeriodicSchur (S given).
     """
+    if aggressive:
+        # the reference's aggressive deflation thresholds are themselves
+        # partially implemented (it raises NotImplemented for the controlled
+        # zero shift combination, src/rgeneralized.jl:245-247)
+        from ..types import PSDNotImplemented
+        raise PSDNotImplemented("aggressive deflation thresholds")
     A = _stack(A)
     orient = _char_lr(lr)
     p = A.shape[0]

@@ -84,3 +84,33 @@ def test_krylov_matrix_free(rng):
     ps, hist = partial_pschur(ops, nev, "LM", n=n, dtype=np.float64, seed=5)
     assert hist.nconverged >= 1
     check_partial(A, ps)
+
+
+def test_krylov_large_matrix_free(rng):
+    """BASELINE config 5 scale: p=12 operators, N=10000, matrix-free."""
+    p, n, nev = 12, 10000, 5
+    # cheap structured operators: diagonal + shift coupling (tridiagonal-ish)
+    diags = [0.5 + rng.random(n) for _ in range(p)]
+    offs = [0.1 * rng.standard_normal(n - 1) for _ in range(p)]
+    # make a few dominant modes so LM converges quickly
+    for d in diags:
+        d[:6] += np.linspace(3.0, 1.5, 6)
+
+    def mk(l):
+        def op(x, d=diags[l], o=offs[l]):
+            y = d * x
+            y[:-1] += o * x[1:]
+            return y
+        return op
+
+    ops = [mk(l) for l in range(p)]
+    ps, hist = partial_pschur(ops, nev, "LM", n=n, dtype=np.float64,
+                              mindim=12, maxdim=26, seed=11)
+    assert hist.nconverged >= 2, hist
+    V = np.asarray(ps.Vs)
+    T = np.asarray(ps.Ts)
+    k = V.shape[2]
+    for l in range(p):
+        Av = np.stack([ops[l](V[l][:, j]) for j in range(k)], axis=1)
+        R = Av - V[(l + 1) % p] @ T[l]
+        assert np.abs(R).max() < 1e-5, (l, np.abs(R).max())
