@@ -1,0 +1,76 @@
+"""End-to-end tour of the TPU-native periodic Schur library.
+
+Run:  python examples/demo.py          (pin CPU for exact f64: see below)
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import periodicschurdecompositions_jl_tpu as psd
+
+# exact float64 on CPU; drop this to run on the TPU chip (see README for the
+# platform accuracy notes)
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
+
+rng = np.random.default_rng(42)
+p, n = 6, 24
+A = jnp.asarray(rng.standard_normal((p, n, n)))
+
+# --- periodic Schur decomposition: eigenvalues of A[0] @ ... @ A[5] --------
+P = psd.pschur(A, "R")
+ok, report = psd.check_psd(P, np.asarray(A))
+print(f"pschur: p={p} n={n}  verified={ok}  "
+      f"residual={report['residual_rel']:.2e}")
+w_direct = np.linalg.eigvals(np.linalg.multi_dot(list(np.asarray(A))))
+print("  |eig| range:", f"{np.abs(w_direct).min():.2e}",
+      "to", f"{np.abs(w_direct).max():.2e}",
+      " (never formed inside pschur)")
+
+# --- reorder the 4 largest eigenvalues to the top --------------------------
+vals = np.asarray(P.values)
+sel = np.abs(vals) >= sorted(np.abs(vals))[-4]
+P2 = psd.ordschur(P, list(sel))
+print("ordschur: top-4 |values| now lead:",
+      np.round(np.abs(np.asarray(P2.values))[:4], 3))
+
+# --- eigenvectors of the product -------------------------------------------
+V = psd.eigvecs(P, list(sel))
+v = np.asarray(V[0])[:, 0]
+lam = vals[sel][0]
+prod = np.linalg.multi_dot(list(np.asarray(A)))
+print(f"eigvecs: ||prod @ v - lambda v|| = "
+      f"{np.linalg.norm(prod @ v - lam * v):.2e}")
+
+# --- generalized decomposition of a quotient product -----------------------
+S = (True, False, True, False)
+B = jnp.asarray(rng.standard_normal((4, 12, 12)) + 3 * np.eye(12))
+G = psd.pschur(B, "R", S=S)
+okg, _ = psd.check_psd(G, np.asarray(B))
+print(f"generalized pschur (S={S}): verified={okg}; eigenvalues stored as "
+      f"alpha/beta*2^scale")
+
+# --- large problem, matrix-free: periodic Krylov-Schur ---------------------
+N = 5000
+d = [0.5 + rng.random(N) for _ in range(3)]
+for dd in d:
+    dd[:4] += [3.0, 2.5, 2.0, 1.7]
+ops = [lambda x, dd=dd: dd * x for dd in d]
+ps, hist = psd.partial_pschur(ops, 4, "LM", n=N, dtype=np.float64)
+print(f"partial_pschur: N={N} matrix-free; converged "
+      f"{hist.nconverged}/{hist.nev} with {hist.nprods} operator applications")
+print("  leading |values|:", np.round(np.abs(np.asarray(ps.values))[:4], 4))
+
+# --- checkpoint round-trip ---------------------------------------------------
+psd.save_decomposition("/tmp/psd_demo.npz", P2)
+P3 = psd.load_decomposition("/tmp/psd_demo.npz")
+print("save/load round-trip:",
+      bool(np.allclose(np.asarray(P2.Ts), np.asarray(P3.Ts))))
