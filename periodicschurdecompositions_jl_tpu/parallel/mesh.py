@@ -23,9 +23,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, names=("batch",),
-              shape: Optional[Sequence[int]] = None) -> Mesh:
+              shape: Optional[Sequence[int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
     """Build a device mesh (defaults to 1-D over all available devices)."""
-    devs = jax.devices()
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None and len(devs) < n_devices:
         # fall back to the (virtual) CPU backend: the axon TPU plugin makes
         # itself the default even when JAX_PLATFORMS=cpu requests host devices
