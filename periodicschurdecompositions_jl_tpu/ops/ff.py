@@ -1,0 +1,347 @@
+"""Float-float (double-single) arithmetic on f32 pairs.
+
+The axon TPU has no native float64: XLA emulates it (x64 rewriter) with a
+*weak* addition whose error under cancellation was measured at ~7e-11 —
+two decades above the library's <=1e-12 backward-error contract.  This
+module provides the contract-grade alternative: every value is an unevaluated
+sum ``hi + lo`` of two float32s with ``|lo| <= ulp(hi)/2``, and all operations
+use error-free transformations (Knuth two-sum, Dekker/Veltkamp two-product),
+giving ~2^-48 unit roundoff at full float32 hardware speed.  Verified exact
+on-chip (Mosaic performs no unsafe FP reassociation).
+
+Used by the Pallas sweep kernels (ops/pallas_sweep.py) and the float-float
+XLA glue of the TPU-native real periodic QR core (ops/pqr_ff.py).  All
+functions are shape-polymorphic (scalars or arrays) and work identically
+under XLA and inside Pallas/Mosaic kernels.
+
+Reference parity: these kernels implement the same numerical contracts as
+the reference's Float64 element ops (LinearAlgebra primitives used by
+/root/reference/src/householder.jl, src/rschur2x2.jl), re-based on a
+representation the TPU executes natively.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_SPLIT = 4097.0  # 2^12 + 1: Veltkamp splitter for binary32
+
+# Unit roundoff of normalized double-single arithmetic (conservative).
+EPS = 2.0 ** -47
+# Smallest safely usable magnitude (float32 subnormals flush to zero on TPU).
+TINY = 2.0 ** -120
+
+
+class FF(NamedTuple):
+    """Unevaluated sum hi + lo of two float32 arrays (|lo| <= ulp(hi)/2)."""
+
+    hi: jax.Array
+    lo: jax.Array
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+    def astuple(self):
+        return (self.hi, self.lo)
+
+
+def _f32(x):
+    return jnp.asarray(x, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# error-free transformations
+
+
+def two_sum(a, b):
+    """s + e == a + b exactly (Knuth; no magnitude precondition)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """s + e == a + b exactly, REQUIRES |a| >= |b| (or a == 0)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def split(a):
+    """Veltkamp split: a == ahi + alo with 12-bit halves (f32)."""
+    c = _f32(_SPLIT) * a
+    ahi = c - (c - a)
+    alo = a - ahi
+    return ahi, alo
+
+
+def two_prod(a, b):
+    """p + e == a * b exactly (Dekker, via Veltkamp splits)."""
+    p = a * b
+    ahi, alo = split(a)
+    bhi, blo = split(b)
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+def two_prod_presplit(a, ahi, alo, b, bhi, blo):
+    """two_prod with both operands already split (hot-loop amortization)."""
+    p = a * b
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+# ---------------------------------------------------------------------------
+# construction / conversion
+
+
+def ff(hi, lo=None) -> FF:
+    hi = _f32(hi)
+    return FF(hi, jnp.zeros_like(hi) if lo is None else _f32(lo))
+
+
+def from_f64(x) -> FF:
+    """Split a float64 array (host numpy or jax) into an exact (hi, lo) pair.
+
+    Exact when done in true float64 (CPU); on TPU the x64 rewriter's pair
+    representation makes the same split exact as well.
+    """
+    hi = jnp.asarray(x).astype(jnp.float32)
+    lo = (jnp.asarray(x) - hi.astype(x.dtype)).astype(jnp.float32)
+    return FF(hi, lo)
+
+
+def to_f64(x: FF, dtype=jnp.float64):
+    return x.hi.astype(dtype) + x.lo.astype(dtype)
+
+
+def zeros(shape=(), dtype=jnp.float32) -> FF:
+    z = jnp.zeros(shape, dtype)
+    return FF(z, z)
+
+
+def full_like(x: FF, v) -> FF:
+    return FF(jnp.full_like(x.hi, v), jnp.zeros_like(x.lo))
+
+
+# ---------------------------------------------------------------------------
+# arithmetic (all renormalizing: output satisfies the ds invariant)
+
+
+def add(x: FF, y: FF) -> FF:
+    s, e = two_sum(x.hi, y.hi)
+    t, f = two_sum(x.lo, y.lo)
+    e = e + t
+    s, e = fast_two_sum(s, e)
+    e = e + f
+    s, e = fast_two_sum(s, e)
+    return FF(s, e)
+
+
+def sub(x: FF, y: FF) -> FF:
+    return add(x, neg(y))
+
+
+def neg(x: FF) -> FF:
+    return FF(-x.hi, -x.lo)
+
+
+def abs_(x: FF) -> FF:
+    flip = x.hi < 0
+    return FF(jnp.where(flip, -x.hi, x.hi), jnp.where(flip, -x.lo, x.lo))
+
+
+def add_f(x: FF, y) -> FF:
+    """x + y with y a plain float32."""
+    s, e = two_sum(x.hi, _f32(y))
+    e = e + x.lo
+    s, e = fast_two_sum(s, e)
+    return FF(s, e)
+
+
+def mul(x: FF, y: FF) -> FF:
+    p, e = two_prod(x.hi, y.hi)
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    p, e = fast_two_sum(p, e)
+    return FF(p, e)
+
+
+def mul_f(x: FF, y) -> FF:
+    """x * y with y a plain float32."""
+    y = _f32(y)
+    p, e = two_prod(x.hi, y)
+    e = e + x.lo * y
+    p, e = fast_two_sum(p, e)
+    return FF(p, e)
+
+
+def mul_pow2(x: FF, y) -> FF:
+    """x * y for y an exact power of two (both components scale exactly)."""
+    y = _f32(y)
+    return FF(x.hi * y, x.lo * y)
+
+
+def sq(x: FF) -> FF:
+    p, e = two_prod(x.hi, x.hi)
+    e = e + 2.0 * (x.hi * x.lo)
+    p, e = fast_two_sum(p, e)
+    return FF(p, e)
+
+
+def div(x: FF, y: FF) -> FF:
+    yh = jnp.where(y.hi == 0, _f32(1.0), y.hi)
+    q1 = x.hi / yh
+    r = sub(x, mul_f(y, q1))
+    q2 = r.hi / yh
+    r2 = sub(r, mul_f(y, q2))
+    q3 = r2.hi / yh
+    q, e = fast_two_sum(q1, q2)
+    e = e + q3
+    q, e = fast_two_sum(q, e)
+    zero_num = x.hi == 0
+    q = jnp.where(zero_num, jnp.zeros_like(q), q)
+    e = jnp.where(zero_num, jnp.zeros_like(e), e)
+    return FF(q, e)
+
+
+def recip(y: FF) -> FF:
+    one = full_like(y, 1.0)
+    return div(one, y)
+
+
+def sqrt(x: FF) -> FF:
+    """sqrt for x >= 0 (x < 0 is caller error; x == 0 handled exactly)."""
+    s1 = jnp.sqrt(x.hi)
+    ssafe = jnp.where(s1 == 0, _f32(1.0), s1)
+    # one ds Newton step: s = s1 + (x - s1^2) / (2 s1)
+    p, e = two_prod(s1, s1)
+    r = add(x, FF(-p, -e))
+    d = r.hi / (2.0 * ssafe) + r.lo / (2.0 * ssafe)
+    s, e2 = fast_two_sum(s1, d)
+    iszero = x.hi == 0
+    return FF(jnp.where(iszero, jnp.zeros_like(s), s),
+              jnp.where(iszero, jnp.zeros_like(e2), e2))
+
+
+def fma(a: FF, b: FF, c: FF) -> FF:
+    """a * b + c in ds precision."""
+    return add(mul(a, b), c)
+
+
+# ---------------------------------------------------------------------------
+# comparisons / selection (inputs assumed normalized)
+
+
+def lt(x: FF, y: FF):
+    return (x.hi < y.hi) | ((x.hi == y.hi) & (x.lo < y.lo))
+
+
+def le(x: FF, y: FF):
+    return (x.hi < y.hi) | ((x.hi == y.hi) & (x.lo <= y.lo))
+
+
+def gt(x: FF, y: FF):
+    return lt(y, x)
+
+
+def ge(x: FF, y: FF):
+    return le(y, x)
+
+
+def eq0(x: FF):
+    return (x.hi == 0) & (x.lo == 0)
+
+
+def where(c, x: FF, y: FF) -> FF:
+    return FF(jnp.where(c, x.hi, y.hi), jnp.where(c, x.lo, y.lo))
+
+
+def maximum(x: FF, y: FF) -> FF:
+    return where(ge(x, y), x, y)
+
+
+def minimum(x: FF, y: FF) -> FF:
+    return where(le(x, y), x, y)
+
+
+def copysign(mag: FF, sgn) -> FF:
+    """|mag| with the sign of the plain array ``sgn`` (>= 0 counts +)."""
+    a = abs_(mag)
+    return where(sgn >= 0, a, neg(a))
+
+
+# ---------------------------------------------------------------------------
+# reductions / structural helpers
+
+
+def sum_(x: FF, axis: int) -> FF:
+    """ds sum along ``axis`` via a halving tree (len need not be a pow2)."""
+    hi = jnp.moveaxis(x.hi, axis, 0)
+    lo = jnp.moveaxis(x.lo, axis, 0)
+    n = hi.shape[0]
+    while n > 1:
+        half = n // 2
+        a = FF(hi[:half], lo[:half])
+        b = FF(hi[half:2 * half], lo[half:2 * half])
+        s = add(a, b)
+        if n % 2:
+            hi = jnp.concatenate([s.hi, hi[2 * half:]], axis=0)
+            lo = jnp.concatenate([s.lo, lo[2 * half:]], axis=0)
+            n = half + 1
+        else:
+            hi, lo = s.hi, s.lo
+            n = half
+    return FF(hi[0], lo[0])
+
+
+def dot(x: FF, y: FF, axis: int = -1) -> FF:
+    """ds inner product along ``axis`` (error-free products, tree sum)."""
+    return sum_(mul(x, y), axis if axis >= 0 else x.hi.ndim + axis)
+
+
+def stack(xs, axis=0) -> FF:
+    return FF(jnp.stack([x.hi for x in xs], axis),
+              jnp.stack([x.lo for x in xs], axis))
+
+
+def concat(xs, axis=0) -> FF:
+    return FF(jnp.concatenate([x.hi for x in xs], axis),
+              jnp.concatenate([x.lo for x in xs], axis))
+
+
+def index(x: FF, idx) -> FF:
+    return FF(x.hi[idx], x.lo[idx])
+
+
+def scale_rows(x: FF, s: FF) -> FF:
+    """Row-broadcast multiply (s shape broadcastable against x)."""
+    return mul(x, s)
+
+
+# ---------------------------------------------------------------------------
+# scaled norms (safe against overflow/underflow in the f32 exponent range)
+
+
+def hypot2(a: FF, b: FF) -> FF:
+    aa, ab = abs_(a), abs_(b)
+    m = maximum(aa, ab)
+    msafe = where(eq0(m), full_like(m, 1.0), m)
+    xa = div(aa, msafe)
+    xb = div(ab, msafe)
+    r = mul(m, sqrt(add(sq(xa), sq(xb))))
+    return where(eq0(m), m, r)
+
+
+def hypot3(a: FF, b: FF, c: FF) -> FF:
+    aa, ab, ac = abs_(a), abs_(b), abs_(c)
+    m = maximum(maximum(aa, ab), ac)
+    msafe = where(eq0(m), full_like(m, 1.0), m)
+    xa = div(aa, msafe)
+    xb = div(ab, msafe)
+    xc = div(ac, msafe)
+    r = mul(m, sqrt(add(add(sq(xa), sq(xb)), sq(xc))))
+    return where(eq0(m), m, r)
