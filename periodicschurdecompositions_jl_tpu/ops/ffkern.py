@@ -1,0 +1,231 @@
+"""Element kernels in float-float arithmetic: reflectors, Givens, dlanv2.
+
+Double-single ports of ops/householder.py (xLARFG semantics, reference
+src/householder.jl:66-108), ops/rotations.givens_real (dlartg semantics)
+and ops/lanv2.py (dlanv2, reference src/rschur2x2.jl:9-96), used by the
+TPU-native float-float real periodic QR core.  Everything is branchless
+(where-selects) and works identically in XLA glue and inside Pallas/Mosaic
+kernels.
+
+The LAPACK underflow-rescue loop is replaced by max-scaling throughout:
+the ds exponent range is float32's, and all norms/divisions scale by the
+max magnitude first, which covers the representable range without the
+rescue iteration (matrices reaching the cores are O(norm) scaled).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import ff
+from .ff import FF
+
+
+def _safe(x: FF) -> FF:
+    return ff.where(ff.eq0(x), ff.full_like(x, 1.0), x)
+
+
+def _sgn_hi(x: FF):
+    """Fortran SIGN convention on the hi component (sign(0) == +1)."""
+    return jnp.where(x.hi >= 0, jnp.ones_like(x.hi), -jnp.ones_like(x.hi))
+
+
+def reflector_ff(x: FF):
+    """xLARFG on a small static FF vector (pivot first; inactive slots zero).
+
+    Returns (w, tau, beta): w[0] == 1, P = I - tau w w^T, P x = [beta, 0...].
+    Mirrors ops/householder.reflector_small (reference src/householder.jl:
+    66-108) in ds arithmetic.
+    """
+    k = x.hi.shape[0]
+    alpha = ff.index(x, 0)
+    tail = ff.index(x, slice(1, k))
+    # scaled tail norm
+    if k == 2:
+        xnorm = ff.abs_(ff.index(tail, 0))
+    elif k == 3:
+        xnorm = ff.hypot2(ff.index(tail, 0), ff.index(tail, 1))
+    else:
+        a = ff.abs_(tail)
+        m = FF(jnp.max(a.hi), a.lo[jnp.argmax(a.hi)])
+        ms = _safe(m)
+        t = ff.div(tail, FF(jnp.broadcast_to(ms.hi, tail.hi.shape),
+                            jnp.broadcast_to(ms.lo, tail.lo.shape)))
+        xnorm = ff.mul(m, ff.sqrt(ff.sum_(ff.sq(t), 0)))
+    trivial = ff.eq0(xnorm)
+
+    beta = ff.neg(ff.copysign(ff.hypot2(alpha, xnorm), alpha.hi))
+    bsafe = _safe(beta)
+    tau = ff.div(ff.sub(beta, alpha), bsafe)
+    denom = _safe(ff.sub(alpha, beta))
+    dinv = ff.recip(denom)
+    vtail = ff.mul(tail, FF(jnp.broadcast_to(dinv.hi, tail.hi.shape),
+                            jnp.broadcast_to(dinv.lo, tail.lo.shape)))
+
+    tau = ff.where(trivial, ff.zeros(()), tau)
+    vtail = ff.where(trivial, ff.zeros(vtail.hi.shape), vtail)
+    beta = ff.where(trivial, alpha, beta)
+    w = ff.concat([ff.ff(jnp.ones((1,), jnp.float32)), vtail], 0)
+    return w, tau, beta
+
+
+def refl_mat_ff(w: FF, tau: FF) -> FF:
+    """Dense k x k FF matrix I - tau w w^T."""
+    k = w.hi.shape[0]
+    tw = ff.mul(FF(jnp.broadcast_to(tau.hi, (k,)),
+                   jnp.broadcast_to(tau.lo, (k,))), w)
+    outer = ff.mul(FF(tw.hi[:, None], tw.lo[:, None]),
+                   FF(w.hi[None, :], w.lo[None, :]))
+    eye = ff.ff(jnp.eye(k, dtype=jnp.float32))
+    return ff.sub(eye, outer)
+
+
+def matmul3_ff(M: FF, rows: FF) -> FF:
+    """(k,k) FF @ (k, ...) FF with k static-small (unrolled ds dot)."""
+    k = M.hi.shape[0]
+    outs = []
+    for r in range(k):
+        acc = ff.mul(FF(M.hi[r, 0], M.lo[r, 0]),
+                     FF(rows.hi[0], rows.lo[0]))
+        for s in range(1, k):
+            acc = ff.add(acc, ff.mul(FF(M.hi[r, s], M.lo[r, s]),
+                                     FF(rows.hi[s], rows.lo[s])))
+        outs.append(acc)
+    return ff.stack(outs, 0)
+
+
+def matmul_right3_ff(cols: FF, M: FF) -> FF:
+    """(..., k) FF @ (k,k) FF — column-slab right multiply."""
+    k = M.hi.shape[0]
+    outs = []
+    for c in range(k):
+        acc = ff.mul(FF(cols.hi[..., 0], cols.lo[..., 0]),
+                     FF(M.hi[0, c], M.lo[0, c]))
+        for s in range(1, k):
+            acc = ff.add(acc, ff.mul(FF(cols.hi[..., s], cols.lo[..., s]),
+                                     FF(M.hi[s, c], M.lo[s, c])))
+        outs.append(acc)
+    return ff.stack(outs, -1)
+
+
+def givens_ff(f: FF, g: FF):
+    """Real Givens in ds: (c, s, r) with [c s; -s c] [f; g] = [r; 0], c >= 0.
+
+    dlartg semantics as in ops/rotations.givens_real: g == 0 -> (1, 0, f)
+    exactly; f == 0 -> (0, sign(g), |g|).
+    """
+    af, ag = ff.abs_(f), ff.abs_(g)
+    scale = ff.maximum(af, ag)
+    sc = _safe(scale)
+    fs, gs = ff.div(f, sc), ff.div(g, sc)
+    d = ff.mul(sc, ff.sqrt(ff.add(ff.sq(fs), ff.sq(gs))))
+    dsafe = _safe(d)
+    r_gen = ff.where(f.hi >= 0, d, ff.neg(d))
+    c_gen = ff.div(af, dsafe)
+    s_gen = ff.div(g, _safe(r_gen))
+    one = ff.ff(jnp.float32(1.0))
+    zero = ff.zeros(())
+    sgn_g = ff.where(g.hi >= 0, one, ff.neg(one))
+    g0 = ff.eq0(g)
+    f0 = ff.eq0(f)
+    c = ff.where(g0, one, ff.where(f0, zero, c_gen))
+    s = ff.where(g0, zero, ff.where(f0, sgn_g, s_gen))
+    r = ff.where(g0, f, ff.where(f0, ag, r_gen))
+    return c, s, r
+
+
+def lanv2_ff(a: FF, b: FF, c: FF, d: FF):
+    """dlanv2 in ds arithmetic (port of ops/lanv2.lanv2, reference
+    src/rschur2x2.jl:9-96).  Returns (a, b, c, d, cs, sn, w1r, w1i, w2r, w2i)
+    as FF values; eigenvalues as real/imag pairs (complex-free)."""
+    one = ff.ff(jnp.float32(1.0))
+    zero = ff.zeros(())
+    half = jnp.float32(0.5)
+    small = jnp.float32(4.0 * ff.EPS)
+
+    # ---- branch B4 (general case) -------------------------------------
+    temp = ff.sub(a, d)
+    p = ff.mul_pow2(temp, half)
+    ab_, ac_ = ff.abs_(b), ff.abs_(c)
+    bcmax = ff.maximum(ab_, ac_)
+    bcmis = ff.mul(ff.minimum(ab_, ac_),
+                   FF(_sgn_hi(b) * _sgn_hi(c), jnp.zeros_like(b.hi)))
+    scale = ff.maximum(ff.abs_(p), bcmax)
+    scs = _safe(scale)
+    z = ff.add(ff.mul(ff.div(p, scs), p), ff.mul(ff.div(bcmax, scs), bcmis))
+
+    # B4a: z >= small -> real eigenvalues
+    zpos = ff.where(z.hi >= 0, z, zero)
+    z4a = ff.add(p, ff.copysign(ff.mul(ff.sqrt(scs), ff.sqrt(zpos)), p.hi))
+    z4as = _safe(z4a)
+    a4a = ff.add(d, z4a)
+    d4a = ff.sub(d, ff.mul(ff.div(bcmax, z4as), bcmis))
+    tau4a = _safe(ff.hypot2(c, z4a))
+    cs4a = ff.div(z4a, tau4a)
+    sn4a = ff.div(c, tau4a)
+    b4a = ff.sub(b, c)
+    c4a = zero
+
+    # B4b: complex or almost-equal real eigenvalues
+    sigma = ff.add(b, c)
+    tau4b = _safe(ff.hypot2(sigma, temp))
+    cs4b = ff.sqrt(ff.mul_pow2(ff.add(one, ff.div(ff.abs_(sigma), tau4b)),
+                               half))
+    sn4b = ff.neg(ff.mul(ff.div(p, ff.mul(tau4b, _safe(cs4b))),
+                         FF(_sgn_hi(sigma), jnp.zeros_like(sigma.hi))))
+    aa = ff.add(ff.mul(a, cs4b), ff.mul(b, sn4b))
+    bb = ff.add(ff.neg(ff.mul(a, sn4b)), ff.mul(b, cs4b))
+    cc = ff.add(ff.mul(c, cs4b), ff.mul(d, sn4b))
+    dd = ff.add(ff.neg(ff.mul(c, sn4b)), ff.mul(d, cs4b))
+    a_ = ff.add(ff.mul(aa, cs4b), ff.mul(cc, sn4b))
+    b_ = ff.add(ff.mul(bb, cs4b), ff.mul(dd, sn4b))
+    c_ = ff.add(ff.neg(ff.mul(aa, sn4b)), ff.mul(cc, cs4b))
+    d_ = ff.add(ff.neg(ff.mul(bb, sn4b)), ff.mul(dd, cs4b))
+    mid = ff.mul_pow2(ff.add(a_, d_), half)
+    a_ = mid
+    d_ = mid
+    sab = ff.sqrt(ff.abs_(b_))
+    sac = ff.sqrt(ff.abs_(c_))
+    p2 = ff.copysign(ff.mul(sab, sac), c_.hi)
+    tau2 = ff.recip(_safe(ff.sqrt(ff.abs_(ff.add(b_, c_)))))
+    cs1 = ff.mul(sab, tau2)
+    sn1 = ff.mul(sac, tau2)
+    cond_real = (~ff.eq0(c_)) & (~ff.eq0(b_)) & (_sgn_hi(b_) == _sgn_hi(c_))
+    a4b = ff.where(cond_real, ff.add(mid, p2), a_)
+    d4b = ff.where(cond_real, ff.sub(mid, p2), d_)
+    b4b = ff.where(cond_real, ff.sub(b_, c_), b_)
+    c4b = ff.where(cond_real, zero, c_)
+    csr = ff.sub(ff.mul(cs4b, cs1), ff.mul(sn4b, sn1))
+    snr = ff.add(ff.mul(cs4b, sn1), ff.mul(sn4b, cs1))
+    cs4b2 = ff.where(cond_real, csr, cs4b)
+    sn4b2 = ff.where(cond_real, snr, sn4b)
+    cond_swap = (~ff.eq0(c_)) & ff.eq0(b_)
+    b4b = ff.where(cond_swap, ff.neg(c_), b4b)
+    c4b = ff.where(cond_swap, zero, c4b)
+    cs4bf = ff.where(cond_swap, ff.neg(sn4b), cs4b2)
+    sn4bf = ff.where(cond_swap, cs4b, sn4b2)
+
+    use4a = ff.ge(z, FF(small, jnp.zeros_like(z.hi)))
+    aB4 = ff.where(use4a, a4a, a4b)
+    bB4 = ff.where(use4a, b4a, b4b)
+    cB4 = ff.where(use4a, c4a, c4b)
+    dB4 = ff.where(use4a, d4a, d4b)
+    csB4 = ff.where(use4a, cs4a, cs4bf)
+    snB4 = ff.where(use4a, sn4a, sn4bf)
+
+    # ---- top-level branch select ---------------------------------------
+    is_b1 = ff.eq0(c)
+    is_b2 = (~is_b1) & ff.eq0(b)
+    is_b3 = (~is_b1) & (~is_b2) & ff.eq0(temp) & \
+        (ff.mul(b, c).hi < 0)
+
+    af = ff.where(is_b1 | is_b3, a, ff.where(is_b2, d, aB4))
+    bf = ff.where(is_b1 | is_b3, b, ff.where(is_b2, ff.neg(c), bB4))
+    cf = ff.where(is_b1 | is_b3, c, ff.where(is_b2, zero, cB4))
+    df = ff.where(is_b1 | is_b3, d, ff.where(is_b2, a, dB4))
+    csf = ff.where(is_b1 | is_b3, one, ff.where(is_b2, zero, csB4))
+    snf = ff.where(is_b1 | is_b3, zero, ff.where(is_b2, one, snB4))
+
+    rti = ff.mul(ff.sqrt(ff.abs_(bf)), ff.sqrt(ff.abs_(cf)))
+    imagpart = ff.where(ff.eq0(cf), zero, rti)
+    return af, bf, cf, df, csf, snf, af, imagpart, df, ff.neg(imagpart)
