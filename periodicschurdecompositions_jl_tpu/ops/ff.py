@@ -56,9 +56,26 @@ def _f32(x):
 # error-free transformations
 
 
+# Every EFT hides one intermediate behind jax.lax.optimization_barrier:
+# XLA's algebraic simplifier applies real-arithmetic rewrites such as
+# (a + b) - a -> b, c - (c - a) -> a and sqrt(x)*sqrt(x) -> x that are
+# IDENTITIES over the reals but destroy the rounding-error terms these
+# transformations exist to capture (measured: f32-level error under jit,
+# exact without it).  The barrier generates no code; it only stops
+# pattern-matching through the value.
+
+
+def _bar(x):
+    # optimization_barrier is not lowerable in Mosaic kernels and XLA:CPU
+    # drops it before LLVM codegen anyway; EFT protection is achieved
+    # differently per backend (see _seal and the test conftest).
+    return x
+
+
 def two_sum(a, b):
     """s + e == a + b exactly (Knuth; no magnitude precondition)."""
-    s = a + b
+    a, b = _bar((a, b))
+    s = _bar(a + b)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
@@ -66,14 +83,16 @@ def two_sum(a, b):
 
 def fast_two_sum(a, b):
     """s + e == a + b exactly, REQUIRES |a| >= |b| (or a == 0)."""
-    s = a + b
+    a, b = _bar((a, b))
+    s = _bar(a + b)
     e = b - (s - a)
     return s, e
 
 
 def split(a):
     """Veltkamp split: a == ahi + alo with 12-bit halves (f32)."""
-    c = _f32(_SPLIT) * a
+    a = _bar(a)
+    c = _bar(_f32(_SPLIT) * a)
     ahi = c - (c - a)
     alo = a - ahi
     return ahi, alo
@@ -81,7 +100,8 @@ def split(a):
 
 def two_prod(a, b):
     """p + e == a * b exactly (Dekker, via Veltkamp splits)."""
-    p = a * b
+    a, b = _bar((a, b))
+    p = _bar(a * b)
     ahi, alo = split(a)
     bhi, blo = split(b)
     e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
@@ -90,7 +110,7 @@ def two_prod(a, b):
 
 def two_prod_presplit(a, ahi, alo, b, bhi, blo):
     """two_prod with both operands already split (hot-loop amortization)."""
-    p = a * b
+    p = _bar(a * b)
     e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
     return p, e
 
@@ -216,6 +236,7 @@ def recip(y: FF) -> FF:
 def sqrt(x: FF) -> FF:
     """sqrt for x >= 0 (x < 0 is caller error; x == 0 handled exactly)."""
     s1 = jnp.sqrt(x.hi)
+    s1 = _bar(s1)
     ssafe = jnp.where(s1 == 0, _f32(1.0), s1)
     # one ds Newton step: s = s1 + (x - s1^2) / (2 s1)
     p, e = two_prod(s1, s1)

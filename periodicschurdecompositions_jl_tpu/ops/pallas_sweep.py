@@ -1,0 +1,385 @@
+"""Pallas TPU kernels: fused float-float double-shift periodic QR sweep.
+
+The round-1 core dispatched ~30 HLO slab ops per (k, factor) chase step
+(~5-8M sequential device ops at p=8, n=128 -> ~50 s wall-clock and a 3e-8
+on-chip backward-error floor from the x64-rewriter's weak add).  These
+kernels replace the whole sweep with two `pallas_call`s in double-single
+(float-float) arithmetic (ops/ff.py): exact two-sum/two-product on f32
+pairs, ~2^-48 unit roundoff, restoring the <=1e-12 contract at hardware
+f32 speed.
+
+Semantics: the bulge chase of the reference's real `pschur!`
+(/root/reference/src/PeriodicSchurDecompositions.jl:806-886), identical to
+ops/pqr_real.py's `chase_step`, reorganized for the TPU's memory model
+(Mosaic supports dynamic sublane (row) slicing but NOT dynamic lane
+(column) slicing):
+
+* kernel A (`sweep`) walks k = m..i-1 once: per step it generates the
+  bulge/re-triangularization reflectors from a VMEM *working copy* C that
+  carries the true interleaved values (left-updates as cheap row slabs;
+  right-updates band-only via lane masks on 8-row slabs), applies ONLY the
+  left (row) updates to H, and logs every right-side 3x3 transform.
+* the host-side wrapper transposes H (XLA transpose, cheap),
+* kernel B applies the logged right-transform chains to the transposed H
+  and to Z (stored transposed throughout the iteration) as batched row
+  slabs — valid because left and right multiplications commute as global
+  matrix products: H_final = Lc @ H0 @ Rc regardless of interleaving.
+* structural zeros (entries the reference force-writes during the chase)
+  re-emerge only up to ds roundoff; the wrapper kills them with a triu
+  mask (below-subdiagonal for H[0], below-diagonal for the triangular
+  factors), which is where all deferred-ordering junk provably lands.
+
+`interpret=True` runs the same kernels through the Pallas interpreter
+(used by the CPU test suite; the TPU path compiles via Mosaic).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ff
+from .ff import FF
+from .ffkern import matmul3_ff, refl_mat_ff, reflector_ff
+
+def _i2_flat():
+    # constructed functionally: Pallas kernels may not close over array
+    # constants, and jnp.eye lowers to iota comparisons (no constant)
+    return jnp.concatenate([jnp.eye(2, dtype=jnp.float32).reshape(4),
+                            jnp.zeros((4,), jnp.float32)])
+
+
+def _read_rows(hi_ref, lo_ref, f, k, r):
+    return FF(hi_ref[f, pl.ds(k, r), :], lo_ref[f, pl.ds(k, r), :])
+
+
+def _write_rows(hi_ref, lo_ref, f, k, vals: FF):
+    r = vals.hi.shape[0]
+    hi_ref[f, pl.ds(k, r), :] = vals.hi
+    lo_ref[f, pl.ds(k, r), :] = vals.lo
+
+
+def _lane_iota(shape, dim=1):
+    return lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _lane_extract(rows: FF, j):
+    """(r,) FF column fragment at traced lane j of an (r, N) FF slab."""
+    mask = _lane_iota(rows.hi.shape) == j
+    return FF(jnp.sum(jnp.where(mask, rows.hi, 0.0), axis=1),
+              jnp.sum(jnp.where(mask, rows.lo, 0.0), axis=1))
+
+
+def _lane_force(rows: FF, j, vals: FF, active) -> FF:
+    """Overwrite lane j of an (r, N) FF slab with (r,) vals when active."""
+    mask = (_lane_iota(rows.hi.shape) == j) & active
+    return FF(jnp.where(mask, vals.hi[:, None], rows.hi),
+              jnp.where(mask, vals.lo[:, None], rows.lo))
+
+
+def _band_col_apply(hi_ref, lo_ref, g, k, M: FF, width: int, N: int):
+    """C[g][k-2:k+6, k:k+width] <- C[g][.., k:k+width] @ M  (lane-masked).
+
+    Maintains the working copy's band under a right-side transform; only
+    the 8 rows a later reflector generation can read need to be current.
+    """
+    W = min(8, N)
+    rb = jnp.clip(k - 2, 0, N - W)
+    slab = _read_rows(hi_ref, lo_ref, g, rb, W)
+    cols = [_lane_extract(slab, k + c) for c in range(width)]
+    it = _lane_iota(slab.hi.shape)
+    new_hi, new_lo = slab.hi, slab.lo
+    for c in range(width):
+        acc = ff.mul(cols[0], FF(M.hi[0, c], M.lo[0, c]))
+        for s in range(1, width):
+            acc = ff.add(acc, ff.mul(cols[s], FF(M.hi[s, c], M.lo[s, c])))
+        mask = it == (k + c)
+        new_hi = jnp.where(mask, acc.hi[:, None], new_hi)
+        new_lo = jnp.where(mask, acc.lo[:, None], new_lo)
+    _write_rows(hi_ref, lo_ref, g, rb, FF(new_hi, new_lo))
+
+
+def _flat_mat(M: FF, n2: int):
+    return jnp.concatenate([M.hi.reshape(n2), M.lo.reshape(n2)])
+
+
+def _make_sweep_kernel(p: int, N: int):
+    """Kernel A: chase + left updates + working copy + right-op logging."""
+
+    def kernel(scal, v0f, Hhi, Hlo, oHhi, oHlo, R0, R1, Chi, Clo):
+        m = scal[0]
+        i = scal[1]
+        oHhi[:] = Hhi[:]
+        oHlo[:] = Hlo[:]
+        Chi[:] = Hhi[:]
+        Clo[:] = Hlo[:]
+        v0 = FF(v0f[0:3], v0f[3:6])
+
+        def step(kk, _):
+            nr3 = (i - kk + 1) >= 3
+
+            # ---- H[0] bulge reflector --------------------------------
+            rowsC0 = _read_rows(Chi, Clo, 0, kk, 3)
+            colC = _lane_extract(rowsC0, kk - 1)
+            first = kk == m
+            vk = ff.where(first, v0, colC)
+            z3 = jnp.where(nr3, jnp.float32(1.0), jnp.float32(0.0))
+            mask3 = jnp.stack([jnp.float32(1.0), jnp.float32(1.0), z3])
+            vk = FF(vk.hi * mask3, vk.lo * mask3)
+            w, tau, beta = reflector_ff(vk)
+            M3 = refl_mat_ff(w, tau)
+            # left update on H[0] (all lanes; sub-band junk dies in triu).
+            # At k == m lane m-1 is the window-boundary subdiagonal column,
+            # which the reference never touches (rowsk lo=k) — restore it.
+            rowsH0 = _read_rows(oHhi, oHlo, 0, kk, 3)
+            bnd = _lane_extract(rowsH0, kk - 1)
+            rowsH0 = matmul3_ff(M3, rowsH0)
+            rowsH0 = _lane_force(rowsH0, kk - 1, bnd, first)
+            _write_rows(oHhi, oHlo, 0, kk, rowsH0)
+            # working copy: left update + forced bulge column (k > m)
+            rowsC0 = matmul3_ff(M3, rowsC0)
+            keep3 = ff.where(kk < i - 1, ff.zeros(()),
+                             FF(colC.hi[2], colC.lo[2]))
+            newc = FF(jnp.stack([beta.hi, jnp.float32(0.0), keep3.hi]),
+                      jnp.stack([beta.lo, jnp.float32(0.0), keep3.lo]))
+            rowsC0 = _lane_force(rowsC0, kk - 1, newc, ~first)
+            _write_rows(Chi, Clo, 0, kk, rowsC0)
+            # right-side effect: C[p-1] cols kk..kk+2 (band) + log
+            _band_col_apply(Chi, Clo, p - 1, kk, M3, 3, N)
+            R0[0, kk, :] = _flat_mat(M3, 9)
+            R1[0, kk, :] = _i2_flat()
+
+            # ---- factor re-triangularization loop --------------------
+            def fac(t, _):
+                f = p - 1 - t
+                rowsCf = _read_rows(Chi, Clo, f, kk, 3)
+                colv = _lane_extract(rowsCf, kk)
+                colv = FF(colv.hi * mask3, colv.lo * mask3)
+                w2, tau2, beta2 = reflector_ff(colv)
+                M3b = refl_mat_ff(w2, tau2)
+                _write_rows(oHhi, oHlo, f, kk,
+                            matmul3_ff(M3b, _read_rows(oHhi, oHlo, f, kk, 3)))
+                rowsCf = matmul3_ff(M3b, rowsCf)
+                # the masked colv makes the reference's kept 3rd entry 0 in
+                # both branches (src/PeriodicSchurDecompositions.jl:859-866)
+                newcf = FF(jnp.stack([beta2.hi, jnp.float32(0.0),
+                                      jnp.float32(0.0)]),
+                           jnp.stack([beta2.lo, jnp.float32(0.0),
+                                      jnp.float32(0.0)]))
+                rowsCf = _lane_force(rowsCf, kk, newcf, True)
+                _write_rows(Chi, Clo, f, kk, rowsCf)
+                _band_col_apply(Chi, Clo, f - 1, kk, M3b, 3, N)
+                R0[f, kk, :] = _flat_mat(M3b, 9)
+
+                # second (2-element) re-triangularization when nr3
+                rows2 = _read_rows(Chi, Clo, f, kk + 1, 2)
+                xc = _lane_extract(rows2, kk + 1)
+                wb, taub, betab = reflector_ff(xc)
+                M2 = refl_mat_ff(wb, taub)
+                eye2 = ff.ff(jnp.eye(2, dtype=jnp.float32))
+                M2 = ff.where(nr3, M2, eye2)
+                _write_rows(oHhi, oHlo, f, kk + 1,
+                            matmul3_ff(M2, _read_rows(oHhi, oHlo, f,
+                                                      kk + 1, 2)))
+                rows2 = matmul3_ff(M2, rows2)
+                newc2 = FF(jnp.stack([betab.hi, jnp.float32(0.0)]),
+                           jnp.stack([betab.lo, jnp.float32(0.0)]))
+                rows2 = _lane_force(rows2, kk + 1, newc2, nr3)
+                _write_rows(Chi, Clo, f, kk + 1, rows2)
+                _band_col_apply(Chi, Clo, f - 1, kk + 1, M2, 2, N)
+                R1[f, kk, :] = _flat_mat(M2, 4)
+                return 0
+
+            if p > 1:
+                lax.fori_loop(0, p - 1, fac, 0)
+            return 0
+
+        lax.fori_loop(m, i, step, 0)
+
+    return kernel
+
+
+def _make_apply_kernel(p: int, N: int, want_z: bool):
+    """Kernel B: apply logged right-transform chains to H^T (and Z^T).
+
+    Target factor g receives source ((g+1) mod p)'s transforms (the chase
+    updates H[f-1]'s columns with factor f's reflectors; H[p-1] with the
+    H[0] bulge reflector); Z[f] receives its own factor's transforms.
+    A column update cols <- cols @ M becomes rows <- M^T @ rows on the
+    transposed storage.
+    """
+
+    def _load_logs(R, kk, n2):
+        v = R[:, pl.ds(kk, 1), :]  # (p, 1, 2*n2)
+        hi = v[:, 0, :n2]
+        lo = v[:, 0, n2:2 * n2]
+        k = 3 if n2 == 9 else 2
+        return FF(hi.reshape(p, k, k), lo.reshape(p, k, k))
+
+    def _roll1(M: FF) -> FF:
+        if p == 1:
+            return M
+        return FF(jnp.concatenate([M.hi[1:], M.hi[:1]], axis=0),
+                  jnp.concatenate([M.lo[1:], M.lo[:1]], axis=0))
+
+    def _apply(hi_ref, lo_ref, kk, M: FF, hi_lane=None):
+        """rows <- M^T @ rows on a (p, k, N) slab; optionally lane-bounded.
+
+        ``hi_lane``: only lanes <= hi_lane updated.  Used for H^T, where
+        lanes are H's ROWS: the reference restricts column updates to rows
+        0..i (hi_r, src/PeriodicSchurDecompositions.jl:844-883) — rows
+        below the active window hold boundary subdiagonals that must not
+        be touched.  Within rows 0..i the bound is immaterial (the skipped
+        entries are structural zeros), which is what makes the deferred
+        (commuted) application exact.
+        """
+        k = M.hi.shape[1]
+        rows = FF(hi_ref[:, pl.ds(kk, k), :], lo_ref[:, pl.ds(kk, k), :])
+        outs = []
+        for r in range(k):  # out_r = sum_s M[:, s, r] * rows[:, s]  (M^T @)
+            acc = ff.mul(FF(M.hi[:, 0, r, None], M.lo[:, 0, r, None]),
+                         FF(rows.hi[:, 0, :], rows.lo[:, 0, :]))
+            for s in range(1, k):
+                acc = ff.add(acc, ff.mul(
+                    FF(M.hi[:, s, r, None], M.lo[:, s, r, None]),
+                    FF(rows.hi[:, s, :], rows.lo[:, s, :])))
+            outs.append(acc)
+        new = ff.stack(outs, 1)
+        if hi_lane is not None:
+            lane = _lane_iota(new.hi.shape, 2)
+            new = FF(jnp.where(lane <= hi_lane, new.hi, rows.hi),
+                     jnp.where(lane <= hi_lane, new.lo, rows.lo))
+        hi_ref[:, pl.ds(kk, k), :] = new.hi
+        lo_ref[:, pl.ds(kk, k), :] = new.lo
+
+    def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0, R1,
+               oHThi, oHTlo, oZThi, oZTlo):
+        m = scal[0]
+        i = scal[1]
+        oHThi[:] = HThi[:]
+        oHTlo[:] = HTlo[:]
+        if want_z:
+            oZThi[:] = ZThi[:]
+            oZTlo[:] = ZTlo[:]
+
+        def step(kk, _):
+            M0 = _load_logs(R0, kk, 9)
+            M1 = _load_logs(R1, kk, 4)
+            _apply(oHThi, oHTlo, kk, _roll1(M0), hi_lane=i)
+            _apply(oHThi, oHTlo, kk + 1, _roll1(M1), hi_lane=i)
+            if want_z:
+                _apply(oZThi, oZTlo, kk, M0)
+                _apply(oZThi, oZTlo, kk + 1, M1)
+            return 0
+
+        lax.fori_loop(m, i, step, 0)
+
+    def kernel_noz(scal, HThi, HTlo, R0, R1, oHThi, oHTlo):
+        kernel(scal, HThi, HTlo, None, None, R0, R1, oHThi, oHTlo, None,
+               None)
+
+    return kernel if want_z else kernel_noz
+
+
+def _vmem_bytes(p, N, n_arrays):
+    lanes = -(-N // 128) * 128
+    rows = -(-N // 8) * 8
+    return n_arrays * p * rows * lanes * 4
+
+
+@functools.lru_cache(maxsize=32)
+def _sweep_call(p: int, N: int, interpret: bool):
+    kern = _make_sweep_kernel(p, N)
+    vmem = _vmem_bytes(p, N, 6) + 2 * p * N * 40 * 4 + (1 << 20)
+    call = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((p, N, N), jnp.float32),
+                   jax.ShapeDtypeStruct((p, N, N), jnp.float32),
+                   jax.ShapeDtypeStruct((p, N, 18), jnp.float32),
+                   jax.ShapeDtypeStruct((p, N, 8), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((p, N, N), jnp.float32),
+                        pltpu.VMEM((p, N, N), jnp.float32)],
+        input_output_aliases={2: 0, 3: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 120 * (1 << 20))),
+        interpret=interpret,
+    )
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _apply_call(p: int, N: int, want_z: bool, interpret: bool):
+    kern = _make_apply_kernel(p, N, want_z)
+    n_arr = 8 if want_z else 4
+    vmem = _vmem_bytes(p, N, n_arr) + 2 * p * N * 40 * 4 + (1 << 20)
+    n_out = 4 if want_z else 2
+    call = pl.pallas_call(
+        kern,
+        out_shape=tuple(jax.ShapeDtypeStruct((p, N, N), jnp.float32)
+                        for _ in range(n_out)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_out + 2),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(n_out)),
+        input_output_aliases={1 + j: j for j in range(n_out)},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 120 * (1 << 20))),
+        interpret=interpret,
+    )
+    return call
+
+
+def chase_sweep_ff(H: FF, ZT, m, i, v0: FF, *, want_z: bool,
+                   interpret: bool = False):
+    """One full double-shift QR sweep over the window [m, i] in ds precision.
+
+    Args:
+      H: (p, N, N) FF stack (N = n + 1 ghost-padded), H[0] Hessenberg.
+      ZT: (p, N, N) FF stack of TRANSPOSED Schur vector factors (or None).
+      m, i: traced int32 window bounds (sweep chases k = m..i-1).
+      v0: FF (3,) normalized first shifted column.
+      want_z: static; update ZT.
+      interpret: run kernels through the Pallas interpreter (CPU tests).
+
+    Returns (H, ZT) updated.  Structural sub-triangular entries are exact
+    zeros on output.
+    """
+    p, N, _ = H.hi.shape
+    scal = jnp.stack([jnp.asarray(m, jnp.int32), jnp.asarray(i, jnp.int32)])
+    v0f = jnp.concatenate([v0.hi, v0.lo]).astype(jnp.float32)
+
+    Hhi, Hlo, R0, R1p = _sweep_call(p, N, interpret)(scal, v0f, H.hi, H.lo)
+    R1 = R1p  # (p, N, 8): 2x2 hi | lo
+
+    HThi = jnp.swapaxes(Hhi, 1, 2)
+    HTlo = jnp.swapaxes(Hlo, 1, 2)
+    if want_z:
+        outs = _apply_call(p, N, True, interpret)(
+            scal, HThi, HTlo, ZT.hi, ZT.lo, R0, R1)
+        HThi, HTlo, ZThi, ZTlo = outs
+        ZT = FF(ZThi, ZTlo)
+    else:
+        HThi, HTlo = _apply_call(p, N, False, interpret)(
+            scal, HThi, HTlo, R0, R1)
+    H = FF(jnp.swapaxes(HThi, 1, 2), jnp.swapaxes(HTlo, 1, 2))
+
+    # structural enforcement: deferred-ordering junk lands strictly below
+    # the subdiagonal of H[0] / the diagonal of the triangular factors
+    h0 = FF(jnp.triu(H.hi[0], -1), jnp.triu(H.lo[0], -1))
+    if p > 1:
+        rest = FF(jnp.triu(H.hi[1:]), jnp.triu(H.lo[1:]))
+        H = FF(jnp.concatenate([h0.hi[None], rest.hi]),
+               jnp.concatenate([h0.lo[None], rest.lo]))
+    else:
+        H = FF(h0.hi[None], h0.lo[None])
+    return H, ZT

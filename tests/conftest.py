@@ -6,9 +6,15 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's fusion emitter applies FMA contraction / reassociation that
+# destroys the error-free transformations of the float-float layer
+# (ops/ff.py); disabling fusion restores IEEE op-by-op semantics for the
+# ds tests.  The TPU compilers (XLA:TPU and Mosaic) are verified exact
+# with fusion enabled, so this is a CPU-test-only measure.
+if "xla_disable_hlo_passes" not in flags:
+    flags = (flags + " --xla_disable_hlo_passes=fusion").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,146 @@
+"""Pallas ds sweep kernels vs a float64 numpy reference of the chase.
+
+The numpy reference mirrors ops/pqr_real.py's `chase_step` (reference
+src/PeriodicSchurDecompositions.jl:806-886) in its ORIGINAL interleaved
+order with the reference's lo/hi update restrictions; the Pallas pair
+applies left updates eagerly and right chains deferred (commuted), so
+agreement to ~1e-12 across random problems validates both the commutation
+argument and the ds arithmetic.  Runs through the Pallas interpreter (CPU).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from periodicschurdecompositions_jl_tpu.ops import ff
+from periodicschurdecompositions_jl_tpu.ops.pallas_sweep import chase_sweep_ff
+
+
+def _refl(x):
+    alpha, tail = x[0], x[1:]
+    xnorm = np.linalg.norm(tail)
+    if xnorm == 0:
+        return np.concatenate([[1.0], 0 * tail]), 0.0, alpha
+    h = np.hypot(alpha, xnorm)
+    beta = -h if alpha >= 0 else h
+    tau = (beta - alpha) / beta
+    v = tail / (alpha - beta)
+    return np.concatenate([[1.0], v]), tau, beta
+
+
+def _mof(x):
+    w, tau, beta = _refl(x)
+    return np.eye(len(x)) - tau * np.outer(w, w), beta
+
+
+def ref_sweep_np(Hp, Zp, m, i, v0):
+    """f64 reference of one double-shift sweep on ghost-padded stacks."""
+    p, N, _ = Hp.shape
+    H = Hp.copy()
+    Z = Zp.copy()
+    for k in range(m, i):
+        nr3 = (i - k + 1) >= 3
+        col = H[0][k:k + 3, k - 1].copy()
+        vk = col.copy() if k > m else v0.copy()
+        if not nr3:
+            vk[2] = 0.0
+        M3, beta = _mof(vk)
+        if k > m:
+            H[0][k:k + 3, k - 1] = [beta, 0.0, 0.0 if k < i - 1 else col[2]]
+        H[0][k:k + 3, k:] = M3 @ H[0][k:k + 3, k:]
+        tgt = p - 1 if p > 1 else 0
+        hi_r = min(k + 3, i) + 1
+        H[tgt][:hi_r, k:k + 3] = H[tgt][:hi_r, k:k + 3] @ M3
+        Z[0][:, k:k + 3] = Z[0][:, k:k + 3] @ M3
+        for f in range(p - 1, 0, -1):
+            colv = H[f][k:k + 3, k].copy()
+            if not nr3:
+                colv[2] = 0.0
+            M3b, beta2 = _mof(colv)
+            H[f][k:k + 3, k] = [beta2, 0.0, 0.0]
+            H[f][k:k + 3, k + 1:] = M3b @ H[f][k:k + 3, k + 1:]
+            H[f - 1][:hi_r, k:k + 3] = H[f - 1][:hi_r, k:k + 3] @ M3b
+            Z[f][:, k:k + 3] = Z[f][:, k:k + 3] @ M3b
+            if nr3:
+                xc = H[f][k + 1:k + 3, k + 1].copy()
+                M2, betab = _mof(xc)
+                H[f][k + 1:k + 3, k + 1] = [betab, 0.0]
+                H[f][k + 1:k + 3, k + 2:] = M2 @ H[f][k + 1:k + 3, k + 2:]
+                H[f - 1][:hi_r, k + 1:k + 3] = \
+                    H[f - 1][:hi_r, k + 1:k + 3] @ M2
+                Z[f][:, k + 1:k + 3] = Z[f][:, k + 1:k + 3] @ M2
+    return H, Z
+
+
+def _mk_problem(p, n, rng, bulged=False):
+    N = n + 1
+    Hp = np.zeros((p, N, N))
+    Hp[0, :n, :n] = np.triu(rng.standard_normal((n, n)), -1)
+    for f in range(1, p):
+        Hp[f, :n, :n] = np.triu(rng.standard_normal((n, n)))
+    Zp = np.zeros((p, N, N))
+    for f in range(p):
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        Zp[f, :n, :n] = q
+    v0 = rng.standard_normal(3)
+    v0 /= np.abs(v0).sum()
+    return Hp, Zp, v0
+
+
+def _enforce(H):
+    out = H.copy()
+    out[0] = np.triu(out[0], -1)
+    out[1:] = np.triu(out[1:])
+    return out
+
+
+@pytest.mark.parametrize("p,n,m,i", [
+    (1, 8, 0, 7),
+    (2, 8, 0, 7),
+    (4, 12, 0, 11),
+    (3, 12, 2, 8),     # interior window
+    (4, 6, 1, 3),      # tiny window (one nr3 step + closing 2-step)
+    (2, 6, 2, 3),      # single 2-reflector step
+])
+def test_sweep_matches_f64_reference(p, n, m, i):
+    rng = np.random.default_rng(p * 100 + n)
+    Hp, Zp, v0 = _mk_problem(p, n, rng)
+    Href, Zref = ref_sweep_np(Hp, Zp, m, i, v0)
+    Href = _enforce(Href)
+
+    Hff = ff.from_f64(jnp.asarray(Hp))
+    ZTff = ff.from_f64(jnp.asarray(np.swapaxes(Zp, 1, 2)))
+    v0ff = ff.from_f64(jnp.asarray(v0))
+    # disable_jit: this XLA:CPU build applies FMA contraction / reassociation
+    # unconditionally under jit, which destroys the EFTs (the TPU compilers
+    # — XLA:TPU and Mosaic — are verified exact); eager CPU ops are exact.
+    with jax.disable_jit():
+        Hout, ZTout = chase_sweep_ff(Hff, ZTff, jnp.int32(m), jnp.int32(i),
+                                     v0ff, want_z=True, interpret=True)
+    Hds = np.asarray(ff.to_f64(Hout))
+    Zds = np.swapaxes(np.asarray(ff.to_f64(ZTout)), 1, 2)
+
+    scale = np.abs(Hp).max()
+    assert np.abs(Hds - Href).max() < 5e-12 * scale, \
+        f"H mismatch {np.abs(Hds - Href).max():.2e}"
+    assert np.abs(Zds - Zref).max() < 5e-12, \
+        f"Z mismatch {np.abs(Zds - Zref).max():.2e}"
+    # structural zeros are exact
+    assert np.all(np.tril(Hds[0], -2) == 0)
+    for f in range(1, p):
+        assert np.all(np.tril(Hds[f], -1) == 0)
+
+
+def test_sweep_no_z():
+    p, n, m, i = (3, 10, 0, 9)
+    rng = np.random.default_rng(5)
+    Hp, Zp, v0 = _mk_problem(p, n, rng)
+    Href, _ = ref_sweep_np(Hp, Zp, m, i, v0)
+    Href = _enforce(Href)
+    Hff = ff.from_f64(jnp.asarray(Hp))
+    v0ff = ff.from_f64(jnp.asarray(v0))
+    with jax.disable_jit():
+        Hout, _ = chase_sweep_ff(Hff, None, jnp.int32(m), jnp.int32(i), v0ff,
+                                 want_z=False, interpret=True)
+    Hds = np.asarray(ff.to_f64(Hout))
+    assert np.abs(Hds - Href).max() < 5e-12 * np.abs(Hp).max()
