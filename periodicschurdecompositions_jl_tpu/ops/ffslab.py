@@ -111,16 +111,18 @@ def fac_get(H: FF, f) -> FF:
     """Dynamic factor slice H[f] from a stacked (p, n, n) FF."""
     p, m, n = H.hi.shape
     f = jnp.clip(jnp.asarray(f, jnp.int32), 0, p - 1)
-    v = FF(lax.dynamic_slice(H.hi, (f, 0, 0), (1, m, n)),
-           lax.dynamic_slice(H.lo, (f, 0, 0), (1, m, n)))
+    z = jnp.int32(0)
+    v = FF(lax.dynamic_slice(H.hi, (f, z, z), (1, m, n)),
+           lax.dynamic_slice(H.lo, (f, z, z), (1, m, n)))
     return FF(v.hi[0], v.lo[0])
 
 
 def fac_set(H: FF, f, M: FF) -> FF:
     p, m, n = H.hi.shape
     f = jnp.clip(jnp.asarray(f, jnp.int32), 0, p - 1)
-    return FF(lax.dynamic_update_slice(H.hi, M.hi[None], (f, 0, 0)),
-              lax.dynamic_update_slice(H.lo, M.lo[None], (f, 0, 0)))
+    z = jnp.int32(0)
+    return FF(lax.dynamic_update_slice(H.hi, M.hi[None], (f, z, z)),
+              lax.dynamic_update_slice(H.lo, M.lo[None], (f, z, z)))
 
 
 def at_set(H: FF, idx, M: FF) -> FF:

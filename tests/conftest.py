@@ -7,13 +7,14 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# XLA:CPU's fusion emitter applies FMA contraction / reassociation that
-# destroys the error-free transformations of the float-float layer
-# (ops/ff.py); disabling fusion restores IEEE op-by-op semantics for the
-# ds tests.  The TPU compilers (XLA:TPU and Mosaic) are verified exact
-# with fusion enabled, so this is a CPU-test-only measure.
+# XLA:CPU applies float-value-changing rewrites that destroy the
+# error-free transformations of the float-float layer (ops/ff.py): the
+# fusion emitter FMA-contracts mul+add chains, and the algebraic
+# simplifier cancels (1+x)-1-style patterns.  Disabling both restores
+# IEEE op-by-op semantics for the ds tests.  The TPU compilers (XLA:TPU
+# and Mosaic) are verified exact unmodified, so this is CPU-test-only.
 if "xla_disable_hlo_passes" not in flags:
-    flags = (flags + " --xla_disable_hlo_passes=fusion").strip()
+    flags = (flags + " --xla_disable_hlo_passes=fusion,algsimp").strip()
 os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -111,12 +111,11 @@ def test_sweep_matches_f64_reference(p, n, m, i):
     Hff = ff.from_f64(jnp.asarray(Hp))
     ZTff = ff.from_f64(jnp.asarray(np.swapaxes(Zp, 1, 2)))
     v0ff = ff.from_f64(jnp.asarray(v0))
-    # disable_jit: this XLA:CPU build applies FMA contraction / reassociation
-    # unconditionally under jit, which destroys the EFTs (the TPU compilers
-    # — XLA:TPU and Mosaic — are verified exact); eager CPU ops are exact.
-    with jax.disable_jit():
-        Hout, ZTout = chase_sweep_ff(Hff, ZTff, jnp.int32(m), jnp.int32(i),
-                                     v0ff, want_z=True, interpret=True)
+    # jitted CPU execution is EFT-exact with the fusion pass disabled
+    # (conftest); without that flag XLA:CPU's fusion emitter FMA-contracts
+    # through the EFTs.
+    Hout, ZTout = chase_sweep_ff(Hff, ZTff, jnp.int32(m), jnp.int32(i),
+                                 v0ff, want_z=True, interpret=True)
     Hds = np.asarray(ff.to_f64(Hout))
     Zds = np.swapaxes(np.asarray(ff.to_f64(ZTout)), 1, 2)
 
@@ -139,8 +138,7 @@ def test_sweep_no_z():
     Href = _enforce(Href)
     Hff = ff.from_f64(jnp.asarray(Hp))
     v0ff = ff.from_f64(jnp.asarray(v0))
-    with jax.disable_jit():
-        Hout, _ = chase_sweep_ff(Hff, None, jnp.int32(m), jnp.int32(i), v0ff,
-                                 want_z=False, interpret=True)
+    Hout, _ = chase_sweep_ff(Hff, None, jnp.int32(m), jnp.int32(i), v0ff,
+                             want_z=False, interpret=True)
     Hds = np.asarray(ff.to_f64(Hout))
     assert np.abs(Hds - Href).max() < 5e-12 * np.abs(Hp).max()
