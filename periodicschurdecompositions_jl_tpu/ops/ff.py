@@ -65,10 +65,36 @@ def _f32(x):
 # pattern-matching through the value.
 
 
+_BARRIERS = True
+
+
+class no_barriers:
+    """Trace-time context: disable EFT optimization barriers.
+
+    Used while tracing Pallas/Mosaic kernels: Mosaic cannot lower
+    optimization_barrier AND is verified not to apply the value-changing
+    rewrites the barriers guard against.  Everywhere else (XLA:TPU glue)
+    the barriers are REQUIRED: the compile environment forces
+    --xla_allow_excess_precision=true, under which the algebraic
+    simplifier cancels (1+x)-1-style patterns (measured 3e-8 rotation
+    normalization error without barriers, 2e-15 with).  XLA:CPU drops
+    barriers entirely; the test conftest disables the offending passes
+    there instead.
+    """
+
+    def __enter__(self):
+        global _BARRIERS
+        self._saved = _BARRIERS
+        _BARRIERS = False
+
+    def __exit__(self, *exc):
+        global _BARRIERS
+        _BARRIERS = self._saved
+
+
 def _bar(x):
-    # optimization_barrier is not lowerable in Mosaic kernels and XLA:CPU
-    # drops it before LLVM codegen anyway; EFT protection is achieved
-    # differently per backend (see _seal and the test conftest).
+    if _BARRIERS:
+        return jax.lax.optimization_barrier(x)
     return x
 
 

@@ -69,6 +69,44 @@ def reflector_ff(x: FF):
     return w, tau, beta
 
 
+def eye32(k: int):
+    """f32 identity via int32 iotas: jnp.eye builds an int64 iota under
+    x64, and 64-bit types are unlowerable inside Mosaic kernels."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (r == c).astype(jnp.float32)
+
+
+def reflector3s_ff(x: FF):
+    """xLARFG on a 3-slot FF vector, built purely from scalar extracts.
+
+    Mosaic's layout inference crashes on sub-slices/concats of tiny 1D
+    vectors inside nested loops; this variant only ever extracts scalars
+    and stacks fresh vectors, making it safe inside Pallas kernels.
+    Semantics identical to :func:`reflector_ff` with a 3-slot input
+    (slot 2 may be zero for the 2-element case).
+    """
+    x0 = FF(x.hi[0], x.lo[0])
+    x1 = FF(x.hi[1], x.lo[1])
+    x2 = FF(x.hi[2], x.lo[2])
+    xnorm = ff.hypot2(x1, x2)
+    trivial = ff.eq0(xnorm)
+    beta = ff.neg(ff.copysign(ff.hypot2(x0, xnorm), x0.hi))
+    tau = ff.div(ff.sub(beta, x0), _safe(beta))
+    dinv = ff.recip(_safe(ff.sub(x0, beta)))
+    v1 = ff.mul(x1, dinv)
+    v2 = ff.mul(x2, dinv)
+    tau = ff.where(trivial, ff.zeros(()), tau)
+    beta = ff.where(trivial, x0, beta)
+    zero = ff.zeros(())
+    v1 = ff.where(trivial, zero, v1)
+    v2 = ff.where(trivial, zero, v2)
+    one = ff.ff(jnp.float32(1.0))
+    w = FF(jnp.stack([one.hi, v1.hi, v2.hi]),
+           jnp.stack([one.lo, v1.lo, v2.lo]))
+    return w, tau, beta
+
+
 def refl_mat_ff(w: FF, tau: FF) -> FF:
     """Dense k x k FF matrix I - tau w w^T."""
     k = w.hi.shape[0]
@@ -76,8 +114,26 @@ def refl_mat_ff(w: FF, tau: FF) -> FF:
                    jnp.broadcast_to(tau.lo, (k,))), w)
     outer = ff.mul(FF(tw.hi[:, None], tw.lo[:, None]),
                    FF(w.hi[None, :], w.lo[None, :]))
-    eye = ff.ff(jnp.eye(k, dtype=jnp.float32))
-    return ff.sub(eye, outer)
+    return ff.sub(ff.ff(eye32(k)), outer)
+
+
+def refl_mat_s_ff(w: FF, tau: FF, k: int) -> FF:
+    """I - tau w w^T as a (k,k) FF built from scalar extracts only
+    (Mosaic-kernel-safe companion of :func:`reflector3s_ff`)."""
+    rows_hi, rows_lo = [], []
+    for r in range(k):
+        eh, el = [], []
+        for c in range(k):
+            wr = FF(w.hi[r], w.lo[r])
+            wc = FF(w.hi[c], w.lo[c])
+            e = ff.neg(ff.mul(ff.mul(tau, wr), wc))
+            if r == c:
+                e = ff.add_f(e, jnp.float32(1.0))
+            eh.append(e.hi)
+            el.append(e.lo)
+        rows_hi.append(jnp.stack(eh))
+        rows_lo.append(jnp.stack(el))
+    return FF(jnp.stack(rows_hi), jnp.stack(rows_lo))
 
 
 def matmul3_ff(M: FF, rows: FF) -> FF:

@@ -35,6 +35,7 @@ ops/pqr_real.py's `chase_step`, reorganized for the TPU's memory model
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -44,13 +45,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import ff
 from .ff import FF
-from .ffkern import matmul3_ff, refl_mat_ff, reflector_ff
+from .ffkern import matmul3_ff, refl_mat_s_ff, reflector3s_ff
+
+# the kernels trace deep expression chains (ds arithmetic per chase step
+# inside nested loops); CPython's default recursion limit aborts tracing
+if sys.getrecursionlimit() < 20000:
+    sys.setrecursionlimit(20000)
+
+
+def _eye32(k: int):
+    """f32 identity via int32 iotas (jnp.eye uses int64 iota under x64,
+    and any 64-bit type crashes the Mosaic backend)."""
+    r = lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (r == c).astype(jnp.float32)
+
 
 def _i2_flat():
-    # constructed functionally: Pallas kernels may not close over array
-    # constants, and jnp.eye lowers to iota comparisons (no constant)
-    return jnp.concatenate([jnp.eye(2, dtype=jnp.float32).reshape(4),
-                            jnp.zeros((4,), jnp.float32)])
+    # constructed functionally (no closed-over constants, no reshape)
+    one = jnp.float32(1.0)
+    z = jnp.float32(0.0)
+    return jnp.stack([one, z, z, one, z, z, z, z])
 
 
 def _read_rows(hi_ref, lo_ref, f, k, r):
@@ -70,8 +85,9 @@ def _lane_iota(shape, dim=1):
 def _lane_extract(rows: FF, j):
     """(r,) FF column fragment at traced lane j of an (r, N) FF slab."""
     mask = _lane_iota(rows.hi.shape) == j
-    return FF(jnp.sum(jnp.where(mask, rows.hi, 0.0), axis=1),
-              jnp.sum(jnp.where(mask, rows.lo, 0.0), axis=1))
+    z = jnp.float32(0.0)  # typed: python 0.0 becomes f64 under x64
+    return FF(jnp.sum(jnp.where(mask, rows.hi, z), axis=1),
+              jnp.sum(jnp.where(mask, rows.lo, z), axis=1))
 
 
 def _lane_force(rows: FF, j, vals: FF, active) -> FF:
@@ -88,7 +104,10 @@ def _band_col_apply(hi_ref, lo_ref, g, k, M: FF, width: int, N: int):
     the 8 rows a later reflector generation can read need to be current.
     """
     W = min(8, N)
-    rb = jnp.clip(k - 2, 0, N - W)
+    # NOT jnp.clip: its python-int bounds become int64 under x64, and any
+    # int64 in a Mosaic kernel sends the convert lowering into infinite
+    # recursion
+    rb = jnp.maximum(jnp.int32(0), jnp.minimum(k - 2, jnp.int32(N - W)))
     slab = _read_rows(hi_ref, lo_ref, g, rb, W)
     cols = [_lane_extract(slab, k + c) for c in range(width)]
     it = _lane_iota(slab.hi.shape)
@@ -104,7 +123,12 @@ def _band_col_apply(hi_ref, lo_ref, g, k, M: FF, width: int, N: int):
 
 
 def _flat_mat(M: FF, n2: int):
-    return jnp.concatenate([M.hi.reshape(n2), M.lo.reshape(n2)])
+    # scalar extracts + one stack: Mosaic can neither shape-cast
+    # (k,k)->(k*k,) nor slice rows of tiny arrays at sublane offsets
+    k = M.hi.shape[0]
+    parts = [M.hi[r, c] for r in range(k) for c in range(k)] + \
+        [M.lo[r, c] for r in range(k) for c in range(k)]
+    return jnp.stack(parts)
 
 
 def _make_sweep_kernel(p: int, N: int):
@@ -117,7 +141,9 @@ def _make_sweep_kernel(p: int, N: int):
         oHlo[:] = Hlo[:]
         Chi[:] = Hhi[:]
         Clo[:] = Hlo[:]
-        v0 = FF(v0f[0:3], v0f[3:6])
+        # SMEM supports scalar loads only: gather v0 element-wise
+        v0 = FF(jnp.stack([v0f[0], v0f[1], v0f[2]]),
+                jnp.stack([v0f[3], v0f[4], v0f[5]]))
 
         def step(kk, _):
             nr3 = (i - kk + 1) >= 3
@@ -130,8 +156,8 @@ def _make_sweep_kernel(p: int, N: int):
             z3 = jnp.where(nr3, jnp.float32(1.0), jnp.float32(0.0))
             mask3 = jnp.stack([jnp.float32(1.0), jnp.float32(1.0), z3])
             vk = FF(vk.hi * mask3, vk.lo * mask3)
-            w, tau, beta = reflector_ff(vk)
-            M3 = refl_mat_ff(w, tau)
+            w, tau, beta = reflector3s_ff(vk)
+            M3 = refl_mat_s_ff(w, tau, 3)
             # left update on H[0] (all lanes; sub-band junk dies in triu).
             # At k == m lane m-1 is the window-boundary subdiagonal column,
             # which the reference never touches (rowsk lo=k) — restore it.
@@ -155,12 +181,14 @@ def _make_sweep_kernel(p: int, N: int):
 
             # ---- factor re-triangularization loop --------------------
             def fac(t, _):
-                f = p - 1 - t
+                # int32-typed constant first: python-int OP tracer promotes
+                # through an int64 asarray under x64, which Mosaic rejects
+                f = jnp.int32(p - 1) - t
                 rowsCf = _read_rows(Chi, Clo, f, kk, 3)
                 colv = _lane_extract(rowsCf, kk)
                 colv = FF(colv.hi * mask3, colv.lo * mask3)
-                w2, tau2, beta2 = reflector_ff(colv)
-                M3b = refl_mat_ff(w2, tau2)
+                w2, tau2, beta2 = reflector3s_ff(colv)
+                M3b = refl_mat_s_ff(w2, tau2, 3)
                 _write_rows(oHhi, oHlo, f, kk,
                             matmul3_ff(M3b, _read_rows(oHhi, oHlo, f, kk, 3)))
                 rowsCf = matmul3_ff(M3b, rowsCf)
@@ -178,9 +206,11 @@ def _make_sweep_kernel(p: int, N: int):
                 # second (2-element) re-triangularization when nr3
                 rows2 = _read_rows(Chi, Clo, f, kk + 1, 2)
                 xc = _lane_extract(rows2, kk + 1)
-                wb, taub, betab = reflector_ff(xc)
-                M2 = refl_mat_ff(wb, taub)
-                eye2 = ff.ff(jnp.eye(2, dtype=jnp.float32))
+                xc3 = FF(jnp.stack([xc.hi[0], xc.hi[1], jnp.float32(0.0)]),
+                         jnp.stack([xc.lo[0], xc.lo[1], jnp.float32(0.0)]))
+                wb, taub, betab = reflector3s_ff(xc3)
+                M2 = refl_mat_s_ff(wb, taub, 2)
+                eye2 = ff.ff(_eye32(2))
                 M2 = ff.where(nr3, M2, eye2)
                 _write_rows(oHhi, oHlo, f, kk + 1,
                             matmul3_ff(M2, _read_rows(oHhi, oHlo, f,
@@ -192,13 +222,16 @@ def _make_sweep_kernel(p: int, N: int):
                 _write_rows(Chi, Clo, f, kk + 1, rows2)
                 _band_col_apply(Chi, Clo, f - 1, kk + 1, M2, 2, N)
                 R1[f, kk, :] = _flat_mat(M2, 4)
-                return 0
+                return jnp.int32(0)
 
             if p > 1:
-                lax.fori_loop(0, p - 1, fac, 0)
-            return 0
+                # int32 bounds: python-int fori bounds make an int64 loop
+                # counter under x64, which Mosaic cannot lower
+                lax.fori_loop(jnp.int32(0), jnp.int32(p - 1), fac,
+                              jnp.int32(0))
+            return jnp.int32(0)
 
-        lax.fori_loop(m, i, step, 0)
+        lax.fori_loop(m, i, step, jnp.int32(0))
 
     return kernel
 
@@ -214,11 +247,12 @@ def _make_apply_kernel(p: int, N: int, want_z: bool):
     """
 
     def _load_logs(R, kk, n2):
+        # returns ROW-MAJOR FLAT (p, n2) hi/lo pairs (no reshape: Mosaic
+        # cannot shape-cast); _apply indexes elements by s*k+r
         v = R[:, pl.ds(kk, 1), :]  # (p, 1, 2*n2)
         hi = v[:, 0, :n2]
         lo = v[:, 0, n2:2 * n2]
-        k = 3 if n2 == 9 else 2
-        return FF(hi.reshape(p, k, k), lo.reshape(p, k, k))
+        return FF(hi, lo)
 
     def _roll1(M: FF) -> FF:
         if p == 1:
@@ -237,15 +271,21 @@ def _make_apply_kernel(p: int, N: int, want_z: bool):
         entries are structural zeros), which is what makes the deferred
         (commuted) application exact.
         """
-        k = M.hi.shape[1]
+        k = {9: 3, 4: 2}[M.hi.shape[1]]
+
+        def _el(X, s, r):
+            # static slice into the row-major flat log (no reshape/gather)
+            q = s * k + r
+            return X[:, q:q + 1]
+
         rows = FF(hi_ref[:, pl.ds(kk, k), :], lo_ref[:, pl.ds(kk, k), :])
         outs = []
         for r in range(k):  # out_r = sum_s M[:, s, r] * rows[:, s]  (M^T @)
-            acc = ff.mul(FF(M.hi[:, 0, r, None], M.lo[:, 0, r, None]),
+            acc = ff.mul(FF(_el(M.hi, 0, r), _el(M.lo, 0, r)),
                          FF(rows.hi[:, 0, :], rows.lo[:, 0, :]))
             for s in range(1, k):
                 acc = ff.add(acc, ff.mul(
-                    FF(M.hi[:, s, r, None], M.lo[:, s, r, None]),
+                    FF(_el(M.hi, s, r), _el(M.lo, s, r)),
                     FF(rows.hi[:, s, :], rows.lo[:, s, :])))
             outs.append(acc)
         new = ff.stack(outs, 1)
@@ -274,9 +314,9 @@ def _make_apply_kernel(p: int, N: int, want_z: bool):
             if want_z:
                 _apply(oZThi, oZTlo, kk, M0)
                 _apply(oZThi, oZTlo, kk + 1, M1)
-            return 0
+            return jnp.int32(0)
 
-        lax.fori_loop(m, i, step, 0)
+        lax.fori_loop(m, i, step, jnp.int32(0))
 
     def kernel_noz(scal, HThi, HTlo, R0, R1, oHThi, oHTlo):
         kernel(scal, HThi, HTlo, None, None, R0, R1, oHThi, oHTlo, None,
@@ -358,19 +398,25 @@ def chase_sweep_ff(H: FF, ZT, m, i, v0: FF, *, want_z: bool,
     scal = jnp.stack([jnp.asarray(m, jnp.int32), jnp.asarray(i, jnp.int32)])
     v0f = jnp.concatenate([v0.hi, v0.lo]).astype(jnp.float32)
 
-    Hhi, Hlo, R0, R1p = _sweep_call(p, N, interpret)(scal, v0f, H.hi, H.lo)
+    # kernels are traced WITHOUT EFT barriers (Mosaic cannot lower them and
+    # provably does not need them); the surrounding XLA glue keeps them
+    with ff.no_barriers():
+        Hhi, Hlo, R0, R1p = _sweep_call(p, N, interpret)(scal, v0f,
+                                                         H.hi, H.lo)
     R1 = R1p  # (p, N, 8): 2x2 hi | lo
 
     HThi = jnp.swapaxes(Hhi, 1, 2)
     HTlo = jnp.swapaxes(Hlo, 1, 2)
     if want_z:
-        outs = _apply_call(p, N, True, interpret)(
-            scal, HThi, HTlo, ZT.hi, ZT.lo, R0, R1)
+        with ff.no_barriers():
+            outs = _apply_call(p, N, True, interpret)(
+                scal, HThi, HTlo, ZT.hi, ZT.lo, R0, R1)
         HThi, HTlo, ZThi, ZTlo = outs
         ZT = FF(ZThi, ZTlo)
     else:
-        HThi, HTlo = _apply_call(p, N, False, interpret)(
-            scal, HThi, HTlo, R0, R1)
+        with ff.no_barriers():
+            HThi, HTlo = _apply_call(p, N, False, interpret)(
+                scal, HThi, HTlo, R0, R1)
     H = FF(jnp.swapaxes(HThi, 1, 2), jnp.swapaxes(HTlo, 1, 2))
 
     # structural enforcement: deferred-ordering junk lands strictly below
