@@ -25,18 +25,23 @@ class AlgoConfig:
       the Ahues-Tisseur style test.
     * ``at_pwr16``: the Ahues-Tisseur threshold is tightened to
       ``eps^(1 + at_pwr16/16)``.
-    * ``extra_rq``: enable the extra final RQ stage in subdiagonal repair.
-    * ``allow_early_qr``: allow starting double-shift QR below the top of the
-      active window (dangerous for some matrices, off by default).
+    * ``extra_rq``: enable the extra final RQ stage in subdiagonal repair
+      (reference :637-652; off by default like the reference, which notes
+      MB03WD force-zeroes the leftover "even when wrong").
     * ``eta_orth``: iterated Gram-Schmidt re-orthogonalization threshold used
       by the periodic Arnoldi process (reference: src/krylov.jl:150).
+
+    The reference's ``_allow_early_QR`` toggle (start double-shift QR below
+    the window top, reference :301-302,768) is NOT carried over: the
+    reference itself ships it disabled as "dangerous for some matrices", and
+    the early-start first-step sign correction does not map cleanly onto the
+    masked static-shape sweep.
     """
 
     slicot_shifts: bool = False
     slicot_convg: bool = False
     at_pwr16: int = 4
     extra_rq: bool = False
-    allow_early_qr: bool = False
     eta_orth: float = 1.0 / math.sqrt(2.0)
 
     def ulp_x(self, ulp: float) -> float:

@@ -62,8 +62,16 @@ def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac):
         H, Q = phessenberg_core(A, want_q=want_z)
     else:
         H, Q = phessenberg_signed_core(A, S, want_q=want_z)
-    T, Z, alpha, beta, scale, ok = pqz_complex_core(
-        H, S, Z=Q, want_z=want_z, maxitfac=maxitfac)
+    from ..config import verbosity
+    if verbosity("main") >= 1:
+        T, Z, alpha, beta, scale, ok, info = pqz_complex_core(
+            H, S, Z=Q, want_z=want_z, maxitfac=maxitfac, with_info=True)
+        print(f"[pschur complex] p={p} n={A.shape[-1]}: "
+              f"{int(info['niter'])} iterations "
+              f"(budget {int(info['maxit'])}), converged={bool(ok)}")
+    else:
+        T, Z, alpha, beta, scale, ok = pqz_complex_core(
+            H, S, Z=Q, want_z=want_z, maxitfac=maxitfac)
     if not bool(ok):
         raise ConvergenceFailure(-1)
     P = GeneralizedPeriodicSchur(

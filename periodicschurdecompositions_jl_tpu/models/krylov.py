@@ -30,6 +30,8 @@ from ..ops.pqr_real import pqr_real_core
 from ..ops.pqz_complex import pqz_complex_core
 from .ordschur import ordschur
 
+# default iterated-Gram-Schmidt re-orthogonalization threshold; the live
+# value comes from AlgoConfig.eta_orth (reference src/krylov.jl:150)
 ETA_ORTH = 1.0 / np.sqrt(2.0)
 
 
@@ -103,7 +105,8 @@ class _PKrylov:
         return v.astype(self.dtype)
 
 
-def _reinitialize(PK: _PKrylov, l: int, j: int) -> bool:
+def _reinitialize(PK: _PKrylov, l: int, j: int,
+                  eta: float = ETA_ORTH) -> bool:
     """Random re-start of basis column j of slot l, orthogonalized
     (reference :152-181)."""
     v = PK.vrand(PK.n)
@@ -113,12 +116,12 @@ def _reinitialize(PK: _PKrylov, l: int, j: int) -> bool:
         h = U.conj().T @ v
         v = v - U @ h
         w = np.linalg.norm(v)
-        if w < ETA_ORTH * rnorm:
+        if w < eta * rnorm:
             rnorm = w
             h = U.conj().T @ v
             v = v - U @ h
             w = np.linalg.norm(v)
-        if w <= ETA_ORTH * rnorm:
+        if w <= eta * rnorm:
             return False
         v = v / w
     else:
@@ -127,23 +130,23 @@ def _reinitialize(PK: _PKrylov, l: int, j: int) -> bool:
     return True
 
 
-def _orth_step(U, v):
+def _orth_step(U, v, eta: float = ETA_ORTH):
     """One iterated-CGS orthogonalization; returns (h, v, wnorm, in_span)."""
     rnorm = np.linalg.norm(v)
     h = U.conj().T @ v
     v = v - U @ h
     w = np.linalg.norm(v)
-    if w < ETA_ORTH * rnorm:
+    if w < eta * rnorm:
         rnorm = w
         corr = U.conj().T @ v
         v = v - U @ corr
         h = h + corr
         w = np.linalg.norm(v)
-    return h, v, w, w <= ETA_ORTH * rnorm
+    return h, v, w, w <= eta * rnorm
 
 
 def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
-                     tol1: float) -> bool:
+                     tol1: float, eta: float = ETA_ORTH) -> bool:
     """Extend the periodic Krylov decomposition to columns [k1, k2).
 
     0-based: fills columns k1..k2-1.  Returns False after too many
@@ -159,7 +162,7 @@ def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
         for l in range(p - 1):
             v = np.asarray(ops[l](PK.V[l][:, j]))
             if j > 0:
-                h, v, w, inspan = _orth_step(PK.V[l + 1][:, :j], v)
+                h, v, w, inspan = _orth_step(PK.V[l + 1][:, :j], v, eta)
                 PK.B[l][:j, j] = h
             else:
                 w = np.linalg.norm(v)
@@ -171,23 +174,23 @@ def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
                 if ldef < 0:
                     ldef, jdef = l, j
                 PK.B[l][j, j] = 0.0
-                if not _reinitialize(PK, l + 1, j):
+                if not _reinitialize(PK, l + 1, j, eta):
                     raise PKSFailure("Arnoldi reinitialization failed")
             else:
                 PK.B[l][j, j] = w
                 PK.V[l + 1][:, j] = v / w
         if null1:
-            _reinitialize(PK, 0, 0)
+            _reinitialize(PK, 0, 0, eta)
             continue
 
         v = np.asarray(ops[p - 1](PK.V[p - 1][:, j]))
-        h, v, w, inspan = _orth_step(PK.V[0][:, :j + 1], v)
+        h, v, w, inspan = _orth_step(PK.V[0][:, :j + 1], v, eta)
         PK.B[p - 1][:j + 1, j] = h
         if inspan:
             PK.B[p - 1][j + 1, j] = 0.0
             if ldef < 0:
                 # trivial deflation: restart the next column randomly
-                if not _reinitialize(PK, 0, j + 1):
+                if not _reinitialize(PK, 0, j + 1, eta):
                     raise PKSFailure("Arnoldi reinitialization failed")
                 ldef = -1
             else:
@@ -206,7 +209,7 @@ def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
                 if singularities > 5:
                     return False
                 if jdef + 1 < k2:
-                    if not _reinitialize(PK, 0, jdef + 1):
+                    if not _reinitialize(PK, 0, jdef + 1, eta):
                         raise PKSFailure("Arnoldi reinitialization failed")
         PK.k = j + 1
         j += 1
@@ -398,6 +401,7 @@ def partial_pschur(
     purgebuffer: int = 2,
     u1: Optional[np.ndarray] = None,
     seed: int = 1234,
+    eta_orth: Optional[float] = None,
 ):
     """Find ``nev`` exterior eigenvalues of the product ``A[p-1] @ ... @ A[0]``
     (left orientation, like the reference) by periodic Krylov-Schur.
@@ -407,6 +411,8 @@ def partial_pschur(
          (callables need ``n=`` and ``dtype=``).
       which: LM, SM, LR, SR, LI or SI.
       tol: convergence tolerance (default sqrt(eps)).
+      eta_orth: iterated-Gram-Schmidt re-orthogonalization threshold
+        (default: AlgoConfig.eta_orth = 1/sqrt(2), reference src/krylov.jl:150).
 
     Returns:
       (PartialPeriodicSchur, ArnoldiHistory)
@@ -425,6 +431,9 @@ def partial_pschur(
     if not (nev <= mindim <= maxdim <= p * n):
         raise ValueError(f"need nev <= mindim <= maxdim <= p*n, got "
                          f"{nev} <= {mindim} <= {maxdim} <= {p * n}")
+    if eta_orth is None:
+        from ..config import default_config
+        eta_orth = float(default_config.eta_orth)
     rng = np.random.default_rng(seed)
     PK = _PKrylov(p, n, maxdim, dtype, rng)
     key = _order_key(which)
@@ -437,7 +446,7 @@ def partial_pschur(
     v = v / np.linalg.norm(v)
     tol1 = 100 * eps
 
-    pa_ok = periodic_arnoldi(ops, PK, 0, mindim, v, tol1)
+    pa_ok = periodic_arnoldi(ops, PK, 0, mindim, v, tol1, eta_orth)
     nprods = p * mindim
     nlock = 0
     active = 0
@@ -449,7 +458,7 @@ def partial_pschur(
         if it > 0:
             _restore_hessenberg(PK, active, k)
         u = PK.V[0][:, k]
-        pa_ok = periodic_arnoldi(ops, PK, k, maxdim, u, tol1)
+        pa_ok = periodic_arnoldi(ops, PK, k, maxdim, u, tol1, eta_orth)
         nprods += p * (maxdim - k)
 
         PS = _small_pschur(PK.B, active, maxdim, dtype)

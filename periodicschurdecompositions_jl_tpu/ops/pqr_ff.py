@@ -89,7 +89,7 @@ def _band_products_ff(H: FF, n: int):
 
 
 @partial(jax.jit, static_argnames=("want_z", "maxitfac", "cfg", "interpret",
-                                   "maxiter"))
+                                   "maxiter", "debug_state"))
 def pqr_real_core_ff(
     Hhi: jax.Array,
     Hlo: jax.Array,
@@ -100,6 +100,7 @@ def pqr_real_core_ff(
     cfg: AlgoConfig = default_config,
     interpret: bool = False,
     maxiter: Optional[int] = None,
+    debug_state: bool = False,
 ):
     """Run the ds real periodic QR iteration.
 
@@ -587,6 +588,12 @@ def pqr_real_core_ff(
         Hhi_out = Hhi_out.at[1:].set(jnp.triu(Hhi_out[1:]))
         Hlo_out = Hlo_out.at[1:].set(jnp.triu(Hlo_out[1:]))
     if want_z:
-        return (Hhi_out, Hlo_out, ZTout.hi, ZTout.lo,
-                wr.hi, wr.lo, wi.hi, wi.lo, ok)
-    return (Hhi_out, Hlo_out, None, None, wr.hi, wr.lo, wi.hi, wi.lo, ok)
+        out = (Hhi_out, Hlo_out, ZTout.hi, ZTout.lo,
+               wr.hi, wr.lo, wi.hi, wi.lo, ok)
+    else:
+        out = (Hhi_out, Hlo_out, None, None,
+               wr.hi, wr.lo, wi.hi, wi.lo, ok)
+    if debug_state:
+        # raw loop scalars + the UNSCRUBBED padded state, for bisecting
+        return out + ((i, l, its, jiter), (H.hi, H.lo))
+    return out

@@ -27,7 +27,7 @@ Deviations (documented): the ``tol == 0`` 1-norm fallbacks are replaced by
 the smlnum floor; the eigenvalue-swap check after a replacement rotation
 compares against the freshly computed pair (the reference compares against
 ``λ[1], λ[2]`` — absolute indices — which appears to be a typo);
-``allow_early_qr`` (off by default in the reference too) is not implemented.
+``allow_early_qr`` is intentionally not carried over (see config.AlgoConfig).
 """
 from __future__ import annotations
 
@@ -87,13 +87,16 @@ def _band_products(H, n):
     return hdiag, hsub, hsup
 
 
-@partial(jax.jit, static_argnames=("want_z", "maxitfac", "cfg"))
+@partial(jax.jit, static_argnames=("want_z", "want_t", "maxitfac", "cfg",
+                                   "with_info"))
 def pqr_real_core(
     H: jax.Array,
     Z: Optional[jax.Array] = None,
     want_z: bool = True,
+    want_t: bool = True,
     maxitfac: int = 30,
     cfg: AlgoConfig = default_config,
+    with_info: bool = False,
 ):
     """Run the real periodic QR iteration.
 
@@ -101,11 +104,19 @@ def pqr_real_core(
       H: (p, n, n) real stack; H[0] upper Hessenberg, H[1:] upper triangular.
       Z: optional (p, n, n) initial orthogonal stack (accumulated into).
       want_z: accumulate Schur vectors.
+      want_t: when False, restrict all row/column updates to the active
+        deflation window (the reference's ``ifirstm:ilastm`` device,
+        src/PeriodicSchurDecompositions.jl wantT=false path): eigenvalues
+        stay exact, the returned T stack is valid only on its diagonal
+        blocks.
       maxitfac: total iteration budget factor (maxit = maxitfac * n).
 
     Returns:
       (T, Z, wr, wi, ok): T quasi-triangularized stack (T[0] is the real
-      Schur factor), eigenvalues wr + i*wi, success flag.
+      Schur factor), eigenvalues wr + i*wi, success flag.  With
+      ``with_info=True`` a trailing dict with iteration counters is appended
+      (the reference prints these tallies at verbosity > 0,
+      src/PeriodicSchurDecompositions.jl:457-459).
     """
     p, n, _ = H.shape
     dt = H.dtype
@@ -122,7 +133,9 @@ def pqr_real_core(
         lam = jnp.prod(H[:, 0, 0])
         Zo = (jnp.broadcast_to(jnp.eye(1, dt), (p, 1, 1)) if Z is None else Z) \
             if want_z else None
-        return H, Zo, lam[None], jnp.zeros((1,), dt), jnp.asarray(True)
+        out1 = (H, Zo, lam[None], jnp.zeros((1,), dt), jnp.asarray(True))
+        return out1 + ({"niter": jnp.int32(0), "maxit": jnp.int32(maxit)},) \
+            if with_info else out1
 
     # hnorms: deflation thresholds for triangular-factor diagonals
     # (reference :379-388: s * opnorm(Hs[j], 1) with s = ulp * n)
@@ -175,6 +188,12 @@ def pqr_real_core(
         klast = jnp.max(jnp.where(found_k, iv, -1))
         lnew = jnp.where(i > l, jnp.where(anyf, klast, l), i)
 
+        # wantT=false: restrict every H update to the active window
+        # [lnew, i] (the reference's ifirstm:ilastm device); eigenvalues are
+        # unaffected because nothing outside the window is ever read again.
+        tlo = None if want_t else lnew
+        thi = None if want_t else i + 1
+
         # ---- subdiagonal repair when ℍ[l, l-1] negligible but H0's is not
         def repair(HZ):
             H, Z = HZ
@@ -193,10 +212,11 @@ def pqr_real_core(
                     M2 = jnp.eye(2, dtype=dt) - tau * jnp.outer(wv, wv)
                     Hf = setel(H[f], k, k - 1, zero, active=act)
                     Hf = setel(Hf, k, k, beta, active=act)
-                    Hf = colsk(Hf, k - 1, M2, hi=k, active=act)
+                    Hf = colsk(Hf, k - 1, M2, lo=tlo, hi=k, active=act)
                     H = H.at[f].set(Hf)
                     H = H.at[f + 1].set(
-                        rowsk(H[f + 1], k - 1, M2, lo=k - 1, active=act))
+                        rowsk(H[f + 1], k - 1, M2, lo=k - 1, hi=thi,
+                              active=act))
                     Z = zup(Z, f + 1, k - 1, M2, active=act)
                 # annihilate H[p-1][k+1, k] (if k < i)
                 act2 = act & (k < i)
@@ -207,15 +227,32 @@ def pqr_real_core(
                 M2 = jnp.eye(2, dtype=dt) - tau * jnp.outer(wv, wv)
                 Hl = setel(H[p - 1], k + 1, k, zero, active=act2)
                 Hl = setel(Hl, k + 1, k + 1, beta, active=act2)
-                Hl = colsk(Hl, k, M2, hi=k + 1, active=act2)
+                Hl = colsk(Hl, k, M2, lo=tlo, hi=k + 1, active=act2)
                 H = H.at[p - 1].set(Hl)
-                H = H.at[0].set(rowsk(H[0], k, M2, lo=k, active=act2))
+                H = H.at[0].set(rowsk(H[0], k, M2, lo=k, hi=thi, active=act2))
                 Z = zup(Z, 0, k, M2, active=act2)
                 return H, Z
 
             H, Z = lax.fori_loop(0, n, rep_step, (H, Z))
-            # MB03WD forces the leftover to zero (extra_rq disabled)
-            H = H.at[p - 1].set(setel(H[p - 1], lnew, lnew - 1, zero))
+            if cfg.extra_rq:
+                # final RQ stage absent from MB03WD (reference :637-652):
+                # annihilate H[p-1][lnew, lnew-1] properly instead of
+                # forcing it to zero
+                x0 = getel(H[p - 1], lnew, lnew)
+                x1 = getel(H[p - 1], lnew, lnew - 1)
+                w, tau, beta = reflector_small(jnp.stack([x0, x1]))
+                wv = jnp.stack([w[1], jnp.ones((), dt)])
+                M2 = jnp.eye(2, dtype=dt) - tau * jnp.outer(wv, wv)
+                Hl = setel(H[p - 1], lnew, lnew - 1, zero)
+                Hl = setel(Hl, lnew, lnew, beta)
+                Hl = colsk(Hl, lnew - 1, M2, lo=tlo, hi=lnew)
+                H = H.at[p - 1].set(Hl)
+                H = H.at[0].set(rowsk(H[0], lnew - 1, M2, lo=lnew - 1,
+                                      hi=thi))
+                Z = zup(Z, 0, lnew - 1, M2)
+            else:
+                # MB03WD forces the leftover to zero, even when wrong
+                H = H.at[p - 1].set(setel(H[p - 1], lnew, lnew - 1, zero))
             return H, Z
 
         t1r = jnp.abs(getel(H[0], lnew - 1, lnew - 1)) + jnp.abs(
@@ -313,10 +350,11 @@ def pqr_real_core(
                                   jnp.where(k < i - 1, zero, col[2])])
                 H0 = setcol(H[0], k, k - 1, newc, active=act & (k > m))
                 # first step with mlast > l would flip sign; mlast == l here
-                H0 = rowsk(H0, k, M3, lo=k, active=act)
+                H0 = rowsk(H0, k, M3, lo=k, hi=thi, active=act)
                 H = H.at[0].set(H0)
                 H = H.at[p - 1 if p > 1 else 0].set(
-                    colsk(H[p - 1 if p > 1 else 0], k, M3, hi=hi_r, active=act))
+                    colsk(H[p - 1 if p > 1 else 0], k, M3, lo=tlo, hi=hi_r,
+                          active=act))
                 Z = zup(Z, 0, k, M3, active=act)
                 for f in range(p - 1, 0, -1):
                     colv = getcol(H[f], k, k, 3)
@@ -327,10 +365,10 @@ def pqr_real_core(
                     newc = jnp.stack([jnp.asarray(beta2, dt), zero,
                                       jnp.where(nr3, zero, colv[2])])
                     Hf = setcol(H[f], k, k, newc, active=act)
-                    Hf = rowsk(Hf, k, M3b, lo=k + 1, active=act)
+                    Hf = rowsk(Hf, k, M3b, lo=k + 1, hi=thi, active=act)
                     H = H.at[f].set(Hf)
-                    H = H.at[f - 1].set(colsk(H[f - 1], k, M3b, hi=hi_r,
-                                              active=act))
+                    H = H.at[f - 1].set(colsk(H[f - 1], k, M3b, lo=tlo,
+                                              hi=hi_r, active=act))
                     Z = zup(Z, f, k, M3b, active=act)
                     # second (2-element) re-triangularization when nr == 3
                     act2 = act & nr3
@@ -340,10 +378,10 @@ def pqr_real_core(
                     Hf = setcol(H[f], k + 1, k + 1,
                                 jnp.stack([jnp.asarray(betab, dt), zero]),
                                 active=act2)
-                    Hf = rowsk(Hf, k + 1, M2, lo=k + 2, active=act2)
+                    Hf = rowsk(Hf, k + 1, M2, lo=k + 2, hi=thi, active=act2)
                     H = H.at[f].set(Hf)
-                    H = H.at[f - 1].set(colsk(H[f - 1], k + 1, M2, hi=hi_r,
-                                              active=act2))
+                    H = H.at[f - 1].set(colsk(H[f - 1], k + 1, M2, lo=tlo,
+                                              hi=hi_r, active=act2))
                     Z = zup(Z, f, k + 1, M2, active=act2)
                 return H, Z, v
 
@@ -424,10 +462,11 @@ def pqr_real_core(
                         M2 = jnp.eye(2, dtype=dt) - tau * jnp.outer(wv, wv)
                         Hf = setel(H[f], i, i - 1, zero, active=act)
                         Hf = setel(Hf, i, i, beta, active=act)
-                        Hf = colsk(Hf, i - 1, M2, hi=i, active=act)
+                        Hf = colsk(Hf, i - 1, M2, lo=tlo, hi=i, active=act)
                         H = H.at[f].set(Hf)
                         H = H.at[f + 1].set(
-                            rowsk(H[f + 1], i - 1, M2, lo=i - 1, active=act))
+                            rowsk(H[f + 1], i - 1, M2, lo=i - 1, hi=thi,
+                                  active=act))
                         Z = zup(Z, f + 1, i - 1, M2, active=act)
                     return H, Z
 
@@ -450,11 +489,12 @@ def pqr_real_core(
                                                 getel(H[0], i, i - 1))
                         c = jnp.where(replaceG, cg, cs0)
                         s = jnp.where(replaceG, sg, sn0)
-                        H0 = rowsk(H[0], i - 1, lmat(c, s), lo=i - 1, active=act)
+                        H0 = rowsk(H[0], i - 1, lmat(c, s), lo=i - 1, hi=thi, active=act)
                         H = H.at[0].set(H0)
                         H = H.at[p - 1 if p > 1 else 0].set(
                             colsk(H[p - 1 if p > 1 else 0], i - 1,
-                                  rmat_adj(c, s), hi=i + 1, active=act))
+                                  rmat_adj(c, s), lo=tlo, hi=i + 1,
+                                  active=act))
                         Z = zup(Z, 0, i - 1, rmat_adj(c, s), active=act)
                         for f in range(p - 1, 0, -1):
                             actf = act & (f >= jmax + 1)
@@ -464,10 +504,10 @@ def pqr_real_core(
                             M2 = refl_mat(w_, tau_)
                             Hf = setel(H[f], i - 1, i - 1, beta_, active=actf)
                             Hf = setel(Hf, i, i - 1, zero, active=actf)
-                            Hf = rowsk(Hf, i - 1, M2, lo=i, active=actf)
+                            Hf = rowsk(Hf, i - 1, M2, lo=i, hi=thi, active=actf)
                             H = H.at[f].set(Hf)
                             H = H.at[f - 1].set(
-                                colsk(H[f - 1], i - 1, M2, hi=i + 1,
+                                colsk(H[f - 1], i - 1, M2, lo=tlo, hi=i + 1,
                                       active=actf))
                             Z = zup(Z, f, i - 1, M2, active=actf)
                         sub = jnp.abs(getel(H[0], i, i - 1))
@@ -542,13 +582,17 @@ def pqr_real_core(
 
     H = H[:, :n, :n]
     Z = Z[:, :n, :n] if want_z else None
-    # scrub subdiagonals of real eigenvalues (reference :1066-1073)
-    sub = jnp.diagonal(H[0], -1) * jnp.where(wi[:-1] == 0, 0.0, 1.0)
-    H0 = H[0] - jnp.diag(jnp.diagonal(H[0], -1), -1) + jnp.diag(sub, -1)
-    H = H.at[0].set(H0)
-    # triangular factors: exact zero lower parts
-    if p > 1:
-        H = H.at[1:].set(jnp.triu(H[1:]))
+    if want_t:
+        # scrub subdiagonals of real eigenvalues (reference :1066-1073)
+        sub = jnp.diagonal(H[0], -1) * jnp.where(wi[:-1] == 0, 0.0, 1.0)
+        H0 = H[0] - jnp.diag(jnp.diagonal(H[0], -1), -1) + jnp.diag(sub, -1)
+        H = H.at[0].set(H0)
+        # triangular factors: exact zero lower parts
+        if p > 1:
+            H = H.at[1:].set(jnp.triu(H[1:]))
+    if with_info:
+        return H, Z, wr, wi, ok, {"niter": jiter,
+                                  "maxit": jnp.int32(maxit)}
     return H, Z, wr, wi, ok
 
 
@@ -559,9 +603,19 @@ def pschur_real_pipeline(A, orient, want_t=True, want_z=True, maxitfac=30,
     p = A.shape[0]
     if orient == "L":
         A = A[::-1]
+    from ..config import verbosity
     H, Q = phessenberg_core(A, want_q=want_z)
-    T, Z, wr, wi, ok = pqr_real_core(H, Z=Q, want_z=want_z, maxitfac=maxitfac,
-                                     cfg=cfg)
+    verb = verbosity("main")
+    if verb >= 1:
+        T, Z, wr, wi, ok, info = pqr_real_core(
+            H, Z=Q, want_z=want_z, want_t=want_t, maxitfac=maxitfac, cfg=cfg,
+            with_info=True)
+        print(f"[pschur real] p={p} n={A.shape[-1]}: "
+              f"{int(info['niter'])} iterations "
+              f"(budget {int(info['maxit'])}), converged={bool(ok)}")
+    else:
+        T, Z, wr, wi, ok = pqr_real_core(H, Z=Q, want_z=want_z, want_t=want_t,
+                                         maxitfac=maxitfac, cfg=cfg)
     if not bool(ok):
         raise ConvergenceFailure(-1)
     # complex packaging on host: c128 does not exist on TPU devices

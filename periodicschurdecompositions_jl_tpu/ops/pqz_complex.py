@@ -48,7 +48,7 @@ def _eye_stack(p, n, dt):
     return jnp.broadcast_to(jnp.eye(n, dtype=dt), (p, n, n)).astype(dt)
 
 
-@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac"))
+@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info"))
 def pqz_complex_core(
     H: jax.Array,
     S: Tuple[bool, ...],
@@ -56,6 +56,7 @@ def pqz_complex_core(
     want_z: bool = True,
     maxitfac: int = 30,
     seed: int = 1234,
+    with_info: bool = False,
 ):
     """Run the complex periodic QZ iteration.
 
@@ -71,7 +72,8 @@ def pqz_complex_core(
     Returns:
       (T, Z, alpha, beta, alphascale, ok): T triangularized stack, Z updated
       stack (or dummy if want_z=False), eigenvalue parts, and a success flag
-      (False if the iteration budget was exhausted).
+      (False if the iteration budget was exhausted).  ``with_info=True``
+      appends a counter dict (reference prints tallies at verbosity > 0).
     """
     p, n, _ = H.shape
     assert S[0], "signature entry S[0] must be True"
@@ -285,7 +287,7 @@ def pqz_complex_core(
 
     st0 = (H, Zs, alpha0, beta0, scal0, jnp.int32(n - 1), jnp.int32(0),
            jnp.int32(ziter0), key0)
-    (H, Zs, alpha, beta, scal, ilast, _, _, _), _ = lax.while_loop(
+    (H, Zs, alpha, beta, scal, ilast, _, _, _), jiter = lax.while_loop(
         cond, body_guarded, (st0, jnp.int32(0)))
     ok = ilast < 0
 
@@ -316,4 +318,7 @@ def pqz_complex_core(
             H = H.at[lm].set(sf[:, None] * H[lm])
 
     Zout = Zs if want_z else None
+    if with_info:
+        return H, Zout, alpha, beta, scal, ok, {
+            "niter": jiter, "maxit": jnp.int32(maxit)}
     return H, Zout, alpha, beta, scal, ok

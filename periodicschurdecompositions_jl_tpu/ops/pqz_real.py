@@ -287,7 +287,7 @@ def _opening_rotations(H, S, j, ilast, key, iiter):
 # main core
 
 
-@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac"))
+@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info"))
 def pqz_real_gen_core(
     H: jax.Array,
     S: Tuple[bool, ...],
@@ -295,6 +295,7 @@ def pqz_real_gen_core(
     want_z: bool = True,
     maxitfac: int = 120,
     seed: int = 1234,
+    with_info: bool = False,
 ):
     """Run the real generalized periodic QZ iteration.
 
@@ -628,7 +629,7 @@ def pqz_real_gen_core(
     st0 = (H, Zs, jnp.zeros((n,), dt), jnp.zeros((n,), dt),
            jnp.zeros((n,), dt), jnp.zeros((n,), jnp.int32),
            jnp.int32(n - 1), jnp.int32(0), jnp.int32(ziter0), key0)
-    (H, Zs, alr, ali, be, sc, ilast, _, _, _), _ = lax.while_loop(
+    (H, Zs, alr, ali, be, sc, ilast, _, _, _), jiter = lax.while_loop(
         cond, body_guarded, (st0, jnp.int32(0)))
     ok = ilast < 0
 
@@ -638,6 +639,9 @@ def pqz_real_gen_core(
     H = H.at[0].set(H0)
     H = H.at[1:].set(jnp.triu(H[1:]))
     Zout = Zs if want_z else None
+    if with_info:
+        return H, Zout, alr, ali, be, sc, ok, {
+            "niter": jiter, "maxit": jnp.int32(maxit)}
     return H, Zout, alr, ali, be, sc, ok
 
 
@@ -671,8 +675,16 @@ def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
             return rev_alias(P) if orient == "L" else P
     else:
         H, Q = phessenberg_signed_core(A, S, want_q=want_z)
-    T, Z, alr, ali, be, sc, ok = pqz_real_gen_core(
-        H, S, Z=Q, want_z=want_z, maxitfac=maxitfac)
+    from ..config import verbosity
+    if verbosity("main") >= 1:
+        T, Z, alr, ali, be, sc, ok, info = pqz_real_gen_core(
+            H, S, Z=Q, want_z=want_z, maxitfac=maxitfac, with_info=True)
+        print(f"[pschur real gen] p={p} n={A.shape[-1]}: "
+              f"{int(info['niter'])} iterations "
+              f"(budget {int(info['maxit'])}), converged={bool(ok)}")
+    else:
+        T, Z, alr, ali, be, sc, ok = pqz_real_gen_core(
+            H, S, Z=Q, want_z=want_z, maxitfac=maxitfac)
     if not bool(ok):
         raise ConvergenceFailure(-1)
     alpha = jnp.asarray(_np.asarray(alr) + 1j * _np.asarray(ali),

@@ -90,3 +90,32 @@ def test_maxitfac_failure(rng):
     A = rng.standard_normal((2, 12, 12))
     with pytest.raises(ConvergenceFailure):
         psd.pschur(jnp.asarray(A), maxitfac=1)
+
+
+def test_want_t_false_real(rng):
+    """wantT=false fast path: eigenvalues match the full run exactly in
+    distribution (reference test/runtests.jl:102-132); the returned T stack
+    is only window-diagonal-valid, so it is not checked."""
+    A = rng.standard_normal((3, 10, 10))
+    P_full = psd.pschur(jnp.asarray(A), "R")
+    P_fast = psd.pschur(jnp.asarray(A), "R", want_t=False, want_z=False)
+    v1 = np.sort_complex(np.asarray(P_full.values))
+    v2 = np.sort_complex(np.asarray(P_fast.values))
+    scale = max(np.abs(v1).max(), 1.0)
+    assert np.abs(v1 - v2).max() < 1e-9 * scale
+
+
+def test_want_t_false_with_z(rng):
+    """want_z=True, want_t=False: Z is still the exact Schur basis (checked
+    against the full run's Z up to column signs on a distinct-eigenvalue
+    cycle is too strict; instead check orthogonality + eigenvalues)."""
+    A = rng.standard_normal((2, 8, 8))
+    P = psd.pschur(jnp.asarray(A), "R", want_t=False)
+    Z = np.asarray(P.Zs)
+    n = Z.shape[-1]
+    for l in range(Z.shape[0]):
+        assert np.abs(Z[l] @ Z[l].T - np.eye(n)).max() < 1e-12
+    P_full = psd.pschur(jnp.asarray(A), "R")
+    v1 = np.sort_complex(np.asarray(P_full.values))
+    v2 = np.sort_complex(np.asarray(P.values))
+    assert np.abs(v1 - v2).max() < 1e-9 * max(np.abs(v1).max(), 1.0)
