@@ -49,8 +49,16 @@ def phessenberg(A, S: Optional[Sequence[bool]] = None, want_q: bool = True):
     return phessenberg_signed_core(A, tuple(bool(x) for x in S), want_q=want_q)
 
 
-def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac):
-    """Right-orientation complex GPSD pipeline on a stacked cycle."""
+def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac,
+                        backend="auto"):
+    """Right-orientation complex GPSD pipeline on a stacked cycle.
+
+    backend: "complex" runs the complex128 core (exact f64; CPU-only — the
+    axon TPU has no complex dtype), "split" runs the split-complex (re, im)
+    pair core (ops/pqz_complex_split.py) that executes on the TPU, "auto"
+    picks split whenever the default JAX backend is not the CPU.
+    """
+    import jax as _jax
     p = A.shape[0]
     if orient == "L":
         A = A[::-1]
@@ -58,6 +66,10 @@ def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac):
     if not S[0]:
         raise ValueError("the leftmost signature entry must be +1 (True); "
                          "rotate the cycle so a direct factor leads")
+    if backend == "auto":
+        backend = "complex" if _jax.default_backend() == "cpu" else "split"
+    if backend == "split":
+        return _pschur_complex_split(A, S, orient, want_t, want_z, maxitfac)
     if all(S):
         H, Q = phessenberg_core(A, want_q=want_z)
     else:
@@ -82,9 +94,58 @@ def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac):
     return P
 
 
+def _pschur_complex_split(A, S, orient, want_t, want_z, maxitfac):
+    """Split-complex pipeline: (re, im) f64 pairs, executable on the TPU.
+
+    All-positive signatures reduce on-device via the split Householder
+    reduction; mixed signatures stage the Hessenberg-triangular reduction
+    through the complex128 host path (jnp.linalg.qr has no TPU complex
+    support) and run the iteration on-device.
+    """
+    import jax as _jax
+    import numpy as _np
+    from ..ops.pqz_complex_split import (phessenberg_core_split,
+                                         pqz_complex_core_split)
+    p = A.shape[0]
+    Anp = _np.asarray(A)
+    Are = jnp.asarray(_np.ascontiguousarray(Anp.real))
+    Aim = jnp.asarray(_np.ascontiguousarray(Anp.imag))
+    if all(S):
+        Hre, Him, Qre, Qim = phessenberg_core_split(Are, Aim, want_q=want_z)
+    else:
+        cpu = _jax.devices("cpu")[0]
+        with _jax.default_device(cpu):
+            H, Q = phessenberg_signed_core(jnp.asarray(Anp), S,
+                                           want_q=want_z)
+            Hn = _np.asarray(H)
+            Qn = _np.asarray(Q) if want_z else None
+        Hre = jnp.asarray(_np.ascontiguousarray(Hn.real))
+        Him = jnp.asarray(_np.ascontiguousarray(Hn.imag))
+        Qre = jnp.asarray(_np.ascontiguousarray(Qn.real)) if want_z else None
+        Qim = jnp.asarray(_np.ascontiguousarray(Qn.imag)) if want_z else None
+    out = pqz_complex_core_split(Hre, Him, S, Qre, Qim, want_z=want_z,
+                                 maxitfac=maxitfac)
+    (Tre, Tim, Zre, Zim, alr, ali, be, sc, ok) = out
+    if not bool(ok):
+        raise ConvergenceFailure(-1)
+    cpu = _jax.devices("cpu")[0]
+    T = jnp.asarray(_np.asarray(Tre) + 1j * _np.asarray(Tim), device=cpu)
+    Z = None
+    if want_z:
+        Z = jnp.asarray(_np.asarray(Zre) + 1j * _np.asarray(Zim), device=cpu)
+    alpha = jnp.asarray(_np.asarray(alr) + 1j * _np.asarray(ali), device=cpu)
+    P = GeneralizedPeriodicSchur(
+        S=S, schurindex=0, Ts=T, Zs=Z, alpha=alpha, beta=be,
+        alphascale=sc, orientation="R")
+    if orient == "L":
+        P = rev_alias(P)
+    return P
+
+
 def pschur(A, lr="R", S: Optional[Sequence[bool]] = None, *,
            want_t: bool = True, want_z: bool = True,
-           maxitfac: Optional[int] = None, aggressive: bool = False):
+           maxitfac: Optional[int] = None, aggressive: bool = False,
+           backend: str = "auto"):
     """Periodic (generalized) Schur decomposition of a matrix cycle.
 
     Args:
@@ -95,28 +156,33 @@ def pschur(A, lr="R", S: Optional[Sequence[bool]] = None, *,
          selects the generalized decomposition.
       want_t/want_z: keep the triangular/unitary factors.
       maxitfac: iteration budget factor (default 30).
+      backend: complex-input routing — "complex" (complex128 core, exact
+        f64, CPU-only: the axon TPU has no complex dtype), "split"
+        ((re, im) f64 pair core, TPU-executable), "auto" (split unless the
+        default backend is the CPU).  Ignored for real inputs.
 
     Returns:
       PeriodicSchur (S is None) or GeneralizedPeriodicSchur (S given).
     """
-    if aggressive:
-        # the reference's aggressive deflation thresholds are themselves
-        # partially implemented (it raises NotImplemented for the controlled
-        # zero shift combination, src/rgeneralized.jl:245-247)
-        from ..types import PSDNotImplemented
-        raise PSDNotImplemented("aggressive deflation thresholds")
     A = _stack(A)
     orient = _char_lr(lr)
     p = A.shape[0]
     mif = 30 if maxitfac is None else int(maxitfac)
+    if aggressive and (S is None or
+                       jnp.issubdtype(A.dtype, jnp.complexfloating)):
+        # the reference defines aggressive deflation for the real
+        # generalized decomposition only (src/rgeneralized.jl:7)
+        raise ValueError("aggressive deflation applies to the real "
+                         "generalized decomposition (real dtype + S) only")
     if jnp.issubdtype(A.dtype, jnp.complexfloating):
         if S is None:
-            gps = _pschur_complex_gen(A, (True,) * p, orient, want_t, want_z, mif)
+            gps = _pschur_complex_gen(A, (True,) * p, orient, want_t,
+                                      want_z, mif, backend=backend)
             return PeriodicSchur(Ts=gps.Ts, Zs=gps.Zs, values=gps.values,
                                  orientation=gps.orientation,
                                  schurindex=gps.schurindex)
         return _pschur_complex_gen(A, tuple(bool(x) for x in S), orient,
-                                   want_t, want_z, mif)
+                                   want_t, want_z, mif, backend=backend)
     # real dtypes
     if S is None:
         from ..ops.pqr_real import pschur_real_pipeline
@@ -125,7 +191,8 @@ def pschur(A, lr="R", S: Optional[Sequence[bool]] = None, *,
     from ..ops.pqz_real import pschur_real_gen_pipeline
     return pschur_real_gen_pipeline(A, tuple(bool(x) for x in S), orient,
                                     want_t=want_t, want_z=want_z,
-                                    maxitfac=120 if maxitfac is None else mif)
+                                    maxitfac=120 if maxitfac is None else mif,
+                                    aggressive=aggressive)
 
 
 def gpschur(As, Bs, **kwargs):

@@ -25,6 +25,27 @@ def _safe(x: FF) -> FF:
     return ff.where(ff.eq0(x), ff.full_like(x, 1.0), x)
 
 
+# Generation-input prescaling: ds arithmetic degrades once the lo components
+# (and the EFT error terms of squares) reach the f32 subnormal range —
+# measured reflector orthogonality 6e-13 at input scale 1e-25, 4e-7 at
+# 1e-30, NaN at <=1e-34, which is exactly how near-converged bulge entries
+# corrupted Z at n >= 32.  Multiplying by a power of two is EXACT on both
+# components, and tau/w/c/s are scale-invariant, so a conditional 2^96
+# scale-up restores full ds consistency for all representable inputs.
+_SCL_THRESH = 2.0 ** -40
+_SCL_UP = 2.0 ** 96
+_SCL_DOWN = 2.0 ** -96
+
+
+def _prescale(mx):
+    """(s, inv): exact power-of-two scale factor for tiny generation inputs."""
+    s = jnp.where(mx < jnp.float32(_SCL_THRESH), jnp.float32(_SCL_UP),
+                  jnp.float32(1.0))
+    inv = jnp.where(mx < jnp.float32(_SCL_THRESH), jnp.float32(_SCL_DOWN),
+                    jnp.float32(1.0))
+    return s, inv
+
+
 def _sgn_hi(x: FF):
     """Fortran SIGN convention on the hi component (sign(0) == +1)."""
     return jnp.where(x.hi >= 0, jnp.ones_like(x.hi), -jnp.ones_like(x.hi))
@@ -38,6 +59,8 @@ def reflector_ff(x: FF):
     66-108) in ds arithmetic.
     """
     k = x.hi.shape[0]
+    s_, inv_ = _prescale(jnp.max(jnp.abs(x.hi)))
+    x = FF(x.hi * s_, x.lo * s_)
     alpha = ff.index(x, 0)
     tail = ff.index(x, slice(1, k))
     # scaled tail norm
@@ -65,6 +88,7 @@ def reflector_ff(x: FF):
     tau = ff.where(trivial, ff.zeros(()), tau)
     vtail = ff.where(trivial, ff.zeros(vtail.hi.shape), vtail)
     beta = ff.where(trivial, alpha, beta)
+    beta = FF(beta.hi * inv_, beta.lo * inv_)
     w = ff.concat([ff.ff(jnp.ones((1,), jnp.float32)), vtail], 0)
     return w, tau, beta
 
@@ -86,9 +110,12 @@ def reflector3s_ff(x: FF):
     Semantics identical to :func:`reflector_ff` with a 3-slot input
     (slot 2 may be zero for the 2-element case).
     """
-    x0 = FF(x.hi[0], x.lo[0])
-    x1 = FF(x.hi[1], x.lo[1])
-    x2 = FF(x.hi[2], x.lo[2])
+    s_, inv_ = _prescale(jnp.maximum(jnp.abs(x.hi[0]),
+                                     jnp.maximum(jnp.abs(x.hi[1]),
+                                                 jnp.abs(x.hi[2]))))
+    x0 = FF(x.hi[0] * s_, x.lo[0] * s_)
+    x1 = FF(x.hi[1] * s_, x.lo[1] * s_)
+    x2 = FF(x.hi[2] * s_, x.lo[2] * s_)
     xnorm = ff.hypot2(x1, x2)
     trivial = ff.eq0(xnorm)
     beta = ff.neg(ff.copysign(ff.hypot2(x0, xnorm), x0.hi))
@@ -98,6 +125,7 @@ def reflector3s_ff(x: FF):
     v2 = ff.mul(x2, dinv)
     tau = ff.where(trivial, ff.zeros(()), tau)
     beta = ff.where(trivial, x0, beta)
+    beta = FF(beta.hi * inv_, beta.lo * inv_)
     zero = ff.zeros(())
     v1 = ff.where(trivial, zero, v1)
     v2 = ff.where(trivial, zero, v2)
@@ -170,6 +198,9 @@ def givens_ff(f: FF, g: FF):
     dlartg semantics as in ops/rotations.givens_real: g == 0 -> (1, 0, f)
     exactly; f == 0 -> (0, sign(g), |g|).
     """
+    s_, inv_ = _prescale(jnp.maximum(jnp.abs(f.hi), jnp.abs(g.hi)))
+    f = FF(f.hi * s_, f.lo * s_)
+    g = FF(g.hi * s_, g.lo * s_)
     af, ag = ff.abs_(f), ff.abs_(g)
     scale = ff.maximum(af, ag)
     sc = _safe(scale)
@@ -187,6 +218,7 @@ def givens_ff(f: FF, g: FF):
     c = ff.where(g0, one, ff.where(f0, zero, c_gen))
     s = ff.where(g0, zero, ff.where(f0, sgn_g, s_gen))
     r = ff.where(g0, f, ff.where(f0, ag, r_gen))
+    r = FF(r.hi * inv_, r.lo * inv_)
     return c, s, r
 
 

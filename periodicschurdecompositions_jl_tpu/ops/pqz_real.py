@@ -287,7 +287,8 @@ def _opening_rotations(H, S, j, ilast, key, iiter):
 # main core
 
 
-@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info"))
+@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info",
+                                   "aggressive"))
 def pqz_real_gen_core(
     H: jax.Array,
     S: Tuple[bool, ...],
@@ -296,6 +297,7 @@ def pqz_real_gen_core(
     maxitfac: int = 120,
     seed: int = 1234,
     with_info: bool = False,
+    aggressive: bool = False,
 ):
     """Run the real generalized periodic QZ iteration.
 
@@ -330,6 +332,13 @@ def pqz_real_gen_core(
         a, b, s = safeprod_signed(H[:, 0, 0], S)
         return (H, Zs if want_z else None, a[None], jnp.zeros((1,), dt),
                 b[None], s[None], jnp.asarray(True))
+
+    # aggressive deflation (reference src/rgeneralized.jl:7,54,192-246):
+    # the adaptive neighbor-based negligibility tolerances are replaced by a
+    # FIXED per-factor threshold max(safmin, ||H[l]||_1 * ulp)
+    safmin = unfl
+    hnorms_in = jnp.max(jnp.sum(jnp.abs(H), axis=1), axis=1)  # (p,) 1-norms
+    agg_tol = jnp.maximum(safmin, hnorms_in * ulp)
 
     from .pqz_deflate import make_deflate_cores
     pos_core, neg_core, czshift_core = make_deflate_cores(
@@ -395,6 +404,12 @@ def pqz_real_gen_core(
 
     def act_czshift(st, info):
         H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        if aggressive:
+            # the reference NotImplements the aggressive controlled-zero-
+            # shift combination (src/rgeneralized.jl:245-247); bail with a
+            # sentinel the pipeline converts into PSDNotImplemented
+            return (H, Z, alr, ali, be, sc, jnp.int32(-5), iiter, ziter,
+                    key)
         H, Z, zflag = czshift_core(H, Z, info["jlo"], ilast)
         ziter = jnp.where(zflag, jnp.int32(1), jnp.int32(0))
         return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
@@ -568,9 +583,12 @@ def pqz_real_gen_core(
         # Test 1
         d0 = jnp.diagonal(H[0])
         sub0 = jnp.concatenate([jnp.zeros((1,), dt), jnp.diagonal(H[0], -1)])
-        tol1 = jnp.abs(jnp.concatenate([jnp.zeros((1,), dt), d0[:-1]])) + \
-            jnp.abs(d0)
-        tol1 = jnp.maximum(ulp * tol1, smlnum)
+        if aggressive:
+            tol1 = jnp.broadcast_to(agg_tol[0], (n,))
+        else:
+            tol1 = jnp.abs(jnp.concatenate([jnp.zeros((1,), dt),
+                                            d0[:-1]])) + jnp.abs(d0)
+            tol1 = jnp.maximum(ulp * tol1, smlnum)
         neg1 = (jnp.abs(sub0) <= tol1) & (iv >= 1) & (iv <= ilast)
         any1 = jnp.any(neg1)
         jstar = jnp.max(jnp.where(neg1, iv, -1))
@@ -631,7 +649,8 @@ def pqz_real_gen_core(
            jnp.int32(n - 1), jnp.int32(0), jnp.int32(ziter0), key0)
     (H, Zs, alr, ali, be, sc, ilast, _, _, _), jiter = lax.while_loop(
         cond, body_guarded, (st0, jnp.int32(0)))
-    ok = ilast < 0
+    czbail = ilast == -5
+    ok = (ilast < 0) & (~czbail)
 
     # scrub: zero subdiagonals under real eigenvalues; triangularize others
     sub = jnp.diagonal(H[0], -1) * jnp.where(ali[:-1] == 0, 0.0, 1.0)
@@ -639,15 +658,22 @@ def pqz_real_gen_core(
     H = H.at[0].set(H0)
     H = H.at[1:].set(jnp.triu(H[1:]))
     Zout = Zs if want_z else None
+    extra = (czbail,) if aggressive else ()
     if with_info:
-        return H, Zout, alr, ali, be, sc, ok, {
-            "niter": jiter, "maxit": jnp.int32(maxit)}
-    return H, Zout, alr, ali, be, sc, ok
+        return (H, Zout, alr, ali, be, sc, ok) + extra + (
+            {"niter": jiter, "maxit": jnp.int32(maxit)},)
+    return (H, Zout, alr, ali, be, sc, ok) + extra
 
 
 def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
-                             maxitfac=120):
-    """Full real GPSD: reduction + iteration + packaging."""
+                             maxitfac=120, aggressive=False):
+    """Full real GPSD: reduction + iteration + packaging.
+
+    aggressive: use fixed per-factor deflation thresholds
+    max(safmin, ||H[l]||_1 * ulp) instead of the adaptive neighbor-based
+    ones (reference src/rgeneralized.jl:7,54).  Like the reference, the
+    combination with the controlled zero shift raises PSDNotImplemented
+    (:245-247)."""
     import numpy as _np
     from .hessenberg import phessenberg_core, phessenberg_signed_core
     from .pqr_real import pqr_real_core
@@ -657,6 +683,9 @@ def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
         S = tuple(reversed(S))
     if not S[0]:
         raise ValueError("the leftmost signature entry must be +1 (True)")
+    if aggressive and p == 1:
+        from ..types import PSDNotImplemented
+        raise PSDNotImplemented("aggressive deflation with p == 1")
     if p == 1 or all(S):
         H, Q = phessenberg_core(A, want_q=want_z)
         if p == 1:
@@ -676,15 +705,29 @@ def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
     else:
         H, Q = phessenberg_signed_core(A, S, want_q=want_z)
     from ..config import verbosity
+    czbail = False
     if verbosity("main") >= 1:
-        T, Z, alr, ali, be, sc, ok, info = pqz_real_gen_core(
-            H, S, Z=Q, want_z=want_z, maxitfac=maxitfac, with_info=True)
+        out = pqz_real_gen_core(H, S, Z=Q, want_z=want_z, maxitfac=maxitfac,
+                                with_info=True, aggressive=aggressive)
+        if aggressive:
+            T, Z, alr, ali, be, sc, ok, czbail, info = out
+        else:
+            T, Z, alr, ali, be, sc, ok, info = out
         print(f"[pschur real gen] p={p} n={A.shape[-1]}: "
               f"{int(info['niter'])} iterations "
               f"(budget {int(info['maxit'])}), converged={bool(ok)}")
     else:
-        T, Z, alr, ali, be, sc, ok = pqz_real_gen_core(
-            H, S, Z=Q, want_z=want_z, maxitfac=maxitfac)
+        out = pqz_real_gen_core(H, S, Z=Q, want_z=want_z, maxitfac=maxitfac,
+                                aggressive=aggressive)
+        if aggressive:
+            T, Z, alr, ali, be, sc, ok, czbail = out
+        else:
+            T, Z, alr, ali, be, sc, ok = out
+    if bool(czbail):
+        from ..types import PSDNotImplemented
+        raise PSDNotImplemented(
+            "controlled zero shift with aggressive deflation "
+            "(reference src/rgeneralized.jl:245-247)")
     if not bool(ok):
         raise ConvergenceFailure(-1)
     alpha = jnp.asarray(_np.asarray(alr) + 1j * _np.asarray(ali),

@@ -70,3 +70,44 @@ def safeprod_signed(x, S: Sequence[bool]) -> Tuple[jnp.ndarray, jnp.ndarray, jnp
 def safeprod(x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Scaled product of all entries (all-positive signature)."""
     return safeprod_signed(x, (True,) * int(x.shape[0]))
+
+
+def safeprod_signed_split(xre, xim, S) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                jnp.ndarray, jnp.ndarray]:
+    """Split-complex ``safeprod_signed``: complex input as (re, im) pairs.
+
+    The axon TPU has no complex dtype; the split QZ core
+    (ops/pqz_complex_split.py) accumulates its eigenvalue products through
+    this variant.  Returns (alpha_re, alpha_im, beta, scale).
+    """
+    p = xre.shape[0]
+    assert len(S) == p
+    rdt = xre.dtype
+    ar = jnp.ones((), rdt)
+    ai = jnp.zeros((), rdt)
+    beta = jnp.ones((), rdt)
+    scale = jnp.zeros((), jnp.int32)
+    for l in range(p):
+        xr, xi = xre[l], xim[l]
+        if S[l]:
+            ar, ai = ar * xr - ai * xi, ar * xi + ai * xr
+        else:
+            iszero = (xr == 0) & (xi == 0)
+            beta = jnp.where(iszero, jnp.zeros_like(beta), beta)
+            d = xr * xr + xi * xi
+            ds = jnp.where(iszero, jnp.ones_like(d), d)
+            nr = (ar * xr + ai * xi) / ds
+            ni = (ai * xr - ar * xi) / ds
+            ar = jnp.where(iszero, ar, nr)
+            ai = jnp.where(iszero, ai, ni)
+        # renorm |alpha| into [1, 2)
+        mag = jnp.hypot(ar, ai)
+        _, e = jnp.frexp(jnp.where(mag == 0, jnp.ones_like(mag), mag))
+        k = (1 - e).astype(jnp.int32)
+        ar2, ai2 = jnp.ldexp(ar, k), jnp.ldexp(ai, k)
+        scale2 = scale + (e - 1).astype(jnp.int32)
+        iszero = mag == 0
+        ar = jnp.where(iszero, jnp.zeros_like(ar), ar2)
+        ai = jnp.where(iszero, jnp.zeros_like(ai), ai2)
+        scale = jnp.where(iszero, jnp.zeros_like(scale), scale2)
+    return ar, ai, beta, scale

@@ -111,3 +111,103 @@ class TestOrdschurReal:
         assert ok, rep
         v2 = np.asarray(P2.values)
         assert abs(v2[0].imag) > 1e-8 and abs(v2[1].imag) > 1e-8
+
+
+# ---------------------------------------------------------------------------
+# Isolated-L3 fixture (reference mkrps, test/ordschur.jl:62-125): plant
+# conjugate pairs directly in (T, Z) space so ordschur is tested WITHOUT
+# running pschur — a reorder bug cannot hide behind core behavior.
+
+
+def mkrps(rng, n, p, jcs, nnfac=1e-2):
+    """Synthetic decomposition with conjugate pairs at 0-based positions
+    ``jcs`` (each j in jcs pairs rows (j-1, j)).  Returns (P, A) in right
+    orientation, schurindex 0."""
+    from periodicschurdecompositions_jl_tpu.types import PeriodicSchur
+    T = np.zeros((p, n, n))
+    T[0] = np.triu(nnfac * rng.random((n, n)))
+    for l in range(1, p):
+        T[l] = np.triu(nnfac * rng.random((n, n)))
+    lam = np.zeros(n, complex)
+    jj = 0
+    mu = 1.0
+    for j in range(n):
+        if j in jcs:
+            T[0][j, j - 1] = mu
+            T[0][j - 1, j] = -mu
+            lam[j] = 2.0 ** (2 * jj) * (1 - 1j)
+            lam[j - 1] = 2.0 ** (2 * jj) * (1 + 1j)
+            for l in range(1, p):
+                # eigvals are very sensitive to these entries (ref :80)
+                T[l][j - 1, j] = 0.0
+        else:
+            jj += 1
+            mu = 2.0 ** (2 * jj / p)
+            lam[j] = 2.0 ** (2 * jj)
+        T[0][j, j] = mu
+        for l in range(1, p):
+            T[l][j, j] = mu
+    Z = []
+    for l in range(p):
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        Z.append(q)
+    Z = np.stack(Z)
+    A = np.stack([Z[l] @ T[l] @ Z[(l + 1) % p].T for l in range(p)])
+    P = PeriodicSchur(Ts=jnp.asarray(T), Zs=jnp.asarray(Z),
+                      values=jnp.asarray(lam), orientation="R", schurindex=0)
+    return P, A
+
+
+class TestMkrpsFixture:
+    def test_fixture_valid(self, rng):
+        P, A = mkrps(rng, 8, 3, jcs=(3, 7))
+        ok, rep = check_psd(P, A, tol=2000.0)
+        assert ok, rep
+
+    @pytest.mark.parametrize("jcs,select", [
+        ((3, 7), [False, False, True, True, False, False, False, False]),
+        ((3, 7), [False, False, False, False, False, False, True, True]),
+        ((3,), [False, False, False, True, False, True, False, False]),
+        ((5,), [False, False, False, False, True, False, False, True]),
+    ])
+    def test_reorder_planted_pairs(self, rng, jcs, select):
+        P, A = mkrps(rng, 8, 3, jcs=jcs)
+        _check_reorder(A, P, select, tol=1e-7)
+
+    def test_pair_widening(self, rng):
+        """Selecting half a conjugate pair must widen over the pair
+        (reference src/rordschur.jl:40-75)."""
+        P, A = mkrps(rng, 8, 2, jcs=(3,))
+        select = [False, False, False, True, False, False, False, False]
+        P2 = ordschur(P, select)
+        ok, rep = check_psd(P2, A, tol=2000.0)
+        assert ok, rep
+        top = np.asarray(P2.values)[:2]
+        assert abs(top[0] - np.conj(top[1])) < 1e-6 * abs(top[0])
+
+    def test_single_factor(self, rng):
+        P, A = mkrps(rng, 6, 1, jcs=(3,))
+        _check_reorder(A, P, [False, False, True, True, False, False],
+                       tol=1e-7)
+
+    def test_ill_conditioned_swap_raises(self, rng):
+        """A swap across (numerically) identical eigenvalues with strong
+        coupling must be rejected, not silently corrupted (reference
+        src/sylswap.jl weak/strong tests -> IllConditionedException)."""
+        from periodicschurdecompositions_jl_tpu.types import (
+            IllConditionedException, PeriodicSchur)
+        n, p = 4, 2
+        T = np.zeros((p, n, n))
+        for l in range(p):
+            T[l] = np.eye(n)
+        # identical adjacent eigenvalues with O(1) coupling: the periodic
+        # Sylvester system is singular -> stability tests must reject
+        T[0][1, 2] = 1.0
+        Z = np.stack([np.eye(n) for _ in range(p)])
+        A = np.stack([Z[l] @ T[l] @ Z[(l + 1) % p].T for l in range(p)])
+        lam = np.ones(n, complex)
+        P = PeriodicSchur(Ts=jnp.asarray(T), Zs=jnp.asarray(Z),
+                          values=jnp.asarray(lam), orientation="R",
+                          schurindex=0)
+        with pytest.raises(IllConditionedException):
+            ordschur(P, [False, False, True, False])

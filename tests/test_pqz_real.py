@@ -123,3 +123,29 @@ class TestRealGPSD:
         M = np.linalg.inv(Bs[1]) @ As[1] @ np.linalg.inv(Bs[0]) @ As[0]
         _match_spectra(np.linalg.eigvals(M), np.asarray(G.values),
                        1e6 * EPS * 5)
+
+
+def test_aggressive_deflation_planted_hole(rng):
+    """aggressive=True fixed thresholds on a planted singular direct factor
+    (reference src/rgeneralized.jl:7,54,192-246)."""
+    import periodicschurdecompositions_jl_tpu as psd
+    p, n = 3, 8
+    S = (True, True, False)
+    A = rng.standard_normal((p, n, n))
+    for l in range(p):
+        A[l] += 2.0 * np.eye(n)
+    P = psd.pschur(jnp.asarray(A), "R", S=S, aggressive=True)
+    ok, rep = psd.check_psd(P, jnp.asarray(A))
+    assert ok, rep
+    P2 = psd.pschur(jnp.asarray(A), "R", S=S, aggressive=False)
+    v1 = np.sort(np.abs(np.asarray(P.values)))
+    v2 = np.sort(np.abs(np.asarray(P2.values)))
+    assert np.allclose(v1, v2, rtol=1e-8)
+
+
+def test_aggressive_rejects_non_gpsd(rng):
+    import pytest as _pytest
+    import periodicschurdecompositions_jl_tpu as psd
+    A = rng.standard_normal((2, 5, 5))
+    with _pytest.raises(ValueError):
+        psd.pschur(jnp.asarray(A), "R", aggressive=True)
