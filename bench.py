@@ -1,15 +1,22 @@
-"""Flagship benchmark: real periodic Schur decomposition on the TPU chip.
+"""Flagship benchmark: real periodic Schur decomposition, N=512, p=16.
 
 Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
 
-The reference publishes no wall-clock numbers (BASELINE.md), and Julia is not
-available in this image, so the recorded baseline is the same jitted pipeline
-executed on the host CPU backend (true float64) — ``vs_baseline`` =
-cpu_seconds / tpu_seconds.  Values > 1 mean the TPU beats the host CPU.
+TPU side: the float-float production pipeline (ops/hessenberg_ff +
+ops/pqr_ff with the fused Pallas sweep kernels) on the one real chip.
 
-Accuracy is also measured (max per-factor backward error); it is printed on
-stderr for the record but does not affect the JSON line.
+Baseline: the reference publishes no wall-clock numbers (BASELINE.md) and
+Julia is not in this image, so the baseline is the repo's native C++
+implementation of the reference's scalar algorithm shape (native/
+pschur_cpu.cpp: MB03VD-style reduction + MB03WD-style double-shift periodic
+QR, -O3, single core — the same scalar formulation the reference executes;
+methodology documented in BASELINE.md).  ``vs_baseline`` =
+cpp_seconds / tpu_seconds; > 1 means the TPU pipeline beats the native CPU
+implementation.
+
+Accuracy (max per-factor backward error) is printed on stderr for the
+record; the ds pipeline's contract is <= 1e-12 relative.
 """
 from __future__ import annotations
 
@@ -19,79 +26,92 @@ import time
 
 import numpy as np
 
-# benchmark configuration (headline target is N=512, p=16; start where the
-# current kernels terminate in minutes and scale up as perf passes land)
-P_CYCLE = 8
-N = 128
+P_CYCLE = 16
+N = 512
 MAXITFAC = 40
 
 
-def _run(device, A_np):
+def _tpu_run(A_np):
     import jax
     import jax.numpy as jnp
-    from periodicschurdecompositions_jl_tpu.ops.hessenberg import phessenberg_core
-    from periodicschurdecompositions_jl_tpu.ops.pqr_real import pqr_real_core
+    from periodicschurdecompositions_jl_tpu.ops import ff
+    from periodicschurdecompositions_jl_tpu.ops.hessenberg_ff import (
+        phessenberg_core_ff)
+    from periodicschurdecompositions_jl_tpu.ops.pqr_ff import pqr_real_core_ff
 
-    def pipeline(A):
-        H, Q = phessenberg_core(A, want_q=True)
-        return pqr_real_core(H, Z=Q, want_z=True, maxitfac=MAXITFAC)
+    tpu = jax.devices()[0]
 
-    # warmup (compile) on a scaled copy; NOTE block_until_ready is unreliable
-    # under the axon remote runtime, so all timings force a host transfer of
-    # the results, and the measured run uses fresh input data to defeat any
-    # content-addressed execution caching.
-    A = jax.device_put(jnp.asarray(A_np * 0.5), device)
-    out = pipeline(A)
+    @jax.jit
+    def pipeline(Ahi, Alo):
+        Hhi, Hlo, QThi, QTlo = phessenberg_core_ff(Ahi, Alo, want_q=True)
+        return pqr_real_core_ff(Hhi, Hlo, QThi, QTlo, want_z=True,
+                                maxitfac=MAXITFAC)
+
+    def split(x):
+        f = ff.from_f64(jnp.asarray(x))
+        return jax.device_put(f.hi, tpu), jax.device_put(f.lo, tpu)
+
+    # compile + warm up on scaled data; the measured run uses fresh inputs
+    # (defeats any content-addressed caching) and forces host transfers
+    # (block_until_ready is unreliable under the axon remote runtime).
+    hi, lo = split(A_np * 0.5)
+    out = pipeline(hi, lo)
     _ = np.asarray(out[0])
-    A = jax.device_put(jnp.asarray(A_np), device)
+    hi, lo = split(A_np)
     t0 = time.time()
-    out = pipeline(A)
-    _ = np.asarray(out[0]), np.asarray(out[1])
+    out = pipeline(hi, lo)
+    (Thi, Tlo, ZThi, ZTlo, wrh, wrl, wih, wil, ok) = out
+    T = np.asarray(Thi, np.float64) + np.asarray(Tlo, np.float64)
+    Z = np.swapaxes(np.asarray(ZThi, np.float64) +
+                    np.asarray(ZTlo, np.float64), 1, 2)
     dt = time.time() - t0
-    ok = bool(out[4])
-    return dt, out, ok
+    return dt, T, Z, bool(ok)
+
+
+def _cpp_run(A_np):
+    from periodicschurdecompositions_jl_tpu import native
+    if not native.available():
+        return None
+    t0 = time.time()
+    T, Z, wr, wi = native.pschur_real_cpu(A_np, maxitfac=MAXITFAC)
+    return time.time() - t0
+
+
+def _backerr(A_np, T, Z):
+    p = T.shape[0]
+    worst = 0.0
+    scale = np.abs(A_np).max()
+    for l in range(p):
+        Ax = Z[l] @ T[l] @ Z[(l + 1) % p].T
+        worst = max(worst, np.abs(Ax - A_np[l]).max() / scale)
+    return worst
 
 
 def main():
-    import jax
-
     rng = np.random.default_rng(12345)
     A_np = rng.standard_normal((P_CYCLE, N, N))
 
-    tpu = jax.devices()[0]
-    cpu = jax.devices("cpu")[0]
+    t_tpu, T, Z, ok = _tpu_run(A_np)
+    err = _backerr(A_np, T, Z)
+    print(f"[bench] pschur_real ds p={P_CYCLE} n={N}: tpu {t_tpu:.2f}s "
+          f"(ok={ok}, backerr {err:.2e})", file=sys.stderr)
 
-    t_tpu, out_tpu, ok_tpu = _run(tpu, A_np)
-    t_cpu, out_cpu, ok_cpu = _run(cpu, A_np)
-    t_f32, out_f32, ok_f32 = _run(tpu, A_np.astype(np.float32))
-
-    # backward error on each backend
-    def backerr(out):
-        T = np.asarray(out[0])
-        Z = np.asarray(out[1])
-        p = T.shape[0]
-        worst = 0.0
-        for l in range(p):
-            Ax = Z[l] @ T[l] @ Z[(l + 1) % p].T
-            worst = max(worst, np.abs(Ax - A_np[l]).max() / np.abs(A_np[l]).max())
-        return worst
-
-    err_tpu = backerr(out_tpu)
-    err_cpu = backerr(out_cpu)
-    err_f32 = backerr(out_f32)
-    print(
-        f"[bench] pschur_real p={P_CYCLE} n={N}: tpu-f64 {t_tpu:.2f}s "
-        f"(ok={ok_tpu}, backerr {err_tpu:.2e}) | cpu-f64 {t_cpu:.2f}s "
-        f"(ok={ok_cpu}, backerr {err_cpu:.2e}) | tpu-f32 {t_f32:.2f}s "
-        f"(ok={ok_f32}, backerr {err_f32:.2e})",
-        file=sys.stderr,
-    )
+    t_cpp = _cpp_run(A_np)
+    if t_cpp is not None:
+        print(f"[bench] native C++ baseline (1 core): {t_cpp:.2f}s",
+              file=sys.stderr)
+        vs = t_cpp / t_tpu
+    else:
+        print("[bench] native baseline unavailable; vs_baseline=0",
+              file=sys.stderr)
+        vs = 0.0
 
     print(json.dumps({
-        "metric": f"pschur_real wall-clock p={P_CYCLE} n={N} f64 (steady, one TPU chip)",
+        "metric": (f"pschur_real wall-clock p={P_CYCLE} n={N} float-float "
+                   f"(one TPU chip, vs native C++ single-core baseline)"),
         "value": round(t_tpu, 3),
         "unit": "s",
-        "vs_baseline": round(t_cpu / t_tpu, 4),
+        "vs_baseline": round(vs, 4),
     }))
 
 

@@ -74,3 +74,30 @@ psd.save_decomposition("/tmp/psd_demo.npz", P2)
 P3 = psd.load_decomposition("/tmp/psd_demo.npz")
 print("save/load round-trip:",
       bool(np.allclose(np.asarray(P2.Ts), np.asarray(P3.Ts))))
+
+# --- round-2 features --------------------------------------------------------
+# split-complex backend: complex problems on a chip with no complex dtype
+Ac = jnp.asarray(rng.standard_normal((3, 8, 8)) +
+                 1j * rng.standard_normal((3, 8, 8)))
+Pc = psd.pschur(Ac, "R", backend="split")   # "auto" picks this off-CPU
+okc, _ = psd.check_psd(Pc, np.asarray(Ac))
+print(f"split-complex backend: verified={okc}")
+
+# aggressive deflation thresholds for the real generalized decomposition
+Gagg = psd.pschur(B, "R", S=S, aggressive=True)
+print("aggressive deflation: verified=",
+      psd.check_psd(Gagg, np.asarray(B))[0])
+
+# native C++ host backend (exact f64; also the bench baseline)
+from periodicschurdecompositions_jl_tpu import native
+if native.available():
+    Tn, Zn, wr, wi = native.pschur_real_cpu(np.asarray(A))
+    wn = np.sort(np.abs(wr + 1j * wi))
+    wj = np.sort(np.abs(vals))
+    print(f"native C++ backend: max |lambda| diff vs JAX core = "
+          f"{np.abs(wn - wj).max():.2e}")
+
+# iteration counters at verbosity >= 1
+psd.setverbosity(1)
+_ = psd.pschur(A, "R", want_t=False, want_z=False)
+psd.setverbosity(0)

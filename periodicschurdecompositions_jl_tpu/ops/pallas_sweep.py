@@ -68,14 +68,52 @@ def _i2_flat():
     return jnp.stack([one, z, z, one, z, z, z, z])
 
 
+# Mosaic constraint: when the lane dimension spans more than one 128-tile
+# (N > 128), a dynamic SUBLANE start must be provably a multiple of 8
+# ("cannot statically prove that index in dimension 1 is a multiple of 8").
+# For those sizes every row-slab access goes through an 8-aligned 16-row
+# block with masked in-block extraction/insertion (exact: 0/1 masks); the
+# wrapper pads N so the blocks always fit (see chase_sweep_ff).
+
+
 def _read_rows(hi_ref, lo_ref, f, k, r):
-    return FF(hi_ref[f, pl.ds(k, r), :], lo_ref[f, pl.ds(k, r), :])
+    lanes = hi_ref.shape[-1]
+    if lanes <= 128:
+        return FF(hi_ref[f, pl.ds(k, r), :], lo_ref[f, pl.ds(k, r), :])
+    k8 = pl.multiple_of(k & jnp.int32(-8), 8)
+    o = k - k8
+    bh = hi_ref[f, pl.ds(k8, 16), :]
+    bl = lo_ref[f, pl.ds(k8, 16), :]
+    sub = lax.broadcasted_iota(jnp.int32, bh.shape, 0)
+    z = jnp.float32(0.0)
+    hs, ls = [], []
+    for a in range(r):
+        # jnp.where, NOT bool.astype: the Mosaic convert lowering recurses
+        # on bool->float (same footgun as int64 converts, see _band_col_apply)
+        msk = sub == o + a
+        hs.append(jnp.sum(jnp.where(msk, bh, z), axis=0))
+        ls.append(jnp.sum(jnp.where(msk, bl, z), axis=0))
+    return FF(jnp.stack(hs), jnp.stack(ls))
 
 
 def _write_rows(hi_ref, lo_ref, f, k, vals: FF):
     r = vals.hi.shape[0]
-    hi_ref[f, pl.ds(k, r), :] = vals.hi
-    lo_ref[f, pl.ds(k, r), :] = vals.lo
+    lanes = hi_ref.shape[-1]
+    if lanes <= 128:
+        hi_ref[f, pl.ds(k, r), :] = vals.hi
+        lo_ref[f, pl.ds(k, r), :] = vals.lo
+        return
+    k8 = pl.multiple_of(k & jnp.int32(-8), 8)
+    o = k - k8
+    bh = hi_ref[f, pl.ds(k8, 16), :]
+    bl = lo_ref[f, pl.ds(k8, 16), :]
+    sub = lax.broadcasted_iota(jnp.int32, bh.shape, 0)
+    for a in range(r):
+        msk = sub == o + a
+        bh = jnp.where(msk, vals.hi[a][None, :], bh)
+        bl = jnp.where(msk, vals.lo[a][None, :], bl)
+    hi_ref[f, pl.ds(k8, 16), :] = bh
+    lo_ref[f, pl.ds(k8, 16), :] = bl
 
 
 def _lane_iota(shape, dim=1):
@@ -97,18 +135,35 @@ def _lane_force(rows: FF, j, vals: FF, active) -> FF:
               jnp.where(mask, vals.lo[:, None], rows.lo))
 
 
+def _read_rows_raw(hi_ref, lo_ref, f, k, r):
+    return FF(hi_ref[f, pl.ds(k, r), :], lo_ref[f, pl.ds(k, r), :])
+
+
+def _write_rows_raw(hi_ref, lo_ref, f, k, vals: FF):
+    r = vals.hi.shape[0]
+    hi_ref[f, pl.ds(k, r), :] = vals.hi
+    lo_ref[f, pl.ds(k, r), :] = vals.lo
+
+
 def _band_col_apply(hi_ref, lo_ref, g, k, M: FF, width: int, N: int):
     """C[g][k-2:k+6, k:k+width] <- C[g][.., k:k+width] @ M  (lane-masked).
 
     Maintains the working copy's band under a right-side transform; only
     the 8 rows a later reflector generation can read need to be current.
     """
-    W = min(8, N)
     # NOT jnp.clip: its python-int bounds become int64 under x64, and any
     # int64 in a Mosaic kernel sends the convert lowering into infinite
     # recursion
-    rb = jnp.maximum(jnp.int32(0), jnp.minimum(k - 2, jnp.int32(N - W)))
-    slab = _read_rows(hi_ref, lo_ref, g, rb, W)
+    if N <= 128:
+        W = min(8, N)
+        rb = jnp.maximum(jnp.int32(0), jnp.minimum(k - 2, jnp.int32(N - W)))
+    else:
+        # aligned 16-row slab covering rows k-2..k+5 (the maintained band);
+        # extra rows get the same (mathematically exact) column transform
+        W = 16
+        rb = pl.multiple_of(
+            jnp.maximum(jnp.int32(0), k - 2) & jnp.int32(-8), 8)
+    slab = _read_rows_raw(hi_ref, lo_ref, g, rb, W)
     cols = [_lane_extract(slab, k + c) for c in range(width)]
     it = _lane_iota(slab.hi.shape)
     new_hi, new_lo = slab.hi, slab.lo
@@ -119,7 +174,7 @@ def _band_col_apply(hi_ref, lo_ref, g, k, M: FF, width: int, N: int):
         mask = it == (k + c)
         new_hi = jnp.where(mask, acc.hi[:, None], new_hi)
         new_lo = jnp.where(mask, acc.lo[:, None], new_lo)
-    _write_rows(hi_ref, lo_ref, g, rb, FF(new_hi, new_lo))
+    _write_rows_raw(hi_ref, lo_ref, g, rb, FF(new_hi, new_lo))
 
 
 def _flat_mat(M: FF, n2: int):
@@ -278,23 +333,49 @@ def _make_apply_kernel(p: int, N: int, want_z: bool):
             q = s * k + r
             return X[:, q:q + 1]
 
-        rows = FF(hi_ref[:, pl.ds(kk, k), :], lo_ref[:, pl.ds(kk, k), :])
+        lanes = hi_ref.shape[-1]
+        if lanes <= 128:
+            rows = FF(hi_ref[:, pl.ds(kk, k), :],
+                      lo_ref[:, pl.ds(kk, k), :])
+            rs = [FF(rows.hi[:, s, :], rows.lo[:, s, :]) for s in range(k)]
+        else:
+            # aligned 16-row block + masked extraction (Mosaic requires
+            # provably 8-aligned dynamic sublane starts once N > 128)
+            kk8 = pl.multiple_of(kk & jnp.int32(-8), 8)
+            o = kk - kk8
+            blk = FF(hi_ref[:, pl.ds(kk8, 16), :],
+                     lo_ref[:, pl.ds(kk8, 16), :])
+            sub = lax.broadcasted_iota(jnp.int32, blk.hi.shape, 1)
+            zf = jnp.float32(0.0)
+            rs = []
+            for s in range(k):
+                msk = sub == o + s
+                rs.append(FF(jnp.sum(jnp.where(msk, blk.hi, zf), axis=1),
+                             jnp.sum(jnp.where(msk, blk.lo, zf), axis=1)))
         outs = []
         for r in range(k):  # out_r = sum_s M[:, s, r] * rows[:, s]  (M^T @)
-            acc = ff.mul(FF(_el(M.hi, 0, r), _el(M.lo, 0, r)),
-                         FF(rows.hi[:, 0, :], rows.lo[:, 0, :]))
+            acc = ff.mul(FF(_el(M.hi, 0, r), _el(M.lo, 0, r)), rs[0])
             for s in range(1, k):
                 acc = ff.add(acc, ff.mul(
-                    FF(_el(M.hi, s, r), _el(M.lo, s, r)),
-                    FF(rows.hi[:, s, :], rows.lo[:, s, :])))
+                    FF(_el(M.hi, s, r), _el(M.lo, s, r)), rs[s]))
             outs.append(acc)
-        new = ff.stack(outs, 1)
         if hi_lane is not None:
-            lane = _lane_iota(new.hi.shape, 2)
-            new = FF(jnp.where(lane <= hi_lane, new.hi, rows.hi),
-                     jnp.where(lane <= hi_lane, new.lo, rows.lo))
-        hi_ref[:, pl.ds(kk, k), :] = new.hi
-        lo_ref[:, pl.ds(kk, k), :] = new.lo
+            lane = _lane_iota(outs[0].hi.shape, 1)
+            outs = [FF(jnp.where(lane <= hi_lane, outs[s].hi, rs[s].hi),
+                       jnp.where(lane <= hi_lane, outs[s].lo, rs[s].lo))
+                    for s in range(k)]
+        if lanes <= 128:
+            new = ff.stack(outs, 1)
+            hi_ref[:, pl.ds(kk, k), :] = new.hi
+            lo_ref[:, pl.ds(kk, k), :] = new.lo
+        else:
+            bh, bl = blk.hi, blk.lo
+            for s in range(k):
+                msk = sub == o + s
+                bh = jnp.where(msk, outs[s].hi[:, None, :], bh)
+                bl = jnp.where(msk, outs[s].lo[:, None, :], bl)
+            hi_ref[:, pl.ds(kk8, 16), :] = bh
+            lo_ref[:, pl.ds(kk8, 16), :] = bl
 
     def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0, R1,
                oHThi, oHTlo, oZThi, oZTlo):

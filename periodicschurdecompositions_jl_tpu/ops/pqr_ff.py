@@ -138,8 +138,14 @@ def pqr_real_core_ff(
     hnorms = ulp * n * jnp.max(
         jnp.sum(jnp.abs(Hhi.astype(jnp.float32)), axis=1), axis=1)
 
-    # ghost-pad by one row/col
-    N = n + 1
+    # ghost-pad by one row/col; past one lane tile (N > 128) the Pallas
+    # kernels switch to 8-aligned 16-row slab accesses (Mosaic requires
+    # provably aligned dynamic sublane starts there), which needs N to be a
+    # multiple of 8 with >= 15 rows of slack beyond any accessed row
+    if n + 1 <= 128:
+        N = n + 1
+    else:
+        N = ((n + 16 + 7) // 8) * 8
     def _pad(x):
         return jnp.zeros((p, N, N), jnp.float32).at[:, :n, :n].set(x)
     H = FF(_pad(Hhi), _pad(Hlo))

@@ -416,7 +416,14 @@ def swapadjqr(T: List[np.ndarray], Z, S, i1, p1, p2, tol=100.0) -> bool:
             _, Hq = phess2x2(blocks, S)
             for l in range(k):
                 lp = (l - 1) % k
-                q = Hq[l]
+                # phess2x2's slot transforms satisfy u_l = Hq[l]^H in this
+                # function's slot convention (left orientation: u_l acts on
+                # the right of factor l and as u_l^H on the left of factor
+                # l-1); applying Hq[l] untransposed rotates the wrong way,
+                # leaves the 2x2 diagonal blocks of the triangular factors
+                # non-triangular, and the final triu scrub then silently
+                # corrupts the decomposition (caught by the mkrps fixture)
+                q = Hq[l].conj().T
                 if S[l]:
                     Txx[l][:, j0:j0 + 2] = Txx[l][:, j0:j0 + 2] @ q
                 else:
@@ -426,6 +433,14 @@ def swapadjqr(T: List[np.ndarray], Z, S, i1, p1, p2, tol=100.0) -> bool:
                 else:
                     Txx[lp][:, j0:j0 + 2] = Txx[lp][:, j0:j0 + 2] @ q
                 Ws[l][:, j0:j0 + 2] = Ws[l][:, j0:j0 + 2] @ q
+
+    # structural test: the triangular factors' windows must actually be
+    # triangular now (the scrub below deletes anything left; deleting more
+    # than roundoff would corrupt the decomposition, so reject instead)
+    junk = max(np.abs(np.tril(Txx[l], -1)).max() for l in range(1, k)) \
+        if k > 1 else 0.0
+    if junk > 10 * thresh:
+        return False
 
     # strong test: reconstruct original window
     ss = 0.0

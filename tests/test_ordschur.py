@@ -14,10 +14,26 @@ def _sorted_key(z):
     return (abs(z), abs(np.angle(z)))
 
 
+def _widen_pairs(values, select):
+    """Mirror ordschur's conjugate-pair widening so the expected top group
+    has the right width (reference src/rordschur.jl:40-75)."""
+    sel = list(bool(x) for x in select)
+    vals = np.asarray(values)
+    for j, s in enumerate(list(sel)):
+        if s and abs(vals[j].imag) > 0:
+            for kk in (j - 1, j + 1):
+                if 0 <= kk < len(sel) and abs(
+                        vals[kk] - np.conj(vals[j])) <= 1e-6 * abs(vals[j]):
+                    sel[kk] = True
+    return sel
+
+
 def _check_reorder(A, P, select, S=None, lr="R", tol=1e-6):
     """Reorder; verify decomposition still checks out and the selected
-    eigenvalues (as a multiset) lead the new spectrum."""
-    want = np.asarray(P.values)[np.asarray(select)]
+    eigenvalues (as a multiset, widened over conjugate pairs) lead the new
+    spectrum."""
+    select_w = _widen_pairs(P.values, select)
+    want = np.asarray(P.values)[np.asarray(select_w)]
     P2 = ordschur(P, select)
     ok, rep = check_psd(P2, np.asarray(A), tol=2000.0)
     assert ok, rep

@@ -142,3 +142,38 @@ def test_sweep_no_z():
                              want_z=False, interpret=True)
     Hds = np.asarray(ff.to_f64(Hout))
     assert np.abs(Hds - Href).max() < 5e-12 * np.abs(Hp).max()
+
+
+def test_sweep_aligned_path_large_n():
+    """N > 128 takes the 8-aligned 16-row slab access path in both kernels
+    (Mosaic requires provably aligned dynamic sublane starts past one lane
+    tile); same reconstruction contract, exercised in interpret mode."""
+    p, n, m, i = (2, 140, 3, 123)
+    rng = np.random.default_rng(9)
+    Hp1, Zp1, v0 = _mk_problem(p, n, rng)   # (p, n+1, n+1) padded
+    Hp = np.ascontiguousarray(Hp1[:, :n, :n])
+    Zp = np.ascontiguousarray(Zp1[:, :n, :n])
+    Hp[0][m, m - 1] = 0.0
+    Hp[0][i + 1, i] = 0.0
+    # pad exactly like pqr_ff does for n + 1 > 128
+    N = ((n + 16 + 7) // 8) * 8
+
+    def pad(x):
+        out = np.zeros((p, N, N), x.dtype)
+        out[:, :n, :n] = x
+        return out
+
+    Href, Zref = ref_sweep_np(np.pad(Hp, ((0, 0), (0, 1), (0, 1))),
+                              np.pad(Zp, ((0, 0), (0, 1), (0, 1))), m, i, v0)
+    Hff = ff.from_f64(jnp.asarray(pad(Hp)))
+    ZTff = ff.from_f64(jnp.asarray(pad(np.swapaxes(Zp, 1, 2))))
+    v0ff = ff.from_f64(jnp.asarray(v0))
+    Hout, ZTout = chase_sweep_ff(Hff, ZTff, jnp.int32(m), jnp.int32(i),
+                                 v0ff, want_z=True, interpret=True)
+    Hds = np.asarray(ff.to_f64(Hout))[:, :n, :n]
+    Zds = np.swapaxes(np.asarray(ff.to_f64(ZTout)), 1, 2)[:, :n, :n]
+    scale = np.abs(Hp).max()
+    assert np.abs(Hds - Href[:, :n, :n]).max() < 1e-9 * scale
+    assert np.abs(Zds - Zref[:, :n, :n]).max() < 1e-9
+    for l in range(p):
+        assert np.abs(Zds[l] @ Zds[l].T - np.eye(n)).max() < 1e-11
