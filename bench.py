@@ -37,15 +37,17 @@ def _tpu_run(A_np):
     from periodicschurdecompositions_jl_tpu.ops import ff
     from periodicschurdecompositions_jl_tpu.ops.hessenberg_ff import (
         phessenberg_core_ff)
-    from periodicschurdecompositions_jl_tpu.ops.pqr_ff import pqr_real_core_ff
+    from periodicschurdecompositions_jl_tpu.ops.pqr_ff import (
+        pqr_real_core_ff_chunked)
 
     tpu = jax.devices()[0]
 
-    @jax.jit
     def pipeline(Ahi, Alo):
+        # host-chunked: each device execute stays under the axon worker's
+        # ~60 s kill timer (state stays on-device between chunks)
         Hhi, Hlo, QThi, QTlo = phessenberg_core_ff(Ahi, Alo, want_q=True)
-        return pqr_real_core_ff(Hhi, Hlo, QThi, QTlo, want_z=True,
-                                maxitfac=MAXITFAC)
+        return pqr_real_core_ff_chunked(Hhi, Hlo, QThi, QTlo, want_z=True,
+                                        maxitfac=MAXITFAC)
 
     def split(x):
         f = ff.from_f64(jnp.asarray(x))

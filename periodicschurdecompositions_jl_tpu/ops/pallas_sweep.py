@@ -186,16 +186,32 @@ def _flat_mat(M: FF, n2: int):
     return jnp.stack(parts)
 
 
-def _make_sweep_kernel(p: int, N: int):
-    """Kernel A: chase + left updates + working copy + right-op logging."""
+def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
+    """Kernel A: chase + left updates + working copy + right-op logging.
 
-    def kernel(scal, v0f, Hhi, Hlo, oHhi, oHlo, R0, R1, Chi, Clo):
+    ``hbm_inputs``: H stays in HBM (pltpu.ANY) and is DMA'd into the VMEM
+    working copies — required once the six (p, N, N) f32 buffers exceed the
+    128 MiB of VMEM (p=16, N=528 needs 129.25M with pure-VMEM windows).
+    """
+
+    def kernel(scal, v0f, Hhi, Hlo, oHhi, oHlo, R0, R1, Chi, Clo,
+               *sems):
         m = scal[0]
         i = scal[1]
-        oHhi[:] = Hhi[:]
-        oHlo[:] = Hlo[:]
-        Chi[:] = Hhi[:]
-        Clo[:] = Hlo[:]
+        if hbm_inputs:
+            c1 = pltpu.make_async_copy(Hhi, oHhi, sems[0])
+            c2 = pltpu.make_async_copy(Hlo, oHlo, sems[1])
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+            Chi[:] = oHhi[:]
+            Clo[:] = oHlo[:]
+        else:
+            oHhi[:] = Hhi[:]
+            oHlo[:] = Hlo[:]
+            Chi[:] = Hhi[:]
+            Clo[:] = Hlo[:]
         # SMEM supports scalar loads only: gather v0 element-wise
         v0 = FF(jnp.stack([v0f[0], v0f[1], v0f[2]]),
                 jnp.stack([v0f[3], v0f[4], v0f[5]]))
@@ -291,7 +307,8 @@ def _make_sweep_kernel(p: int, N: int):
     return kernel
 
 
-def _make_apply_kernel(p: int, N: int, want_z: bool):
+def _make_apply_kernel(p: int, N: int, want_z: bool,
+                       hbm_inputs: bool = False):
     """Kernel B: apply logged right-transform chains to H^T (and Z^T).
 
     Target factor g receives source ((g+1) mod p)'s transforms (the chase
@@ -378,14 +395,25 @@ def _make_apply_kernel(p: int, N: int, want_z: bool):
             lo_ref[:, pl.ds(kk8, 16), :] = bl
 
     def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0, R1,
-               oHThi, oHTlo, oZThi, oZTlo):
+               oHThi, oHTlo, oZThi, oZTlo, *sems):
         m = scal[0]
         i = scal[1]
-        oHThi[:] = HThi[:]
-        oHTlo[:] = HTlo[:]
-        if want_z:
-            oZThi[:] = ZThi[:]
-            oZTlo[:] = ZTlo[:]
+        if hbm_inputs:
+            cps = [pltpu.make_async_copy(HThi, oHThi, sems[0]),
+                   pltpu.make_async_copy(HTlo, oHTlo, sems[1])]
+            if want_z:
+                cps += [pltpu.make_async_copy(ZThi, oZThi, sems[2]),
+                        pltpu.make_async_copy(ZTlo, oZTlo, sems[3])]
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+        else:
+            oHThi[:] = HThi[:]
+            oHTlo[:] = HTlo[:]
+            if want_z:
+                oZThi[:] = ZThi[:]
+                oZTlo[:] = ZTlo[:]
 
         def step(kk, _):
             M0 = _load_logs(R0, kk, 9)
@@ -399,9 +427,9 @@ def _make_apply_kernel(p: int, N: int, want_z: bool):
 
         lax.fori_loop(m, i, step, jnp.int32(0))
 
-    def kernel_noz(scal, HThi, HTlo, R0, R1, oHThi, oHTlo):
+    def kernel_noz(scal, HThi, HTlo, R0, R1, oHThi, oHTlo, *sems):
         kernel(scal, HThi, HTlo, None, None, R0, R1, oHThi, oHTlo, None,
-               None)
+               None, *sems)
 
     return kernel if want_z else kernel_noz
 
@@ -414,8 +442,18 @@ def _vmem_bytes(p, N, n_arrays):
 
 @functools.lru_cache(maxsize=32)
 def _sweep_call(p: int, N: int, interpret: bool):
-    kern = _make_sweep_kernel(p, N)
-    vmem = _vmem_bytes(p, N, 6) + 2 * p * N * 40 * 4 + (1 << 20)
+    # pure-VMEM windows need 6 full (p, N, N) f32 buffers (input windows are
+    # not deduplicated by aliasing); past ~96 MiB switch the H inputs to HBM
+    # and DMA them in (4 buffers resident)
+    hbm_inputs = _vmem_bytes(p, N, 6) > 96 * (1 << 20) and not interpret
+    kern = _make_sweep_kernel(p, N, hbm_inputs)
+    n_res = 4 if hbm_inputs else 6
+    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (1 << 20)
+    h_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
+    scratch = [pltpu.VMEM((p, N, N), jnp.float32),
+               pltpu.VMEM((p, N, N), jnp.float32)]
+    if hbm_inputs:
+        scratch += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
     call = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((p, N, N), jnp.float32),
@@ -424,13 +462,12 @@ def _sweep_call(p: int, N: int, interpret: bool):
                    jax.ShapeDtypeStruct((p, N, 8), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(memory_space=h_space),
+                  pl.BlockSpec(memory_space=h_space)],
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in range(4)),
-        scratch_shapes=[pltpu.VMEM((p, N, N), jnp.float32),
-                        pltpu.VMEM((p, N, N), jnp.float32)],
-        input_output_aliases={2: 0, 3: 1},
+        scratch_shapes=scratch,
+        input_output_aliases={} if hbm_inputs else {2: 0, 3: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem, 120 * (1 << 20))),
         interpret=interpret,
@@ -440,19 +477,26 @@ def _sweep_call(p: int, N: int, interpret: bool):
 
 @functools.lru_cache(maxsize=32)
 def _apply_call(p: int, N: int, want_z: bool, interpret: bool):
-    kern = _make_apply_kernel(p, N, want_z)
-    n_arr = 8 if want_z else 4
-    vmem = _vmem_bytes(p, N, n_arr) + 2 * p * N * 40 * 4 + (1 << 20)
     n_out = 4 if want_z else 2
+    n_arr = 2 * n_out
+    hbm_inputs = _vmem_bytes(p, N, n_arr) > 96 * (1 << 20) and not interpret
+    kern = _make_apply_kernel(p, N, want_z, hbm_inputs)
+    n_res = n_out if hbm_inputs else n_arr
+    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (1 << 20)
+    big_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
+    scratch = [pltpu.SemaphoreType.DMA] * n_out if hbm_inputs else []
     call = pl.pallas_call(
         kern,
         out_shape=tuple(jax.ShapeDtypeStruct((p, N, N), jnp.float32)
                         for _ in range(n_out)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_out + 2),
+        + [pl.BlockSpec(memory_space=big_space)] * n_out
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in range(n_out)),
-        input_output_aliases={1 + j: j for j in range(n_out)},
+        scratch_shapes=scratch,
+        input_output_aliases={} if hbm_inputs else
+        {1 + j: j for j in range(n_out)},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem, 120 * (1 << 20))),
         interpret=interpret,

@@ -28,68 +28,115 @@ from jax import lax
 from ..config import AlgoConfig, default_config
 from . import ff
 from .ff import FF
-from .ffkern import givens_ff, lanv2_ff, refl_mat_ff, reflector_ff
+from .ffkern import givens_ff, refl_mat_ff, reflector_ff
+from .lanv2 import lanv2
 from .ffslab import (colsk_ff, fac_get, fac_set, getcol_ff, getel_ff,
                      rowsk_ff, setel_ff)
 from .pallas_sweep import chase_sweep_ff
 
 
-def _vel(v: FF, i) -> FF:
-    """Clamped traced-index element of an FF vector."""
-    n = v.hi.shape[0]
-    i = jnp.clip(jnp.asarray(i, jnp.int32), 0, n - 1)
-    return FF(lax.dynamic_slice(v.hi, (i,), (1,))[0],
-              lax.dynamic_slice(v.lo, (i,), (1,))[0])
+def _band_products_scaled(Hd, n):
+    """Band entries of the cycle product with a GLOBAL power-of-two scale.
 
+    The axon device emulates float64 on f32 pairs, so even "f64" has f32's
+    exponent range (~1e38): unscaled p-long products (measured 2.9e21 at
+    p=16, n=512) survive, but their squares in the shift formulas do not
+    (sE^2 ~ 7e43 -> inf -> NaN at the first exceptional shift).  The
+    recurrence therefore renormalizes by one global 2^-e after every factor;
+    the deflation tests and both shift variants are degree-homogeneous in
+    the band entries, so they run UNCHANGED on the scaled values, and only
+    the 1x1 eigenvalue readout multiplies 2^e back (giving the core a
+    |lambda| < ~1e38 representable range on-chip; the generalized cores'
+    decomposed (alpha, 2^scale) form covers anything beyond).
 
-def _shift1(v: FF, fill=0.0) -> FF:
-    """[fill, v[0], ..., v[n-2]] (the k-1 alignment used by the scans)."""
-    pad = jnp.full((1,), fill, jnp.float32)
-    return FF(jnp.concatenate([pad, v.hi[:-1]]),
-              jnp.concatenate([pad * 0.0, v.lo[:-1]]))
-
-
-def _band_products_ff(H: FF, n: int):
-    """ds band entries of ℍ = H[0] @ (H[1] ... H[p-1]); see
-    ops/pqr_real._band_products (reference :477-528)."""
-    p = H.hi.shape[0]
-
-    def diag(f, k):
-        return FF(jnp.diagonal(H.hi[f], k), jnp.diagonal(H.lo[f], k))
-
-    def padz(v: FF, npad):
-        z = jnp.zeros((npad,), jnp.float32)
-        return FF(jnp.concatenate([v.hi, z]), jnp.concatenate([v.lo, z]))
-
-    P1 = ff.ff(jnp.ones((n,), jnp.float32))
-    P2 = ff.zeros((n,))
-    P3 = ff.zeros((n,))
+    Returns (hdiag, hsub, hsup, e) with true values = scaled * 2^e.
+    """
+    p = Hd.shape[0]
+    f64 = jnp.float64
+    P1 = jnp.ones((n,), f64)
+    P2 = jnp.zeros((n,), f64)
+    P3 = jnp.zeros((n,), f64)
+    e = jnp.int32(0)
+    z1 = jnp.zeros((1,), f64)
+    z2 = jnp.zeros((2,), f64)
     for l in range(1, p):
-        D = FF(diag(l, 0).hi[:n], diag(l, 0).lo[:n])
-        U = padz(FF(diag(l, 1).hi[:n - 1], diag(l, 1).lo[:n - 1]), 1)
-        V = padz(FF(diag(l, 2).hi[:n - 2], diag(l, 2).lo[:n - 2]), 2)
-        D1 = padz(FF(D.hi[1:], D.lo[1:]), 1)
-        U1 = padz(FF(U.hi[1:], U.lo[1:]), 1)
-        D2 = padz(FF(D.hi[2:], D.lo[2:]), 2)
-        P3 = ff.add(ff.add(ff.mul(P1, V), ff.mul(P2, U1)), ff.mul(P3, D2))
-        P2 = ff.add(ff.mul(P1, U), ff.mul(P2, D1))
-        P1 = ff.mul(P1, D)
-    d0 = FF(diag(0, 0).hi[:n], diag(0, 0).lo[:n])
-    u0 = padz(FF(diag(0, 1).hi[:n - 1], diag(0, 1).lo[:n - 1]), 1)
-    s0 = _shift1(padz(FF(diag(0, -1).hi[:n - 1], diag(0, -1).lo[:n - 1]), 1))
-    P1m = _shift1(P1, 1.0)
-    P2m = _shift1(P2)
-    P3m = _shift1(P3)
-    hsub = ff.mul(s0, P1m)
-    hdiag = ff.add(ff.mul(s0, P2m), ff.mul(d0, P1))
-    P11 = padz(FF(P1.hi[1:], P1.lo[1:]), 1)
-    hsup = ff.add(ff.add(ff.mul(s0, P3m), ff.mul(d0, P2)),
-                  ff.mul(u0, P11))
-    return hdiag, hsub, hsup
+        D = jnp.diagonal(Hd[l])[:n]
+        U = jnp.concatenate([jnp.diagonal(Hd[l], 1)[:n - 1], z1])
+        V = jnp.concatenate([jnp.diagonal(Hd[l], 2)[:n - 2], z2])
+        D1 = jnp.concatenate([D[1:], z1])
+        U1 = jnp.concatenate([U[1:], z1])
+        D2 = jnp.concatenate([D[2:], z2])
+        P3 = P1 * V + P2 * U1 + P3 * D2
+        P2 = P1 * U + P2 * D1
+        P1 = P1 * D
+        m = jnp.max(jnp.maximum(jnp.abs(P1),
+                                jnp.maximum(jnp.abs(P2), jnp.abs(P3))))
+        ex = jnp.where(m > 0,
+                       jnp.floor(jnp.log2(jnp.maximum(m, 1e-30))),
+                       0.0).astype(jnp.int32)
+        sc = jnp.exp2(-ex.astype(f64))      # exact power of two
+        P1 = P1 * sc
+        P2 = P2 * sc
+        P3 = P3 * sc
+        e = e + ex
+    d0 = jnp.diagonal(Hd[0])[:n]
+    u0 = jnp.concatenate([jnp.diagonal(Hd[0], 1)[:n - 1], z1])
+    s0 = jnp.concatenate([z1, jnp.diagonal(Hd[0], -1)[:n - 1]])
+    P1m = jnp.concatenate([jnp.ones((1,), f64), P1[:-1]])
+    P2m = jnp.concatenate([z1, P2[:-1]])
+    P3m = jnp.concatenate([z1, P3[:-1]])
+    hsub = s0 * P1m
+    hdiag = s0 * P2m + d0 * P1
+    P11 = jnp.concatenate([P1[1:], z1])
+    hsup = s0 * P3m + d0 * P2 + u0 * P11
+    return hdiag, hsub, hsup, e
+
+
+def pqr_real_core_ff_chunked(
+    Hhi: jax.Array,
+    Hlo: jax.Array,
+    ZThi: Optional[jax.Array] = None,
+    ZTlo: Optional[jax.Array] = None,
+    want_z: bool = True,
+    maxitfac: int = 30,
+    cfg: AlgoConfig = default_config,
+    interpret: bool = False,
+    chunk_iters: Optional[int] = None,
+):
+    """Host-chunked ds real periodic QR: the axon TPU worker kills any
+    single device execute after ~60 s (measured: a slow-converging
+    p=16, n=512 cycle crashed at 62 s while a fast one ran 14 s), so the
+    while_loop runs in resumable segments with the state left on-device
+    between calls.  Same returns as :func:`pqr_real_core_ff`."""
+    import numpy as _np
+    p, n, _ = Hhi.shape
+    if n == 1:
+        return pqr_real_core_ff(Hhi, Hlo, ZThi, ZTlo, want_z=want_z,
+                                maxitfac=maxitfac, cfg=cfg,
+                                interpret=interpret)
+    maxit = maxitfac * n
+    if chunk_iters is None:
+        # ~10 ns per (p*n^2) state element per iteration (measured 40 ms/
+        # iteration on full windows at p=16, n=512); target <= ~20 s per
+        # execute, comfortably under the ~60 s worker kill
+        per_iter = p * n * n * 1e-8
+        chunk_iters = max(256, int(20.0 / max(per_iter, 1e-9)))
+    state = None
+    cap = 0
+    while True:
+        cap = min(cap + chunk_iters, maxit)
+        out = pqr_real_core_ff(
+            Hhi, Hlo, ZThi, ZTlo, want_z=want_z, maxitfac=maxitfac,
+            cfg=cfg, interpret=interpret, it_cap=jnp.int32(cap),
+            resume_state=state, return_state=True)
+        *outs, state, done = out
+        if bool(done) or cap >= maxit:
+            return tuple(outs)
 
 
 @partial(jax.jit, static_argnames=("want_z", "maxitfac", "cfg", "interpret",
-                                   "maxiter", "debug_state"))
+                                   "maxiter", "debug_state",
+                                   "return_state"))
 def pqr_real_core_ff(
     Hhi: jax.Array,
     Hlo: jax.Array,
@@ -101,14 +148,24 @@ def pqr_real_core_ff(
     interpret: bool = False,
     maxiter: Optional[int] = None,
     debug_state: bool = False,
+    it_cap: Optional[jax.Array] = None,
+    resume_state=None,
+    return_state: bool = False,
 ):
     """Run the ds real periodic QR iteration.
 
     Args:
       Hhi, Hlo: (p, n, n) f32 pair; H[0] upper Hessenberg, H[1:] triangular.
+        On RESUME calls pass the ORIGINAL inputs unchanged (they define the
+        deflation thresholds); the evolving state comes from resume_state.
       ZThi, ZTlo: optional (p, n, n) f32 pair of TRANSPOSED initial Q stack.
       interpret: run the Pallas sweep kernels in interpreter mode (CPU
         tests); the TPU path compiles them with Mosaic.
+      it_cap: traced absolute iteration cap for CHUNKED execution (the axon
+        worker kills any single device execute after ~60 s; see
+        pqr_real_core_ff_chunked).
+      resume_state / return_state: continue from / also return the raw
+        padded loop state.
 
     Returns (Thi, Tlo, ZThi, ZTlo, wr_hi, wr_lo, wi_hi, wi_lo, ok):
       quasi-triangular stack + TRANSPOSED Schur vectors + eigenvalue pairs.
@@ -118,18 +175,26 @@ def pqr_real_core_ff(
     unfl = 1.175494e-38  # f32 tiny (ds exponent range is f32's)
     smlnum = unfl * (n / ulp)
     ulpx = cfg.ulp_x(ulp)
-    dat1 = jnp.float32(0.75)
-    dat2 = jnp.float32(-0.4375)
     maxit = maxitfac * n if maxiter is None else maxiter
+    # Product-level quantities (band entries of the cycle product, shifts,
+    # eigenvalues) are computed in (emulated) FLOAT64: ds arithmetic has
+    # f32's exponent range, and p-long products overflow it (measured
+    # 2.4e20 product diagonals at p=16, n=512, whose squares are inf in
+    # f32 and poison the shifts -> the iteration never deflates).  These
+    # quantities only need threshold/shift-level accuracy, which the
+    # x64-rewriter's emulated f64 easily provides; the hot rotation path
+    # stays in ds.
+    f64 = jnp.float64
+    smlnum64 = 2.2250738585072014e-308 * (n / ulp)
 
     H0f = FF(Hhi, Hlo)
     if n == 1:
-        lam = FF(jnp.ones(()), jnp.zeros(()))
-        for f in range(p):
-            lam = ff.mul(lam, FF(Hhi[f, 0, 0], Hlo[f, 0, 0]))
+        lam = jnp.prod(Hhi[:, 0, 0].astype(f64) + Hlo[:, 0, 0].astype(f64))
+        lhi = lam.astype(jnp.float32)
+        llo = (lam - lhi.astype(f64)).astype(jnp.float32)
         zt = (ZThi, ZTlo) if ZThi is not None else (
             jnp.ones((p, 1, 1), jnp.float32), jnp.zeros((p, 1, 1), jnp.float32))
-        return (Hhi, Hlo, zt[0], zt[1], lam.hi[None], lam.lo[None],
+        return (Hhi, Hlo, zt[0], zt[1], lhi[None], llo[None],
                 jnp.zeros((1,), jnp.float32), jnp.zeros((1,), jnp.float32),
                 jnp.asarray(True))
 
@@ -179,33 +244,29 @@ def pqr_real_core_ff(
         (H, ZT, wr, wi, i, l, its, itleft, jiter) = st
 
         Hn = FF(H.hi[:, :n, :n], H.lo[:, :n, :n])
-        hdiag, hsub, hsup = _band_products_ff(Hn, n)
+        Hd = Hn.hi.astype(f64) + Hn.lo.astype(f64)
+        hdiag, hsub, hsup, bexp = _band_products_scaled(Hd, n)
 
-        # ---- deflation scan (ds magnitudes; thresholds in f32) --------
-        hh11 = _shift1(hdiag)
-        hh12 = _shift1(hsup)
+        # ---- deflation scan (f64, range-safe; mirrors ops/pqr_real) ---
+        z64 = jnp.zeros((1,), f64)
+        hh11 = jnp.concatenate([z64, hdiag[:-1]])
+        hh12 = jnp.concatenate([z64, hsup[:-1]])
         hh21 = hsub
         hh22 = hdiag
-        tst1 = ff.add(ff.abs_(hh11), ff.abs_(hh22))
-        ab = ff.maximum(ff.abs_(hh21), ff.abs_(hh12))
-        ba = ff.minimum(ff.abs_(hh21), ff.abs_(hh12))
-        aa = ff.maximum(ff.abs_(hh22), ff.abs_(ff.sub(hh11, hh22)))
-        bb = ff.minimum(ff.abs_(hh22), ff.abs_(ff.sub(hh11, hh22)))
-        stmp = ff.add(aa, ab)
-        stmps = ff.where(ff.eq0(stmp), ff.full_like(stmp, 1.0), stmp)
+        tst1 = jnp.abs(hh11) + jnp.abs(hh22)
+        ab = jnp.maximum(jnp.abs(hh21), jnp.abs(hh12))
+        ba = jnp.minimum(jnp.abs(hh21), jnp.abs(hh12))
+        aa = jnp.maximum(jnp.abs(hh22), jnp.abs(hh11 - hh22))
+        bb = jnp.minimum(jnp.abs(hh22), jnp.abs(hh11 - hh22))
+        stmp = aa + ab
+        stmps = jnp.where(stmp == 0, 1.0, stmp)
         if cfg.slicot_convg:
-            found_k = ff.le(ff.abs_(hh21),
-                            ff.maximum(ff.mul_f(tst1, jnp.float32(ulp)),
-                                       ff.full_like(tst1, smlnum)))
+            found_k = jnp.abs(hh21) <= jnp.maximum(ulp * tst1, smlnum64)
         else:
-            lhs = ff.mul(ba, ff.div(ab, stmps))
-            rhs = ff.maximum(ff.full_like(lhs, smlnum),
-                             ff.mul_f(ff.mul(bb, ff.div(aa, stmps)),
-                                      jnp.float32(ulpx)))
-            at_ok = ff.le(lhs, rhs)
-            found_k = ff.le(ff.abs_(hh21), ff.full_like(hh21, smlnum)) | \
-                (ff.le(ff.abs_(hh21), ff.mul_f(tst1, jnp.float32(ulp)))
-                 & at_ok)
+            at_ok = ba * (ab / stmps) <= jnp.maximum(
+                smlnum64, ulpx * (bb * (aa / stmps)))
+            found_k = (jnp.abs(hh21) <= smlnum64) | \
+                ((jnp.abs(hh21) <= ulp * tst1) & at_ok)
         in_range = (iv >= l + 1) & (iv <= i)
         found_k &= in_range
         anyf = jnp.any(found_k)
@@ -281,81 +342,71 @@ def pqr_real_core_ff(
         # bulge-chase branch: shift + one fused Pallas sweep
         def do_chase(HZ):
             H, ZT = HZ
+
+            def el(v, idx):
+                idx = jnp.clip(jnp.asarray(idx, jnp.int32), 0, n - 1)
+                return lax.dynamic_slice(v, (idx,), (1,))[0]
+
             exc1 = its == 10
             exc2 = (its % 10 == 0) & (~exc1)
             exc = exc1 | exc2
-            sE = ff.where(
+            sE = jnp.where(
                 exc1,
-                ff.add(ff.abs_(_vel(hsub, lnew + 1)),
-                       ff.abs_(_vel(hsub, lnew + 2))),
-                ff.add(ff.abs_(_vel(hsub, i)), ff.abs_(_vel(hsub, i - 1))))
-            h44E = ff.add(ff.mul_f(sE, dat1),
-                          ff.where(exc1, _vel(hdiag, lnew), _vel(hdiag, i)))
+                jnp.abs(el(hsub, lnew + 1)) + jnp.abs(el(hsub, lnew + 2)),
+                jnp.abs(el(hsub, i)) + jnp.abs(el(hsub, i - 1)))
+            h44E = 0.75 * sE + jnp.where(exc1, el(hdiag, lnew), el(hdiag, i))
             h33E = h44E
-            h43h34E = ff.mul_f(ff.mul(sE, sE), dat2)
-            h44 = _vel(hdiag, i)
-            h33 = _vel(hdiag, i - 1)
-            h43 = _vel(hsub, i)
-            h34 = _vel(hsup, i - 1)
-            h43h34 = ff.mul(h43, h34)
-            ssh = ff.add(ff.add(ff.abs_(h33), ff.abs_(h34)),
-                         ff.add(ff.abs_(h43), ff.abs_(h44)))
-            sshs = ff.where(ff.eq0(ssh), ff.full_like(ssh, 1.0), ssh)
-            h33n = ff.div(h33, sshs)
-            h44n = ff.div(h44, sshs)
-            h34n = ff.div(h34, sshs)
-            h43n = ff.div(h43, sshs)
-            trc = ff.mul_pow2(ff.add(h33n, h44n), 0.5)
-            disc = ff.sub(ff.mul(ff.sub(h33n, trc), ff.sub(h44n, trc)),
-                          ff.mul(h34n, h43n))
-            rtdisc = ff.sqrt(ff.abs_(disc))
-            rt1r_c = ff.mul(trc, ssh)
-            rt1i_c = ff.mul(rtdisc, ssh)
-            r1 = ff.add(trc, rtdisc)
-            r2 = ff.sub(trc, rtdisc)
-            pick = ff.where(
-                ff.le(ff.abs_(ff.sub(r1, h44n)), ff.abs_(ff.sub(r2, h44n))),
-                r1, r2)
-            iszero_ssh = ff.eq0(ssh)
-            rt1r = ff.where(iszero_ssh, zero,
-                            ff.where(disc.hi >= 0, rt1r_c, ff.mul(pick, ssh)))
+            h43h34E = -0.4375 * sE * sE
+            h44 = el(hdiag, i)
+            h33 = el(hdiag, i - 1)
+            h43 = el(hsub, i)
+            h34 = el(hsup, i - 1)
+            ssh = jnp.abs(h33) + jnp.abs(h34) + jnp.abs(h43) + jnp.abs(h44)
+            sshs = jnp.where(ssh == 0, 1.0, ssh)
+            h33n, h44n = h33 / sshs, h44 / sshs
+            h34n, h43n = h34 / sshs, h43 / sshs
+            trc = (h33n + h44n) * 0.5
+            disc = (h33n - trc) * (h44n - trc) - h34n * h43n
+            rtdisc = jnp.sqrt(jnp.abs(disc))
+            r1 = trc + rtdisc
+            r2 = trc - rtdisc
+            pick = jnp.where(jnp.abs(r1 - h44n) <= jnp.abs(r2 - h44n),
+                             r1, r2)
+            rt1r = jnp.where(ssh == 0, 0.0,
+                             jnp.where(disc >= 0, trc * ssh, pick * ssh))
             rt2r = rt1r
-            rt1i = ff.where(iszero_ssh, zero,
-                            ff.where(disc.hi >= 0, rt1i_c, zero))
-            rt2i = ff.neg(rt1i)
+            rt1i = jnp.where(ssh == 0, 0.0,
+                             jnp.where(disc >= 0, rtdisc * ssh, 0.0))
+            rt2i = -rt1i
 
             m = lnew
-            h11 = _vel(hdiag, m)
-            h12 = _vel(hsup, m)
-            h21 = _vel(hsub, m + 1)
-            h22 = _vel(hdiag, m + 1)
-            hsub_m2 = _vel(hsub, m + 2)
-            h44s = ff.sub(h44E, h11)
-            h33s = ff.sub(h33E, h11)
-            h21s_ = ff.where(ff.eq0(h21), one, h21)
-            v1E = ff.add(ff.div(ff.sub(ff.mul(h33s, h44s), h43h34E), h21s_),
-                         h12)
-            v2E = ff.sub(ff.sub(ff.sub(h22, h11), h33s), h44s)
+            h11 = el(hdiag, m)
+            h12 = el(hsup, m)
+            h21 = el(hsub, m + 1)
+            h22 = el(hdiag, m + 1)
+            hsub_m2 = el(hsub, m + 2)
+            h44s = h44E - h11
+            h33s = h33E - h11
+            h21s_ = jnp.where(h21 == 0, 1.0, h21)
+            v1E = (h33s * h44s - h43h34E) / h21s_ + h12
+            v2E = h22 - h11 - h33s - h44s
             v3E = hsub_m2
-            sv = ff.add(ff.add(ff.abs_(ff.sub(h11, rt2r)), ff.abs_(rt2i)),
-                        ff.abs_(h21))
-            svs = ff.where(ff.eq0(sv), ff.full_like(sv, 1.0), sv)
-            h21s = ff.div(h21, svs)
-            v1L = ff.sub(
-                ff.add(ff.mul(h21s, h12),
-                       ff.mul(ff.sub(h11, rt1r),
-                              ff.div(ff.sub(h11, rt2r), svs))),
-                ff.mul(rt1i, ff.div(rt2i, svs)))
-            v2L = ff.mul(h21s, ff.sub(ff.sub(ff.add(h11, h22), rt1r), rt2r))
-            v3L = ff.mul(h21s, hsub_m2)
+            sv = jnp.abs(h11 - rt2r) + jnp.abs(rt2i) + jnp.abs(h21)
+            svs = jnp.where(sv == 0, 1.0, sv)
+            h21s = h21 / svs
+            v1L = h21s * h12 + (h11 - rt1r) * ((h11 - rt2r) / svs) - \
+                rt1i * (rt2i / svs)
+            v2L = h21s * (h11 + h22 - rt1r - rt2r)
+            v3L = h21s * hsub_m2
             use_exc = exc | cfg.slicot_shifts
-            v1 = ff.where(use_exc, v1E, v1L)
-            v2 = ff.where(use_exc, v2E, v2L)
-            v3 = ff.where(use_exc, v3E, v3L)
-            snorm = ff.add(ff.add(ff.abs_(v1), ff.abs_(v2)), ff.abs_(v3))
-            snorms = ff.where(ff.eq0(snorm), ff.full_like(snorm, 1.0), snorm)
-            v0 = ff.stack([ff.div(v1, snorms), ff.div(v2, snorms),
-                           ff.div(v3, snorms)], 0)
+            v1 = jnp.where(use_exc, v1E, v1L)
+            v2 = jnp.where(use_exc, v2E, v2L)
+            v3 = jnp.where(use_exc, v3E, v3L)
+            snorm = jnp.abs(v1) + jnp.abs(v2) + jnp.abs(v3)
+            snorms = jnp.where(snorm == 0, 1.0, snorm)
+            v0d = jnp.stack([v1, v2, v3]) / snorms
+            v0hi = v0d.astype(jnp.float32)
+            v0 = FF(v0hi, (v0d - v0hi.astype(f64)).astype(jnp.float32))
 
             H, ZT = chase_sweep_ff(H, ZT if want_z else None, m, i, v0,
                                    want_z=want_z, interpret=interpret)
@@ -373,46 +424,51 @@ def pqr_real_core_ff(
 
             def defl1(HZwrwi):
                 H, ZT, wr, wi = HZwrwi
-                lam = _vel(hdiag, i)
-                wr = FF(lax.dynamic_update_slice(wr.hi, lam.hi[None], (i,)),
-                        lax.dynamic_update_slice(wr.lo, lam.lo[None], (i,)))
-                wi = FF(lax.dynamic_update_slice(
-                    wi.hi, jnp.zeros((1,), jnp.float32), (i,)),
-                    lax.dynamic_update_slice(
-                        wi.lo, jnp.zeros((1,), jnp.float32), (i,)))
+                ic = jnp.clip(i, 0, n - 1)
+                lam = lax.dynamic_slice(hdiag, (ic,), (1,))[0] * \
+                    jnp.exp2(bexp.astype(f64))
+                wr = lax.dynamic_update_slice(wr, lam[None], (ic,))
+                wi = lax.dynamic_update_slice(wi, jnp.zeros((1,), f64), (ic,))
                 return H, ZT, wr, wi
 
             def defl2(HZwrwi):
                 H, ZT, wr, wi = HZwrwi
-                hp22 = one
-                hp12 = zero
-                hp11 = one
+
+                def g64(Mf, r, c):
+                    v = getel_ff(Mf, r, c)
+                    return v.hi.astype(f64) + v.lo.astype(f64)
+
+                hp22 = jnp.ones((), f64)
+                hp12 = jnp.zeros((), f64)
+                hp11 = jnp.ones((), f64)
                 for f in range(1, p):
                     Hf = fac_get(H, f)
-                    d1 = getel_ff(Hf, i - 1, i - 1)
-                    d2 = getel_ff(Hf, i, i)
-                    u = getel_ff(Hf, i - 1, i)
-                    hp12 = ff.add(ff.mul(hp11, u), ff.mul(hp12, d2))
-                    hp11 = ff.mul(hp11, d1)
-                    hp22 = ff.mul(hp22, d2)
+                    d1 = g64(Hf, i - 1, i - 1)
+                    d2 = g64(Hf, i, i)
+                    u = g64(Hf, i - 1, i)
+                    hp12 = hp11 * u + hp12 * d2
+                    hp11 = hp11 * d1
+                    hp22 = hp22 * d2
                 H0 = fac_get(H, 0)
-                a11 = getel_ff(H0, i - 1, i - 1)
-                a12 = getel_ff(H0, i - 1, i)
-                a21 = getel_ff(H0, i, i - 1)
-                a22 = getel_ff(H0, i, i)
-                bh11 = ff.mul(a11, hp11)
-                bh12 = ff.add(ff.mul(a11, hp12), ff.mul(a12, hp22))
-                bh21 = ff.mul(a21, hp11)
-                bh22 = ff.add(ff.mul(a21, hp12), ff.mul(a22, hp22))
-                (_, _, cc_, _, cs0, sn0,
-                 w1r, w1i, w2r, w2i) = lanv2_ff(bh11, bh12, bh21, bh22)
-                lam_real = ff.eq0(cc_)
+                a11 = g64(H0, i - 1, i - 1)
+                a12 = g64(H0, i - 1, i)
+                a21 = g64(H0, i, i - 1)
+                a22 = g64(H0, i, i)
+                bh11 = a11 * hp11
+                bh12 = a11 * hp12 + a12 * hp22
+                bh21 = a21 * hp11
+                bh22 = a21 * hp12 + a22 * hp22
+                (_, _, cc_, _, cs0d, sn0d,
+                 w1r, w1i, w2r, w2i) = lanv2(bh11, bh12, bh21, bh22)
+                lam_real = cc_ == 0
+                cs0h = cs0d.astype(jnp.float32)
+                cs0 = FF(cs0h, (cs0d - cs0h.astype(f64)).astype(jnp.float32))
+                sn0h = sn0d.astype(jnp.float32)
+                sn0 = FF(sn0h, (sn0d - sn0h.astype(f64)).astype(jnp.float32))
 
-                def put(v: FF, idx, val: FF) -> FF:
-                    return FF(lax.dynamic_update_slice(v.hi, val.hi[None],
-                                                       (idx,)),
-                              lax.dynamic_update_slice(v.lo, val.lo[None],
-                                                       (idx,)))
+                def put(v, idx, val):
+                    idx = jnp.clip(idx, 0, n - 1)
+                    return lax.dynamic_update_slice(v, val[None], (idx,))
                 wr = put(wr, i - 1, w1r)
                 wi = put(wi, i - 1, w1i)
                 wr = put(wr, i, w2r)
@@ -461,13 +517,13 @@ def pqr_real_core_ff(
 
                 def chainB(HZ):
                     H, ZT = HZ
-                    a1 = ff.hypot2(w1r, w1i)
-                    a2 = ff.hypot2(w2r, w2i)
-                    amx = ff.maximum(a1, a2)
-                    amn = ff.minimum(a1, a2)
-                    prod0 = (ff.eq0(w1r) & ff.eq0(w1i)) | \
-                        (ff.eq0(w2r) & ff.eq0(w2i))
-                    tinyrat = ff.lt(amn, ff.mul_f(amx, jnp.float32(ulp)))
+                    a1 = jnp.hypot(w1r, w1i)
+                    a2 = jnp.hypot(w2r, w2i)
+                    amx = jnp.maximum(a1, a2)
+                    amn = jnp.minimum(a1, a2)
+                    prod0 = ((w1r == 0) & (w1i == 0)) | \
+                        ((w2r == 0) & (w2i == 0))
+                    tinyrat = amn < ulp * amx
                     replace0 = ((jmax >= 1) & lam_real) | prod0 | \
                         ((~prod0) & lam_real & tinyrat)
 
@@ -515,10 +571,11 @@ def pqr_real_core_ff(
                                            hi=i + 1, active=actf)
                             H = fac_set(H, f - 1, Hf1)
                             ZT = zup_t(ZT, f, i - 1, M2, active=actf)
-                        sub = ff.abs_(getel_ff(fac_get(H, 0), i, i - 1))
-                        conv = (~replaceG) | ff.lt(
-                            sub, ff.maximum(ff.full_like(sub, smlnum),
-                                            ff.mul_f(amx, jnp.float32(ulp))))
+                        subv = getel_ff(fac_get(H, 0), i, i - 1)
+                        subd = jnp.abs(subv.hi.astype(f64) +
+                                       subv.lo.astype(f64))
+                        conv = (~replaceG) | (
+                            subd < jnp.maximum(smlnum64, ulp * amx))
                         done = done | conv
                         return H, ZT, jnp.asarray(True), done
 
@@ -526,7 +583,7 @@ def pqr_real_core_ff(
                         0, 20, iter20, (H, ZT, replace0, jnp.asarray(False)))
                     H = fac_set(H, 0, setel_ff(
                         fac_get(H, 0), i, i - 1, zero,
-                        active=(jmax >= 0) | ff.eq0(bh21)))
+                        active=(jmax >= 0) | (bh21 == 0)))
 
                     def zmax(H):
                         Hf = fac_get(H, jmax)
@@ -538,18 +595,16 @@ def pqr_real_core_ff(
                 H, ZT = lax.cond(jmin >= 1, chainA, chainB, (H, ZT))
 
                 # eigenvalue-order check after replacement rotations
-                l1 = getel_ff(fac_get(H, 0), i - 1, i - 1)
-                l2 = getel_ff(fac_get(H, 0), i, i)
+                l1 = g64(fac_get(H, 0), i - 1, i - 1)
                 for f in range(1, p):
-                    Hf = fac_get(H, f)
-                    l1 = ff.mul(l1, getel_ff(Hf, i - 1, i - 1))
-                    l2 = ff.mul(l2, getel_ff(Hf, i, i))
-                swap = lam_real & ff.gt(ff.abs_(ff.sub(l1, w1r)),
-                                        ff.abs_(ff.sub(l1, w2r)))
-                wr1 = _vel(wr, i - 1)
-                wr2 = _vel(wr, i)
-                wr = put(wr, i - 1, ff.where(swap, wr2, wr1))
-                wr = put(wr, i, ff.where(swap, wr1, wr2))
+                    l1 = l1 * g64(fac_get(H, f), i - 1, i - 1)
+                swap = lam_real & (jnp.abs(l1 - w1r) > jnp.abs(l1 - w2r))
+                i1c = jnp.clip(i - 1, 0, n - 1)
+                ic = jnp.clip(i, 0, n - 1)
+                wr1 = lax.dynamic_slice(wr, (i1c,), (1,))[0]
+                wr2 = lax.dynamic_slice(wr, (ic,), (1,))[0]
+                wr = put(wr, i - 1, jnp.where(swap, wr2, wr1))
+                wr = put(wr, i, jnp.where(swap, wr1, wr2))
                 return H, ZT, wr, wi
 
             return lax.cond(one_only, defl1, defl2, (H, ZT, wr, wi))
@@ -565,23 +620,31 @@ def pqr_real_core_ff(
 
     def cond(st):
         (H, ZT, wr, wi, i, l, its, itleft, jiter) = st
-        return (i >= 0) & (jiter < maxit)
+        go = (i >= 0) & (jiter < maxit)
+        if it_cap is not None:
+            go = go & (jiter < it_cap)
+        return go
 
     def body_guarded(st):
         return lax.cond(st[4] >= 0, body, lambda s: s, st)
 
-    wr0 = ff.zeros((n,))
-    wi0 = ff.zeros((n,))
-    st = (H, ZT, wr0, wi0, jnp.int32(n - 1), jnp.int32(0), jnp.int32(1),
-          jnp.int32(maxit), jnp.int32(0))
+    wr0 = jnp.zeros((n,), f64)
+    wi0 = jnp.zeros((n,), f64)
+    if resume_state is not None:
+        st = resume_state
+    else:
+        st = (H, ZT, wr0, wi0, jnp.int32(n - 1), jnp.int32(0), jnp.int32(1),
+              jnp.int32(maxit), jnp.int32(0))
     H, ZT, wr, wi, i, l, its, itleft, jiter = lax.while_loop(
         cond, body_guarded, st)
     ok = i < 0
+    final_state = (H, ZT, wr, wi, i, l, its, itleft, jiter)
+    done = (i < 0) | (jiter >= maxit)
 
     H = FF(H.hi[:, :n, :n], H.lo[:, :n, :n])
     ZTout = FF(ZT.hi[:, :n, :n], ZT.lo[:, :n, :n]) if want_z else None
     # scrub subdiagonals of real eigenvalues (reference :1066-1073)
-    keep = jnp.where(wi.hi[:-1] == 0, 0.0, 1.0).astype(jnp.float32)
+    keep = jnp.where(wi[:-1] == 0, 0.0, 1.0).astype(jnp.float32)
     sub_hi = jnp.diagonal(H.hi[0], -1) * keep
     sub_lo = jnp.diagonal(H.lo[0], -1) * keep
     H0hi = H.hi[0] - jnp.diag(jnp.diagonal(H.hi[0], -1), -1) + \
@@ -593,13 +656,21 @@ def pqr_real_core_ff(
     if p > 1:
         Hhi_out = Hhi_out.at[1:].set(jnp.triu(Hhi_out[1:]))
         Hlo_out = Hlo_out.at[1:].set(jnp.triu(Hlo_out[1:]))
+    # eigenvalues are carried in f64 (cycle products exceed f32 range);
+    # the public tuple keeps the (hi, lo) pair layout via an exact split
+    wr_hi = wr.astype(jnp.float32)
+    wr_lo = (wr - wr_hi.astype(f64)).astype(jnp.float32)
+    wi_hi = wi.astype(jnp.float32)
+    wi_lo = (wi - wi_hi.astype(f64)).astype(jnp.float32)
     if want_z:
         out = (Hhi_out, Hlo_out, ZTout.hi, ZTout.lo,
-               wr.hi, wr.lo, wi.hi, wi.lo, ok)
+               wr_hi, wr_lo, wi_hi, wi_lo, ok)
     else:
         out = (Hhi_out, Hlo_out, None, None,
-               wr.hi, wr.lo, wi.hi, wi.lo, ok)
+               wr_hi, wr_lo, wi_hi, wi_lo, ok)
     if debug_state:
         # raw loop scalars + the UNSCRUBBED padded state, for bisecting
         return out + ((i, l, its, jiter), (H.hi, H.lo))
+    if return_state:
+        return out + (final_state, done)
     return out

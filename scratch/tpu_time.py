@@ -5,16 +5,16 @@ import jax
 import jax.numpy as jnp
 from periodicschurdecompositions_jl_tpu.ops import ff
 from periodicschurdecompositions_jl_tpu.ops.hessenberg_ff import phessenberg_core_ff
-from periodicschurdecompositions_jl_tpu.ops.pqr_ff import pqr_real_core_ff
+from periodicschurdecompositions_jl_tpu.ops.pqr_ff import pqr_real_core_ff_chunked
 
 p, n = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (8, 128)
 tpu = jax.devices()[0]
 rng = np.random.default_rng(0)
 
-@jax.jit
 def full(Ahi, Alo):
     Hhi, Hlo, QThi, QTlo = phessenberg_core_ff(Ahi, Alo, want_q=True)
-    return pqr_real_core_ff(Hhi, Hlo, QThi, QTlo, want_z=True, maxitfac=40)
+    return pqr_real_core_ff_chunked(Hhi, Hlo, QThi, QTlo, want_z=True,
+                                    maxitfac=40)
 
 def run(A):
     f = ff.from_f64(jnp.asarray(A))

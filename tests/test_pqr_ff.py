@@ -101,3 +101,24 @@ def test_pqr_ff_vs_f64_core():
     w_ref = np.sort_complex(np.asarray(wr64) + 1j * np.asarray(wi64))
     w = np.sort_complex(wr + 1j * wi)
     assert np.abs(w - w_ref).max() < 1e-9 * max(np.abs(w_ref).max(), 1.0)
+
+
+def test_pqr_ff_chunked_resume():
+    """Chunked execution (axon ~60 s execute kill timer) must be exactly
+    resumable: tiny chunks reproduce the single-shot decomposition."""
+    from periodicschurdecompositions_jl_tpu.ops.pqr_ff import (
+        pqr_real_core_ff_chunked)
+    p, n = 2, 10
+    rng = np.random.default_rng(21)
+    A = rng.standard_normal((p, n, n))
+    H64, Q64 = phessenberg_core(jnp.asarray(A), want_q=True)
+    Hff = ff.from_f64(jnp.asarray(np.asarray(H64)))
+    QTff = ff.from_f64(jnp.asarray(np.swapaxes(np.asarray(Q64), 1, 2)))
+    out1 = pqr_real_core_ff(Hff.hi, Hff.lo, QTff.hi, QTff.lo,
+                            want_z=True, interpret=True)
+    out2 = pqr_real_core_ff_chunked(Hff.hi, Hff.lo, QTff.hi, QTff.lo,
+                                    want_z=True, interpret=True,
+                                    chunk_iters=7)
+    for a, b in zip(out1[:8], out2[:8]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert bool(out2[8])
