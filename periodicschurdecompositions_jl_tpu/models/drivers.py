@@ -67,7 +67,12 @@ def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac,
         raise ValueError("the leftmost signature entry must be +1 (True); "
                          "rotate the cycle so a direct factor leads")
     if backend == "auto":
-        backend = "complex" if _jax.default_backend() == "cpu" else "split"
+        # NOTE: use the default DEVICE's platform, not jax.default_backend():
+        # the axon plugin reports itself as the default backend even under
+        # JAX_PLATFORMS=cpu with a pinned CPU default device (CLAUDE.md)
+        dev = _jax.config.jax_default_device
+        plat = dev.platform if dev is not None else _jax.default_backend()
+        backend = "complex" if plat == "cpu" else "split"
     if backend == "split":
         return _pschur_complex_split(A, S, orient, want_t, want_z, maxitfac)
     if all(S):
