@@ -1,5 +1,19 @@
 import os
+import resource
 import sys
+
+# Deep jax tracing recursion (pallas_sweep raises the Python recursion limit
+# to 20000) can exceed the default 8 MiB main-thread C stack during XLA
+# compiles late in long suite runs (observed: segfault inside
+# backend_compile_and_load around the 43% mark).  The main stack grows up to
+# RLIMIT_STACK on Linux, so raise the soft limit up front.
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 1 << 26  # 64 MiB
+    if _hard == resource.RLIM_INFINITY or _hard >= _want:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+except (ValueError, OSError):
+    pass
 
 # Tests run on a virtual 8-device CPU mesh: exactness (x64) + sharding tests
 # without TPU hardware.  Must be set before jax import.
