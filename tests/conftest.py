@@ -47,3 +47,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    With fusion disabled (required for exact EFT semantics of the ds
+    tests) every compile JITs thousands of tiny LLVM functions; across a
+    full-suite process the accumulated code allocations eventually crash
+    the XLA:CPU compiler itself (segfault inside backend_compile_and_load
+    ~45 min in, at whichever compile is active).  Dropping the caches
+    between modules keeps the process footprint bounded; within a module
+    the cache still amortizes recompiles.
+    """
+    yield
+    jax.clear_caches()
