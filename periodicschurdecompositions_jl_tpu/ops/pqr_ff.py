@@ -121,7 +121,37 @@ def pqr_real_core_ff_chunked(
         # execute, comfortably under the ~60 s worker kill
         per_iter = p * n * n * 1e-8
         chunk_iters = max(256, int(20.0 / max(per_iter, 1e-9)))
-    state = None
+
+    # Build the initial loop state here (MUST mirror the core's setup: same
+    # padding rule and state tuple) so every chunk call uses the ONE resume
+    # trace of the core — otherwise the first chunk compiles a second,
+    # fresh-start variant of the whole program (~8 extra minutes at the
+    # N=512 headline).
+    if n + 1 <= 128:
+        N = n + 1
+    else:
+        N = ((n + 16 + 7) // 8) * 8
+
+    @jax.jit
+    def _init(Hhi, Hlo, ZThi, ZTlo):
+        def _pad(x):
+            return jnp.zeros((p, N, N), jnp.float32).at[:, :n, :n].set(x)
+        H = FF(_pad(Hhi), _pad(Hlo))
+        if want_z:
+            if ZThi is None:
+                eyep = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32),
+                                        (p, n, n))
+                ZT = FF(_pad(eyep), jnp.zeros((p, N, N), jnp.float32))
+            else:
+                ZT = FF(_pad(ZThi), _pad(ZTlo))
+        else:
+            ZT = FF(jnp.zeros((p, 1, 1), jnp.float32),
+                    jnp.zeros((p, 1, 1), jnp.float32))
+        return (H, ZT, jnp.zeros((n,), jnp.float64),
+                jnp.zeros((n,), jnp.float64), jnp.int32(n - 1), jnp.int32(0),
+                jnp.int32(1), jnp.int32(maxit), jnp.int32(0))
+
+    state = _init(Hhi, Hlo, ZThi, ZTlo)
     cap = 0
     while True:
         cap = min(cap + chunk_iters, maxit)
