@@ -95,27 +95,26 @@ def _eig2x2_prod_np(W, S):
 
 
 def _normalize(P):
-    """-> (Pn, undo): left orientation, Schur factor at slot 0."""
+    """-> (Pn, undo): left orientation, Schur factor at slot 0.
+
+    Any ``schurindex`` is handled by cyclic relabeling (the reference
+    normalizes arbitrary indices the same way via ``_circshift``,
+    src/utils.jl:6-85)."""
     steps = []
     if P.orientation == "R":
         P = rev_alias(P)
-        steps.append("rev")
-    p = P.period
-    if P.schurindex == 0:
-        pass
-    elif P.schurindex == p - 1:
-        P = circshift_psd(P, 1)
-        steps.append("shift")
-    else:
-        raise ValueError("ordschur: schurindex must be 0 or p-1 after "
-                         "orientation normalization")
+        steps.append(("rev", None))
+    k = P.schurindex
+    if k != 0:
+        P = circshift_psd(P, -k)
+        steps.append(("shift", k))
     return P, steps
 
 
 def _denormalize(P, steps):
-    for s in reversed(steps):
-        if s == "shift":
-            P = circshift_psd(P, -1)
+    for tag, k in reversed(steps):
+        if tag == "shift":
+            P = circshift_psd(P, k)
         else:
             P = rev_alias(P)
     return P

@@ -28,10 +28,11 @@ def _widen_pairs(values, select):
     return sel
 
 
-def _check_reorder(A, P, select, S=None, lr="R", tol=1e-6):
+def _check_reorder(A, P, select, S=None, lr="R", tol=1000 * EPS):
     """Reorder; verify decomposition still checks out and the selected
     eigenvalues (as a multiset, widened over conjugate pairs) lead the new
-    spectrum."""
+    spectrum.  Default eigenvalue oracle: 1000 eps * scale, matching the
+    reference's compare_reigvals (test/testfuncs.jl:28-52)."""
     select_w = _widen_pairs(P.values, select)
     want = np.asarray(P.values)[np.asarray(select_w)]
     P2 = ordschur(P, select)
@@ -188,7 +189,7 @@ class TestMkrpsFixture:
     ])
     def test_reorder_planted_pairs(self, rng, jcs, select):
         P, A = mkrps(rng, 8, 3, jcs=jcs)
-        _check_reorder(A, P, select, tol=1e-7)
+        _check_reorder(A, P, select)
 
     def test_pair_widening(self, rng):
         """Selecting half a conjugate pair must widen over the pair
@@ -203,8 +204,23 @@ class TestMkrpsFixture:
 
     def test_single_factor(self, rng):
         P, A = mkrps(rng, 6, 1, jcs=(3,))
-        _check_reorder(A, P, [False, False, True, True, False, False],
-                       tol=1e-7)
+        _check_reorder(A, P, [False, False, True, True, False, False])
+
+    @pytest.mark.parametrize("shift", [1, 2])
+    def test_arbitrary_schurindex(self, rng, shift):
+        """Any schurindex is normalized via cyclic relabeling (reference
+        handles arbitrary indices, src/utils.jl:6-85)."""
+        from periodicschurdecompositions_jl_tpu.utils.circshift import \
+            circshift_psd
+        P, A = mkrps(rng, 8, 3, jcs=(3,))
+        Ps = circshift_psd(P, shift)
+        assert Ps.schurindex == shift
+        As = np.roll(A, shift, axis=0)
+        ok, rep = check_psd(Ps, As, tol=2000.0)
+        assert ok, rep
+        P2 = _check_reorder(As, Ps, [False, False, False, True, False, True,
+                                     False, False])
+        assert P2.schurindex == shift
 
     def test_ill_conditioned_swap_raises(self, rng):
         """A swap across (numerically) identical eigenvalues with strong
@@ -227,3 +243,88 @@ class TestMkrpsFixture:
                           schurindex=0)
         with pytest.raises(IllConditionedException):
             ordschur(P, [False, False, True, False])
+
+
+# ---------------------------------------------------------------------------
+# Real-signature generalized reordering (reference test/ordschur.jl:166-273):
+# synthetic GENERALIZED decomposition with mixed signatures and planted
+# conjugate pairs, exercising the inverted-factor swap branches
+# (swapadj1x1 / swapadjqr with S[l] False) and _update_values' 2x2 re-solve.
+
+
+def mkrgps(rng, n, p, jcs, S, nnfac=1e-2):
+    """Synthetic real generalized decomposition (right orientation,
+    schurindex 0) with signature ``S`` and conjugate pairs at 0-based
+    positions ``jcs`` (each j pairs rows (j-1, j)).  Inverted factors get
+    diagonal 1/mu so every factor contributes mu to the signed product
+    (same grading as mkrps).  Returns (P, A)."""
+    from periodicschurdecompositions_jl_tpu.types import \
+        GeneralizedPeriodicSchur
+    from periodicschurdecompositions_jl_tpu.models.ordschur import \
+        _update_values
+    T = np.zeros((p, n, n))
+    for l in range(p):
+        T[l] = np.triu(nnfac * rng.random((n, n)))
+    jj = 0
+    mu = 1.0
+    for j in range(n):
+        if j in jcs:
+            T[0][j, j - 1] = mu
+            T[0][j - 1, j] = -mu
+            for l in range(1, p):
+                T[l][j - 1, j] = 0.0
+        else:
+            jj += 1
+            mu = 2.0 ** (2 * jj / p)
+        T[0][j, j] = mu
+        for l in range(1, p):
+            T[l][j, j] = mu if S[l] else 1.0 / mu
+    Z = np.stack([np.linalg.qr(rng.standard_normal((n, n)))[0]
+                  for _ in range(p)])
+    A = np.empty_like(T)
+    for l in range(p):
+        ln = (l + 1) % p
+        if S[l]:
+            A[l] = Z[l] @ T[l] @ Z[ln].T
+        else:
+            A[l] = Z[ln] @ T[l] @ Z[l].T
+    alpha, beta, scale = _update_values(None, [T[l] for l in range(p)],
+                                        tuple(S))
+    P = GeneralizedPeriodicSchur(
+        S=tuple(bool(s) for s in S), schurindex=0, Ts=jnp.asarray(T),
+        Zs=jnp.asarray(Z), alpha=jnp.asarray(alpha),
+        beta=jnp.asarray(beta), alphascale=jnp.asarray(scale, jnp.int32),
+        orientation="R")
+    return P, A
+
+
+class TestOrdschurRealGeneralized:
+    def test_fixture_valid(self, rng):
+        P, A = mkrgps(rng, 8, 3, jcs=(3, 7), S=(True, False, True))
+        ok, rep = check_psd(P, A, tol=2000.0)
+        assert ok, rep
+
+    @pytest.mark.parametrize("S", [
+        (True, False, True), (True, True, False), (True, False, False)])
+    @pytest.mark.parametrize("jcs,select", [
+        ((3,), [False, False, True, True, False, False, False, False]),
+        ((5,), [False, False, False, False, True, False, False, True]),
+        ((3, 7), [False, False, False, False, False, False, True, True]),
+    ])
+    def test_reorder_planted_pairs(self, rng, S, jcs, select):
+        P, A = mkrgps(rng, 8, 3, jcs=jcs, S=S)
+        _check_reorder(A, P, select)
+
+    def test_singletons_inverted(self, rng):
+        """1x1 moves across inverted factors (swapadj1x1 S-branches)."""
+        P, A = mkrgps(rng, 6, 2, jcs=(), S=(True, False))
+        _check_reorder(A, P, [False, False, True, False, True, False])
+
+    def test_pair_widening_generalized(self, rng):
+        P, A = mkrgps(rng, 8, 2, jcs=(3,), S=(True, False))
+        select = [False, False, False, True, False, False, False, False]
+        P2 = ordschur(P, select)
+        ok, rep = check_psd(P2, A, tol=2000.0)
+        assert ok, rep
+        top = np.asarray(P2.values)[:2]
+        assert abs(top[0] - np.conj(top[1])) < 1e-6 * abs(top[0])
