@@ -88,7 +88,7 @@ def _as_ops(A, n=None, dtype=None):
 
 
 class _PKrylov:
-    def __init__(self, p, n, kmax, dtype, rng):
+    def __init__(self, p, n, kmax, dtype, rng, vrand=None):
         self.p, self.n, self.kmax = p, n, kmax
         self.V = [np.zeros((n, kmax + 1), dtype)] + \
             [np.zeros((n, kmax), dtype) for _ in range(p - 1)]
@@ -97,8 +97,13 @@ class _PKrylov:
         self.k = 0
         self.rng = rng
         self.dtype = np.dtype(dtype)
+        self._vrand = vrand
 
     def vrand(self, shape):
+        """Restart-vector filler; user-injectable like the reference's
+        ``vrand!`` keyword (src/krylov.jl:454)."""
+        if self._vrand is not None:
+            return np.asarray(self._vrand(shape), dtype=self.dtype)
         v = self.rng.standard_normal(shape)
         if np.issubdtype(self.dtype, np.complexfloating):
             v = v + 1j * self.rng.standard_normal(shape)
@@ -402,6 +407,7 @@ def partial_pschur(
     u1: Optional[np.ndarray] = None,
     seed: int = 1234,
     eta_orth: Optional[float] = None,
+    vrand=None,
 ):
     """Find ``nev`` exterior eigenvalues of the product ``A[p-1] @ ... @ A[0]``
     (left orientation, like the reference) by periodic Krylov-Schur.
@@ -413,6 +419,9 @@ def partial_pschur(
       tol: convergence tolerance (default sqrt(eps)).
       eta_orth: iterated-Gram-Schmidt re-orthogonalization threshold
         (default: AlgoConfig.eta_orth = 1/sqrt(2), reference src/krylov.jl:150).
+      vrand: optional ``vrand(shape) -> ndarray`` filler for restart vectors
+        (reference's custom ``vrand!``, src/krylov.jl:454); reproducible
+        structured restarts.  Defaults to a seeded Gaussian.
 
     Returns:
       (PartialPeriodicSchur, ArnoldiHistory)
@@ -435,7 +444,7 @@ def partial_pschur(
         from ..config import default_config
         eta_orth = float(default_config.eta_orth)
     rng = np.random.default_rng(seed)
-    PK = _PKrylov(p, n, maxdim, dtype, rng)
+    PK = _PKrylov(p, n, maxdim, dtype, rng, vrand=vrand)
     key = _order_key(which)
     eps23 = eps ** (2.0 / 3.0)
 

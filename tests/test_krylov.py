@@ -147,3 +147,29 @@ def test_krylov_large_matrix_free(rng):
         Av = np.stack([ops[l](V[l][:, j]) for j in range(k)], axis=1)
         R = Av - V[(l + 1) % p] @ T[l]
         assert np.abs(R).max() < 1e-5, (l, np.abs(R).max())
+
+
+def test_krylov_custom_vrand(rng):
+    """User-injected restart filler (reference vrand!, src/krylov.jl:454):
+    a deterministic custom filler must be used and give reproducible runs."""
+    p, n, nev = 2, 30, 3
+    A = mkmats(rng, p, n)
+    calls = []
+
+    def filler(shape):
+        calls.append(shape)
+        rloc = np.random.default_rng(99 + len(calls))
+        return rloc.standard_normal(shape)
+
+    ps1, h1 = partial_pschur(A, nev, "LM", vrand=filler)
+    assert calls, "custom vrand was never invoked"
+    calls2 = []
+
+    def filler2(shape):
+        calls2.append(shape)
+        rloc = np.random.default_rng(99 + len(calls2))
+        return rloc.standard_normal(shape)
+
+    ps2, h2 = partial_pschur(A, nev, "LM", vrand=filler2)
+    assert np.allclose(np.asarray(ps1.values), np.asarray(ps2.values))
+    check_partial(A, ps1)
