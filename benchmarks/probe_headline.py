@@ -1,0 +1,92 @@
+"""Headline error/time budget probe (TPU): reduction vs iteration.
+
+Runs the ds pipeline at a configurable size on the chip and reports
+ - reduction-only backward error (phessenberg_core_ff),
+ - full-pipeline backward error,
+ - Z orthogonality,
+ - wall-clock of each stage (fresh inputs, host-transfer timing).
+
+Usage: python benchmarks/probe_headline.py [p] [n]
+"""
+import sys
+import time
+
+import numpy as np
+
+p = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from periodicschurdecompositions_jl_tpu.ops import ff
+from periodicschurdecompositions_jl_tpu.ops.hessenberg_ff import \
+    phessenberg_core_ff
+from periodicschurdecompositions_jl_tpu.ops.pqr_ff import \
+    pqr_real_core_ff_chunked
+
+tpu = jax.devices()[0]
+rng = np.random.default_rng(12345)
+A = rng.standard_normal((p, n, n))
+
+
+def split(x):
+    f = ff.from_f64(jnp.asarray(x))
+    return jax.device_put(f.hi, tpu), jax.device_put(f.lo, tpu)
+
+
+def tonp(h, l):
+    return np.asarray(h, np.float64) + np.asarray(l, np.float64)
+
+
+def backerr(A, T, Z, ZT=True):
+    worst = 0.0
+    scale = np.abs(A).max()
+    for l in range(A.shape[0]):
+        Zl = Z[l].T if ZT else Z[l]
+        Zn = Z[(l + 1) % A.shape[0]].T if ZT else Z[(l + 1) % A.shape[0]]
+        Ax = Zl @ T[l] @ Zn.T
+        worst = max(worst, np.abs(Ax - A[l]).max() / scale)
+    return worst
+
+
+# warmup/compile
+hi, lo = split(A * 0.5)
+Hh, Hl, Qh, Ql = phessenberg_core_ff(hi, lo, want_q=True)
+_ = np.asarray(Hh)
+
+hi, lo = split(A)
+t0 = time.time()
+Hh, Hl, Qh, Ql = phessenberg_core_ff(hi, lo, want_q=True)
+H = tonp(Hh, Hl)
+QT = tonp(Qh, Ql)
+t_red = time.time() - t0
+# reduction backerr: A ?= Q H Q_{l+1}' with Q stored transposed
+e_red = backerr(A, H, QT, ZT=True)
+orth_red = max(np.abs(QT[l] @ QT[l].T - np.eye(n)).max()
+               for l in range(p))
+print(f"[probe] reduction: {t_red:.2f}s backerr {e_red:.3e} "
+      f"orth {orth_red:.3e}", flush=True)
+
+t0 = time.time()
+out = pqr_real_core_ff_chunked(Hh, Hl, Qh, Ql, want_z=True, maxitfac=40)
+(Th, Tl, Zh, Zl_, wrh, wrl, wih, wil, ok) = out
+T = tonp(Th, Tl)
+ZT_ = tonp(Zh, Zl_)
+t_it = time.time() - t0
+e_full = backerr(A, T, ZT_, ZT=True)
+orth = max(np.abs(ZT_[l] @ ZT_[l].T - np.eye(n)).max() for l in range(p))
+# iteration-only error: H ?= Z' T Z relative to H
+e_it = 0.0
+scale = np.abs(H).max()
+for l in range(p):
+    Hx = (ZT_[l].T @ T[l] @ ZT_[(l + 1) % p]) if False else \
+        ZT_[l].T @ T[l] @ ZT_[(l + 1) % p]
+# Z stored transposed: Z[l] = ZT[l].T; H[l] ?= Z[l] T[l] Z[l+1]'
+for l in range(p):
+    Hx = ZT_[l].T @ T[l] @ ZT_[(l + 1) % p]
+    e_it = max(e_it, np.abs(Hx - H[l]).max() / scale)
+print(f"[probe] iteration: {t_it:.2f}s ok={bool(ok)} "
+      f"full backerr {e_full:.3e} iter-only {e_it:.3e} orth {orth:.3e}",
+      flush=True)

@@ -82,13 +82,14 @@ def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac,
     from ..config import verbosity
     if verbosity("main") >= 1:
         T, Z, alpha, beta, scale, ok, info = pqz_complex_core(
-            H, S, Z=Q, want_z=want_z, maxitfac=maxitfac, with_info=True)
+            H, S, Z=Q, want_z=want_z, want_t=want_t, maxitfac=maxitfac,
+            with_info=True)
         print(f"[pschur complex] p={p} n={A.shape[-1]}: "
               f"{int(info['niter'])} iterations "
               f"(budget {int(info['maxit'])}), converged={bool(ok)}")
     else:
         T, Z, alpha, beta, scale, ok = pqz_complex_core(
-            H, S, Z=Q, want_z=want_z, maxitfac=maxitfac)
+            H, S, Z=Q, want_z=want_z, want_t=want_t, maxitfac=maxitfac)
     if not bool(ok):
         raise ConvergenceFailure(-1)
     P = GeneralizedPeriodicSchur(
@@ -129,7 +130,7 @@ def _pschur_complex_split(A, S, orient, want_t, want_z, maxitfac):
         Qre = jnp.asarray(_np.ascontiguousarray(Qn.real)) if want_z else None
         Qim = jnp.asarray(_np.ascontiguousarray(Qn.imag)) if want_z else None
     out = pqz_complex_core_split(Hre, Him, S, Qre, Qim, want_z=want_z,
-                                 maxitfac=maxitfac)
+                                 want_t=want_t, maxitfac=maxitfac)
     (Tre, Tim, Zre, Zim, alr, ali, be, sc, ok) = out
     if not bool(ok):
         raise ConvergenceFailure(-1)

@@ -48,7 +48,8 @@ def _eye_stack(p, n, dt):
     return jnp.broadcast_to(jnp.eye(n, dtype=dt), (p, n, n)).astype(dt)
 
 
-@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info"))
+@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info",
+                                   "want_t"))
 def pqz_complex_core(
     H: jax.Array,
     S: Tuple[bool, ...],
@@ -57,6 +58,7 @@ def pqz_complex_core(
     maxitfac: int = 30,
     seed: int = 1234,
     with_info: bool = False,
+    want_t: bool = True,
 ):
     """Run the complex periodic QZ iteration.
 
@@ -68,6 +70,12 @@ def pqz_complex_core(
       want_z: accumulate Schur vectors.
       maxitfac: iteration budget factor (maxit = maxitfac * n).
       seed: PRNG seed for exceptional shifts.
+      want_t: when False the sweep restricts row/column updates to the
+        active window [jlo, ilast] (the reference's ifirstm:ilastm device,
+        src/generalized.jl:202-227,756-775): eigenvalues are exact but the
+        returned T is only valid on the block diagonal.  Out-of-window
+        regions are element-wise decoupled from the window, so skipping
+        their updates cannot perturb in-window values.
 
     Returns:
       (T, Z, alpha, beta, alphascale, ok): T triangularized stack, Z updated
@@ -167,6 +175,12 @@ def pqz_complex_core(
         s = jnp.where(exc, se, s)
 
         # --- the sweep ---
+        # want_t=False: restrict to the active window (ifirstm:ilastm of
+        # the reference when !wantT) — row updates to columns <= ilast,
+        # column updates to rows >= jlo
+        rhi = None if want_t else ilast + 1
+        clo = None if want_t else jlo
+
         def sweep_step(k, carry):
             H, Z, c, s = carry
             act = (k >= ifirst) & (k <= ilast - 1)
@@ -178,30 +192,35 @@ def pqz_complex_core(
                                    active=regen))
             c = jnp.where(regen, cn, c)
             s = jnp.where(regen, sn, s)
-            H = H.at[0].set(rowsk(H[0], k, lmat(c, s), lo=k, active=act))
+            H = H.at[0].set(rowsk(H[0], k, lmat(c, s), lo=k, hi=rhi,
+                                  active=act))
             Z = zup(Z, 0, k, rmat_adj(c, s), active=act)
             for l in range(p - 1, 0, -1):
                 if S[l]:
-                    Hl = colsk(H[l], k, rmat_adj(c, s), hi=k + 2, active=act)
+                    Hl = colsk(H[l], k, rmat_adj(c, s), lo=clo, hi=k + 2,
+                               active=act)
                     fg = getcol(Hl, k, k, 2)
                     cn, sn, r = givens_complex(fg[0], fg[1])
                     Hl = setcol(Hl, k, k, jnp.stack([r, jnp.zeros((), dt)]),
                                 active=act)
-                    Hl = rowsk(Hl, k, lmat(cn, sn), lo=k + 1, active=act)
+                    Hl = rowsk(Hl, k, lmat(cn, sn), lo=k + 1, hi=rhi,
+                               active=act)
                 else:
-                    Hl = rowsk(H[l], k, lmat(c, s), lo=k, active=act)
+                    Hl = rowsk(H[l], k, lmat(c, s), lo=k, hi=rhi, active=act)
                     fg = getrow(Hl, k + 1, k, 2)
                     cn, sn, r = givens_complex(fg[1], fg[0])
                     Hl = setrow(Hl, k + 1, k,
                                 jnp.stack([jnp.zeros((), dt), r]), active=act)
-                    Hl = colsk(Hl, k, lmat(cn, sn), hi=k + 1, active=act)
+                    Hl = colsk(Hl, k, lmat(cn, sn), lo=clo, hi=k + 1,
+                               active=act)
                     sn = -sn
                 H = H.at[l].set(Hl)
                 c = jnp.where(act, cn, c)
                 s = jnp.where(act, sn, s)
                 Z = zup(Z, l, k, rmat_adj(c, s), active=act)
             H = H.at[0].set(
-                colsk(H[0], k, rmat_adj(c, s), hi=jnp.minimum(k + 3, n), active=act))
+                colsk(H[0], k, rmat_adj(c, s), lo=clo,
+                      hi=jnp.minimum(k + 3, n), active=act))
             return H, Z, c, s
 
         H, Z, c, s = lax.fori_loop(0, n - 1, sweep_step, (H, Z, c, s))

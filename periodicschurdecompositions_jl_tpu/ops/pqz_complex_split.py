@@ -127,7 +127,8 @@ def phessenberg_core_split(Are: jax.Array, Aim: jax.Array,
 # split-complex periodic QZ core
 
 
-@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info"))
+@partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info",
+                                   "want_t"))
 def pqz_complex_core_split(
     Hre: jax.Array,
     Him: jax.Array,
@@ -138,8 +139,13 @@ def pqz_complex_core_split(
     maxitfac: int = 30,
     seed: int = 1234,
     with_info: bool = False,
+    want_t: bool = True,
 ):
     """Run the split-complex periodic QZ iteration (see module docstring).
+
+    ``want_t=False`` restricts sweep updates to the active window (see
+    ops/pqz_complex.pqz_complex_core; reference ifirstm:ilastm device,
+    src/generalized.jl:202-227): T is then only valid on the block diagonal.
 
     Returns (Tre, Tim, Zre, Zim, alpha_re, alpha_im, beta, alphascale, ok).
     """
@@ -240,6 +246,10 @@ def pqz_complex_core_split(
         c = jnp.where(exc, ce, c)
         s = where(exc, se, s)
 
+        # want_t=False: window-limited updates (see pqz_complex_core)
+        rhi = None if want_t else ilast + 1
+        clo = None if want_t else jlo
+
         def sweep_step(k, carry):
             H, Z, c, s = carry
             act = (k >= ifirst) & (k <= ilast - 1)
@@ -254,13 +264,13 @@ def pqz_complex_core_split(
                            active=regen)
             c = jnp.where(regen, cn, c)
             s = where(regen, sn, s)
-            H0 = rowsk_cx(H0, k, lmat_cx(c, s), lo=k, active=act)
+            H0 = rowsk_cx(H0, k, lmat_cx(c, s), lo=k, hi=rhi, active=act)
             H = cxm.at_set(H, 0, H0)
             Z = zup(Z, 0, k, rmat_adj_cx(c, s), active=act)
             for l in range(p - 1, 0, -1):
                 Hl = CX(H.re[l], H.im[l])
                 if S[l]:
-                    Hl = colsk_cx(Hl, k, rmat_adj_cx(c, s), hi=k + 2,
+                    Hl = colsk_cx(Hl, k, rmat_adj_cx(c, s), lo=clo, hi=k + 2,
                                   active=act)
                     fg = getcol_cx(Hl, k, k, 2)
                     cn, sn, r = givens_cx(CX(fg.re[0], fg.im[0]),
@@ -269,10 +279,11 @@ def pqz_complex_core_split(
                                    CX(jnp.stack([r.re, jnp.zeros((), rdt)]),
                                       jnp.stack([r.im, jnp.zeros((), rdt)])),
                                    active=act)
-                    Hl = rowsk_cx(Hl, k, lmat_cx(cn, sn), lo=k + 1,
+                    Hl = rowsk_cx(Hl, k, lmat_cx(cn, sn), lo=k + 1, hi=rhi,
                                   active=act)
                 else:
-                    Hl = rowsk_cx(Hl, k, lmat_cx(c, s), lo=k, active=act)
+                    Hl = rowsk_cx(Hl, k, lmat_cx(c, s), lo=k, hi=rhi,
+                                  active=act)
                     fg = getrow_cx(Hl, k + 1, k, 2)
                     cn, sn, r = givens_cx(CX(fg.re[1], fg.im[1]),
                                           CX(fg.re[0], fg.im[0]))
@@ -280,7 +291,7 @@ def pqz_complex_core_split(
                                    CX(jnp.stack([jnp.zeros((), rdt), r.re]),
                                       jnp.stack([jnp.zeros((), rdt), r.im])),
                                    active=act)
-                    Hl = colsk_cx(Hl, k, lmat_cx(cn, sn), hi=k + 1,
+                    Hl = colsk_cx(Hl, k, lmat_cx(cn, sn), lo=clo, hi=k + 1,
                                   active=act)
                     sn = neg(sn)
                 H = cxm.at_set(H, l, Hl)
@@ -288,7 +299,7 @@ def pqz_complex_core_split(
                 s = where(act, sn, s)
                 Z = zup(Z, l, k, rmat_adj_cx(c, s), active=act)
             H0 = colsk_cx(CX(H.re[0], H.im[0]), k, rmat_adj_cx(c, s),
-                          hi=jnp.minimum(k + 3, n), active=act)
+                          lo=clo, hi=jnp.minimum(k + 3, n), active=act)
             H = cxm.at_set(H, 0, H0)
             return H, Z, c, s
 

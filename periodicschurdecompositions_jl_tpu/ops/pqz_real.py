@@ -288,7 +288,7 @@ def _opening_rotations(H, S, j, ilast, key, iiter):
 
 
 @partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info",
-                                   "aggressive"))
+                                   "aggressive", "want_t"))
 def pqz_real_gen_core(
     H: jax.Array,
     S: Tuple[bool, ...],
@@ -298,6 +298,7 @@ def pqz_real_gen_core(
     seed: int = 1234,
     with_info: bool = False,
     aggressive: bool = False,
+    want_t: bool = True,
 ):
     """Run the real generalized periodic QZ iteration.
 
@@ -305,6 +306,10 @@ def pqz_real_gen_core(
       H: (p, n, n) real stack; H[0] upper Hessenberg, H[1:] upper triangular.
       S: static signature tuple, S[0] True; p must be >= 2 (route p == 1 /
          all-positive problems to the plain real core).
+      want_t: when False the sweep/attack chains restrict row updates to
+        columns <= ilast and column updates to rows >= jlo (the reference's
+        ifirstm:ilastm device when !wantT, src/rgeneralized.jl:895-1054);
+        eigenvalues are exact, T is only valid on the block diagonal.
 
     Returns:
       (T, Z, alpha_r, alpha_i, beta, alphascale, ok): T quasi-triangular
@@ -354,27 +359,29 @@ def pqz_real_gen_core(
         return Z.at[l].set(colsk(Z[l], k, M, active=active))
 
     # --- shared "510" single-rotation chain (reference :1020-1048) --------
-    def chain510(H, Z, j, c1, s1):
-        H = H.at[0].set(rowsk(H[0], j, lmat(c1, s1), lo=j))
+    # wlo/whi: want_t=False window bounds (rows >= wlo for column updates,
+    # columns < whi for row updates); None = unbounded (want_t=True)
+    def chain510(H, Z, j, c1, s1, wlo=None, whi=None):
+        H = H.at[0].set(rowsk(H[0], j, lmat(c1, s1), lo=j, hi=whi))
         Z = zup(Z, 0, j, rmat_adj(c1, s1))
         for l in range(p - 1, 0, -1):
             Hl = H[l]
             if S[l]:
-                Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 2)
+                Hl = colsk(Hl, j, rmat_adj(c1, s1), lo=wlo, hi=j + 2)
                 c1, s1, r = givens_real(getel(Hl, j, j), getel(Hl, j + 1, j))
                 Hl = setel(Hl, j, j, r)
                 Hl = setel(Hl, j + 1, j, zero)
-                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j + 1)
+                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j + 1, hi=whi)
             else:
-                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j)
+                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j, hi=whi)
                 c1, s1, r = givens_real(getel(Hl, j + 1, j + 1),
                                         -getel(Hl, j + 1, j))
                 Hl = setel(Hl, j + 1, j + 1, r)
                 Hl = setel(Hl, j + 1, j, zero)
-                Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 1)
+                Hl = colsk(Hl, j, rmat_adj(c1, s1), lo=wlo, hi=j + 1)
             H = H.at[l].set(Hl)
             Z = zup(Z, l, j, rmat_adj(c1, s1))
-        H = H.at[0].set(colsk(H[0], j, rmat_adj(c1, s1)))
+        H = H.at[0].set(colsk(H[0], j, rmat_adj(c1, s1), lo=wlo))
         return H, Z
 
     # ------------------------------------------------------------------
@@ -440,7 +447,9 @@ def pqz_real_gen_core(
             r = B[p - 1][1, 1]
             c1, s1, _ = givens_real(
                 c1 * getel(H[0], j, j) - r * s1, c1 * getel(H[0], j + 1, j))
-            return chain510(H, Z, j, c1, s1)
+            wlo = None if want_t else info["jlo"]
+            whi = None if want_t else ilast + 1
+            return chain510(H, Z, j, c1, s1, wlo=wlo, whi=whi)
 
         def complex_pair(HZ):
             return HZ
@@ -469,47 +478,51 @@ def pqz_real_gen_core(
         ziter = ziter + 1
         c1, s1, c2, s2, key = _opening_rotations(H, S, ifirst, ilast, key,
                                                  iiter)
+        # want_t=False: row updates limited to columns <= ilast, column
+        # updates to rows >= jlo (reference ifirstm:ilastm when !wantT)
+        rhi = None if want_t else ilast + 1
+        clo = None if want_t else ifirst
 
         # opening (reference :890-943); j = ifirst
         j = ifirst
-        H0 = colsk(H[0], j + 1, rmat_adj(c2, s2), hi=ilast + 1)
-        H0 = colsk(H0, j, rmat_adj(c1, s1), hi=ilast + 1)
+        H0 = colsk(H[0], j + 1, rmat_adj(c2, s2), lo=clo, hi=ilast + 1)
+        H0 = colsk(H0, j, rmat_adj(c1, s1), lo=clo, hi=ilast + 1)
         H = H.at[0].set(H0)
         Z = zup(Z, 1 % p, j + 1, rmat_adj(c2, s2))
         Z = zup(Z, 1 % p, j, rmat_adj(c1, s1))
         for l in range(1, p):
             Hl = H[l]
             if S[l]:
-                Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j)
+                Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j, hi=rhi)
                 c2, s2, r = givens_real(getel(Hl, j + 2, j + 2),
                                         -getel(Hl, j + 2, j + 1))
                 Hl = setel(Hl, j + 2, j + 2, r)
                 Hl = setel(Hl, j + 2, j + 1, zero)
-                Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), hi=j + 2)
-                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j)
+                Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), lo=clo, hi=j + 2)
+                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j, hi=rhi)
                 c1, s1, r = givens_real(getel(Hl, j + 1, j + 1),
                                         -getel(Hl, j + 1, j))
                 Hl = setel(Hl, j + 1, j + 1, r)
                 Hl = setel(Hl, j + 1, j, zero)
-                Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 1)
+                Hl = colsk(Hl, j, rmat_adj(c1, s1), lo=clo, hi=j + 1)
             else:
-                Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), hi=j + 3)
+                Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), lo=clo, hi=j + 3)
                 c2, s2, r = givens_real(getel(Hl, j + 1, j + 1),
                                         getel(Hl, j + 2, j + 1))
                 Hl = setel(Hl, j + 1, j + 1, r)
                 Hl = setel(Hl, j + 2, j + 1, zero)
-                Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j + 2)
-                Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 2)
+                Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j + 2, hi=rhi)
+                Hl = colsk(Hl, j, rmat_adj(c1, s1), lo=clo, hi=j + 2)
                 c1, s1, r = givens_real(getel(Hl, j, j), getel(Hl, j + 1, j))
                 Hl = setel(Hl, j, j, r)
                 Hl = setel(Hl, j + 1, j, zero)
-                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j + 1)
+                Hl = rowsk(Hl, j, lmat(c1, s1), lo=j + 1, hi=rhi)
             H = H.at[l].set(Hl)
             ln = (l + 1) % p
             Z = zup(Z, ln, j + 1, rmat_adj(c2, s2))
             Z = zup(Z, ln, j, rmat_adj(c1, s1))
-        H = H.at[0].set(rowsk(H[0], j + 1, lmat(c2, s2), lo=j))
-        H = H.at[0].set(rowsk(H[0], j, lmat(c1, s1), lo=j))
+        H = H.at[0].set(rowsk(H[0], j + 1, lmat(c2, s2), lo=j, hi=rhi))
+        H = H.at[0].set(rowsk(H[0], j, lmat(c1, s1), lo=j, hi=rhi))
 
         # chase (reference :953-1014); j1 in [ifirst+1, ilast-2]
         def chase_step(j1, carry):
@@ -523,42 +536,45 @@ def pqz_real_gen_core(
                 c2, s2, r2 = givens_real(col3[1], col3[2])
                 c1, s1, r1 = givens_real(col3[0], r2)
                 H0 = setcol(H[0], j, j - 1, jnp.stack([r1, zero, zero]))
-                H0 = rowsk(H0, j + 1, lmat(c2, s2), lo=j)
-                H0 = rowsk(H0, j, lmat(c1, s1), lo=j)
+                H0 = rowsk(H0, j + 1, lmat(c2, s2), lo=j, hi=rhi)
+                H0 = rowsk(H0, j, lmat(c1, s1), lo=j, hi=rhi)
                 H = H.at[0].set(H0)
                 Z = zup(Z, 0, j + 1, rmat_adj(c2, s2))
                 Z = zup(Z, 0, j, rmat_adj(c1, s1))
                 for l in range(p - 1, 0, -1):
                     Hl = H[l]
                     if S[l]:
-                        Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), hi=j + 3)
+                        Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), lo=clo,
+                                   hi=j + 3)
                         fg = getcol(Hl, j + 1, j + 1, 2)
                         c2, s2, r = givens_real(fg[0], fg[1])
                         Hl = setcol(Hl, j + 1, j + 1, jnp.stack([r, zero]))
-                        Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j + 2)
-                        Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 2)
+                        Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j + 2, hi=rhi)
+                        Hl = colsk(Hl, j, rmat_adj(c1, s1), lo=clo, hi=j + 2)
                         fg = getcol(Hl, j, j, 2)
                         c1, s1, r = givens_real(fg[0], fg[1])
                         Hl = setcol(Hl, j, j, jnp.stack([r, zero]))
-                        Hl = rowsk(Hl, j, lmat(c1, s1), lo=j + 1)
+                        Hl = rowsk(Hl, j, lmat(c1, s1), lo=j + 1, hi=rhi)
                     else:
-                        Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j)
+                        Hl = rowsk(Hl, j + 1, lmat(c2, s2), lo=j, hi=rhi)
                         fg = getrow(Hl, j + 2, j + 1, 2)
                         c2, s2, r = givens_real(fg[1], -fg[0])
                         Hl = setrow(Hl, j + 2, j + 1, jnp.stack([zero, r]))
-                        Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), hi=j + 2)
-                        Hl = rowsk(Hl, j, lmat(c1, s1), lo=j)
+                        Hl = colsk(Hl, j + 1, rmat_adj(c2, s2), lo=clo,
+                                   hi=j + 2)
+                        Hl = rowsk(Hl, j, lmat(c1, s1), lo=j, hi=rhi)
                         fg = getrow(Hl, j + 1, j, 2)
                         c1, s1, r = givens_real(fg[1], -fg[0])
                         Hl = setrow(Hl, j + 1, j, jnp.stack([zero, r]))
-                        Hl = colsk(Hl, j, rmat_adj(c1, s1), hi=j + 1)
+                        Hl = colsk(Hl, j, rmat_adj(c1, s1), lo=clo, hi=j + 1)
                     H = H.at[l].set(Hl)
                     Z = zup(Z, l, j + 1, rmat_adj(c2, s2))
                     Z = zup(Z, l, j, rmat_adj(c1, s1))
                 lm = jnp.minimum(j + 3, n - 1)
-                H = H.at[0].set(colsk(H[0], j + 1, rmat_adj(c2, s2),
+                H = H.at[0].set(colsk(H[0], j + 1, rmat_adj(c2, s2), lo=clo,
                                       hi=lm + 1))
-                H = H.at[0].set(colsk(H[0], j, rmat_adj(c1, s1), hi=lm + 1))
+                H = H.at[0].set(colsk(H[0], j, rmat_adj(c1, s1), lo=clo,
+                                      hi=lm + 1))
                 return H, Z
 
             return lax.cond(act, run, lambda x: x, (H, Z))
@@ -572,7 +588,7 @@ def pqz_real_gen_core(
         H0 = setel(H[0], j, j - 1, r1)
         H0 = setel(H0, j + 1, j - 1, zero)
         H = H.at[0].set(H0)
-        H, Z = chain510(H, Z, j, c1, s1)
+        H, Z = chain510(H, Z, j, c1, s1, wlo=clo, whi=rhi)
         return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
 
     # ------------------------------------------------------------------
@@ -689,7 +705,8 @@ def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
     if p == 1 or all(S):
         H, Q = phessenberg_core(A, want_q=want_z)
         if p == 1:
-            T, Z, wr, wi, ok = pqr_real_core(H, Z=Q, want_z=want_z)
+            T, Z, wr, wi, ok = pqr_real_core(H, Z=Q, want_z=want_z,
+                                             want_t=want_t)
             if not bool(ok):
                 raise ConvergenceFailure(-1)
             wr_n, wi_n = _np.asarray(wr), _np.asarray(wi)
@@ -707,7 +724,8 @@ def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
     from ..config import verbosity
     czbail = False
     if verbosity("main") >= 1:
-        out = pqz_real_gen_core(H, S, Z=Q, want_z=want_z, maxitfac=maxitfac,
+        out = pqz_real_gen_core(H, S, Z=Q, want_z=want_z, want_t=want_t,
+                                maxitfac=maxitfac,
                                 with_info=True, aggressive=aggressive)
         if aggressive:
             T, Z, alr, ali, be, sc, ok, czbail, info = out
@@ -717,7 +735,8 @@ def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
               f"{int(info['niter'])} iterations "
               f"(budget {int(info['maxit'])}), converged={bool(ok)}")
     else:
-        out = pqz_real_gen_core(H, S, Z=Q, want_z=want_z, maxitfac=maxitfac,
+        out = pqz_real_gen_core(H, S, Z=Q, want_z=want_z, want_t=want_t,
+                                maxitfac=maxitfac,
                                 aggressive=aggressive)
         if aggressive:
             T, Z, alr, ali, be, sc, ok, czbail = out

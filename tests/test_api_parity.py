@@ -119,3 +119,55 @@ def test_want_t_false_with_z(rng):
     v1 = np.sort_complex(np.asarray(P_full.values))
     v2 = np.sort_complex(np.asarray(P.values))
     assert np.abs(v1 - v2).max() < 1e-9 * max(np.abs(v1).max(), 1.0)
+
+
+def test_want_t_false_complex(rng):
+    """wantT=false windowing in the complex QZ core (reference
+    src/generalized.jl:202-227,756-775): eigenvalues equal the full run."""
+    p, n = 3, 10
+    A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+    P_full = psd.pschur(jnp.asarray(A), "R")
+    P_fast = psd.pschur(jnp.asarray(A), "R", want_t=False, want_z=False)
+    v1 = np.sort_complex(np.asarray(P_full.values))
+    v2 = np.sort_complex(np.asarray(P_fast.values))
+    scale = max(np.abs(v1).max(), 1.0)
+    assert np.abs(v1 - v2).max() < 1e-9 * scale
+
+
+def test_want_t_false_complex_generalized(rng):
+    p, n = 3, 8
+    A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+    S = (True, False, True)
+    P_full = psd.pschur(jnp.asarray(A), "R", S=S)
+    P_fast = psd.pschur(jnp.asarray(A), "R", S=S, want_t=False, want_z=False)
+    v1 = np.sort_complex(np.asarray(P_full.values))
+    v2 = np.sort_complex(np.asarray(P_fast.values))
+    scale = max(np.abs(v1).max(), 1.0)
+    assert np.abs(v1 - v2).max() < 1e-9 * scale
+
+
+def test_want_t_false_real_generalized(rng):
+    """wantT=false windowing in the real QZ core (reference
+    src/rgeneralized.jl:895-1054 ifirstm:ilastm device)."""
+    p, n = 3, 8
+    A = rng.standard_normal((p, n, n))
+    S = (True, False, True)
+    P_full = psd.pschur(jnp.asarray(A), "R", S=S)
+    P_fast = psd.pschur(jnp.asarray(A), "R", S=S, want_t=False, want_z=False)
+    v1 = np.sort_complex(np.asarray(P_full.values))
+    v2 = np.sort_complex(np.asarray(P_fast.values))
+    scale = max(np.abs(v1).max(), 1.0)
+    assert np.abs(v1 - v2).max() < 1e-9 * scale
+
+
+def test_want_t_false_split_backend(rng):
+    """Same contract through the split-complex (TPU-executable) core."""
+    p, n = 2, 8
+    A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+    P_full = psd.pschur(jnp.asarray(A), "R", backend="split")
+    P_fast = psd.pschur(jnp.asarray(A), "R", backend="split",
+                        want_t=False, want_z=False)
+    v1 = np.sort_complex(np.asarray(P_full.values))
+    v2 = np.sort_complex(np.asarray(P_fast.values))
+    scale = max(np.abs(v1).max(), 1.0)
+    assert np.abs(v1 - v2).max() < 1e-9 * scale
