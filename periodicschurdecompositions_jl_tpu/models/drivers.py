@@ -72,7 +72,9 @@ def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac,
         # JAX_PLATFORMS=cpu with a pinned CPU default device (CLAUDE.md)
         dev = _jax.config.jax_default_device
         plat = dev.platform if dev is not None else _jax.default_backend()
-        backend = "complex" if plat == "cpu" else "split"
+        backend = "complex" if plat == "cpu" else "ff"
+    if backend == "ff":
+        return _pschur_complex_ff(A, S, orient, want_t, want_z, maxitfac)
     if backend == "split":
         return _pschur_complex_split(A, S, orient, want_t, want_z, maxitfac)
     if all(S):
@@ -95,6 +97,77 @@ def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac,
     P = GeneralizedPeriodicSchur(
         S=S, schurindex=0, Ts=T, Zs=Z, alpha=alpha, beta=beta,
         alphascale=scale, orientation="R")
+    if orient == "L":
+        P = rev_alias(P)
+    return P
+
+
+def _pschur_complex_ff(A, S, orient, want_t, want_z, maxitfac,
+                       chunk_iters=None):
+    """Float-float split-complex pipeline: the CONTRACT-GRADE TPU path.
+
+    All-positive signatures reduce on-device via the ds split Householder
+    reduction (ops/pqz_complex_ff.phessenberg_core_cxff); mixed signatures
+    stage the Hessenberg-triangular reduction through the complex128 host
+    path (jnp.linalg.qr has no TPU complex support) and split the result
+    exactly into ds pairs.  The iteration runs host-chunked on-device in
+    float-float arithmetic (<=1e-12-grade backward error ON the chip;
+    see ops/pqz_complex_ff.py).
+    """
+    import jax as _jax
+    import numpy as _np
+    from ..ops import ff as _ff
+    from ..ops.pqz_complex_ff import (phessenberg_core_cxff,
+                                      pqz_complex_core_ff_chunked)
+    p = A.shape[0]
+    Anp = _np.asarray(A)
+
+    def _split4(x):
+        f = _ff.from_f64(jnp.asarray(_np.ascontiguousarray(x)))
+        return f.hi, f.lo
+
+    rhi, rlo = _split4(Anp.real)
+    ihi, ilo = _split4(Anp.imag)
+    if all(S):
+        out = phessenberg_core_cxff(rhi, rlo, ihi, ilo, want_q=want_z)
+        (Hrehi, Hrelo, Himhi, Himlo) = out[:4]
+        Z4 = out[4:] if want_z else None
+    else:
+        cpu = _jax.devices("cpu")[0]
+        with _jax.default_device(cpu):
+            H, Q = phessenberg_signed_core(jnp.asarray(Anp), S,
+                                           want_q=want_z)
+            Hn = _np.asarray(H)
+            Qn = _np.asarray(Q) if want_z else None
+        Hrehi, Hrelo = _split4(Hn.real)
+        Himhi, Himlo = _split4(Hn.imag)
+        if want_z:
+            qrh, qrl = _split4(Qn.real)
+            qih, qil = _split4(Qn.imag)
+            Z4 = (qrh, qrl, qih, qil)
+        else:
+            Z4 = None
+    out = pqz_complex_core_ff_chunked(
+        Hrehi, Hrelo, Himhi, Himlo, S, Z4, want_z=want_z, want_t=want_t,
+        maxitfac=maxitfac, chunk_iters=chunk_iters)
+    (Trehi, Trelo, Timhi, Timlo, Zrh, Zrl, Zih, Zil,
+     alr, ali, be, sc, ok) = out
+    if not bool(ok):
+        raise ConvergenceFailure(-1)
+    cpu = _jax.devices("cpu")[0]
+
+    def _c(reh, rel, imh, iml):
+        re = _np.asarray(reh, _np.float64) + _np.asarray(rel, _np.float64)
+        im = _np.asarray(imh, _np.float64) + _np.asarray(iml, _np.float64)
+        return jnp.asarray(re + 1j * im, device=cpu)
+
+    T = _c(Trehi, Trelo, Timhi, Timlo)
+    Z = _c(Zrh, Zrl, Zih, Zil) if want_z else None
+    alpha = jnp.asarray(_np.asarray(alr) + 1j * _np.asarray(ali), device=cpu)
+    P = GeneralizedPeriodicSchur(
+        S=S, schurindex=0, Ts=T, Zs=Z, alpha=alpha,
+        beta=jnp.asarray(_np.asarray(be, _np.float64), device=cpu),
+        alphascale=sc, orientation="R")
     if orient == "L":
         P = rev_alias(P)
     return P
@@ -163,9 +236,12 @@ def pschur(A, lr="R", S: Optional[Sequence[bool]] = None, *,
       want_t/want_z: keep the triangular/unitary factors.
       maxitfac: iteration budget factor (default 30).
       backend: complex-input routing — "complex" (complex128 core, exact
-        f64, CPU-only: the axon TPU has no complex dtype), "split"
-        ((re, im) f64 pair core, TPU-executable), "auto" (split unless the
-        default backend is the CPU).  Ignored for real inputs.
+        f64, CPU-only: the axon TPU has no complex dtype), "ff" (float-
+        float split-complex core, TPU-executable at <=1e-12-grade accuracy,
+        host-chunked for the axon execute kill timer), "split" ((re, im)
+        emulated-f64 pair core, TPU-executable at the emulated-f64 floor),
+        "auto" ("ff" unless the default backend is the CPU).  Ignored for
+        real inputs.
 
     Returns:
       PeriodicSchur (S is None) or GeneralizedPeriodicSchur (S given).

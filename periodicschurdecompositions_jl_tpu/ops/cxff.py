@@ -456,3 +456,88 @@ def fvset(G: FF, k, val: FF, act) -> FF:
     k = jnp.clip(jnp.asarray(k, jnp.int32), 0, n - 1)
     return FF(lax.dynamic_update_slice(G.hi, v.hi[None], (k,)),
               lax.dynamic_update_slice(G.lo, v.lo[None], (k,)))
+
+
+# ---------------------------------------------------------------------------
+# complex ds Householder reflector (xLARFG semantics; mirrors
+# cxkern.reflector_masked_cx with ffkern-style generation prescaling) for
+# the ds split reduction
+
+
+def _bc(x: FF, shape) -> FF:
+    return FF(jnp.broadcast_to(x.hi, shape), jnp.broadcast_to(x.lo, shape))
+
+
+def reflector_masked_cxff(x: CXF, start):
+    """Reflector annihilating x[start+1:], acting on rows >= start.
+
+    Returns (w: CXF with w[start] = 1 and zeros before start, tau: CXF,
+    beta: FF real) with (I - tau w w^H) x = beta e_start.
+    """
+    n = x.re.hi.shape[0]
+    rows = lax.iota(jnp.int32, n)
+    m_tail = rows > start
+    zv = ff.zeros((n,))
+    s_, inv_ = _prescale(jnp.max(jnp.maximum(
+        jnp.where(rows >= start, jnp.abs(x.re.hi), 0.0),
+        jnp.where(rows >= start, jnp.abs(x.im.hi), 0.0))))
+    x = CXF(FF(x.re.hi * s_, x.re.lo * s_), FF(x.im.hi * s_, x.im.lo * s_))
+    alpha = CXF(ff.sum_(ff.where(rows == start, x.re, zv), 0),
+                ff.sum_(ff.where(rows == start, x.im, zv), 0))
+    tail_re = ff.where(m_tail, x.re, zv)
+    tail_im = ff.where(m_tail, x.im, zv)
+    xn2 = ff.sum_(ff.add(ff.sq(tail_re), ff.sq(tail_im)), 0)
+    aab = ff.sqrt(ff.add(ff.add(ff.sq(alpha.re), ff.sq(alpha.im)), xn2))
+    beta_v = ff.where(alpha.re.hi >= 0, ff.neg(aab), aab)
+    degenerate = ff.eq0(xn2) & ff.eq0(alpha.im)
+    beta = ff.where(degenerate, alpha.re, beta_v)
+    bsafe = ff.where(ff.eq0(beta), ff.ff(jnp.float32(1.0)), beta)
+    tau = CXF(ff.div(ff.sub(beta, alpha.re), bsafe),
+              ff.div(ff.neg(alpha.im), bsafe))
+    tau = where(degenerate, zeros(()), tau)
+    # w tail = x / (alpha - beta) (complex division, denominator real+imag)
+    den = CXF(ff.sub(alpha.re, beta), alpha.im)
+    d2 = ff.add(ff.sq(den.re), ff.sq(den.im))
+    d2s = ff.where(ff.eq0(d2), ff.ff(jnp.float32(1.0)), d2)
+    dr = _bc(den.re, (n,))
+    di = _bc(den.im, (n,))
+    wre = ff.div(ff.add(ff.mul(tail_re, dr), ff.mul(tail_im, di)),
+                 _bc(d2s, (n,)))
+    wim = ff.div(ff.sub(ff.mul(tail_im, dr), ff.mul(tail_re, di)),
+                 _bc(d2s, (n,)))
+    onehot = ff.where(rows == start,
+                      ff.ff(jnp.ones((n,), jnp.float32)), zv)
+    w = CXF(ff.add(ff.where(m_tail, wre, zv), onehot),
+            ff.where(m_tail, wim, zv))
+    w = where(degenerate, CXF(onehot, zv), w)
+    beta = FF(beta.hi * inv_, beta.lo * inv_)
+    return w, tau, beta
+
+
+def refl_left_cxff(A: CXF, w: CXF, tau_conj: CXF) -> CXF:
+    """A -= tau_conj * w (w^H A)  (caller passes conj(tau))."""
+    m = A.re.hi.shape[1]
+    wr = FF(w.re.hi[:, None], w.re.lo[:, None])
+    wi = FF(w.im.hi[:, None], w.im.lo[:, None])
+    vre = ff.sum_(ff.add(ff.mul(wr, A.re), ff.mul(wi, A.im)), 0)
+    vim = ff.sum_(ff.sub(ff.mul(wr, A.im), ff.mul(wi, A.re)), 0)
+    tv = mul(tau_conj, CXF(vre, vim))
+    tvr = FF(tv.re.hi[None, :], tv.re.lo[None, :])
+    tvi = FF(tv.im.hi[None, :], tv.im.lo[None, :])
+    del m
+    return CXF(ff.sub(A.re, ff.sub(ff.mul(wr, tvr), ff.mul(wi, tvi))),
+               ff.sub(A.im, ff.add(ff.mul(wr, tvi), ff.mul(wi, tvr))))
+
+
+def refl_right_cxff(A: CXF, w: CXF, tau: CXF) -> CXF:
+    """A <- A (I - tau w w^H):  A -= (A w) tau w^H."""
+    wr = FF(w.re.hi[None, :], w.re.lo[None, :])
+    wi = FF(w.im.hi[None, :], w.im.lo[None, :])
+    vre = ff.sum_(ff.sub(ff.mul(A.re, wr), ff.mul(A.im, wi)), 1)
+    vim = ff.sum_(ff.add(ff.mul(A.re, wi), ff.mul(A.im, wr)), 1)
+    tv = mul(CXF(vre, vim), tau)
+    tvr = FF(tv.re.hi[:, None], tv.re.lo[:, None])
+    tvi = FF(tv.im.hi[:, None], tv.im.lo[:, None])
+    # outer (tv) (w^H): tv_i * conj(w_j)
+    return CXF(ff.sub(A.re, ff.add(ff.mul(tvr, wr), ff.mul(tvi, wi))),
+               ff.sub(A.im, ff.sub(ff.mul(tvi, wr), ff.mul(tvr, wi))))

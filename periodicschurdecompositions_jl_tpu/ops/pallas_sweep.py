@@ -48,9 +48,10 @@ from .ff import FF
 from .ffkern import matmul3_ff, refl_mat_s_ff, reflector3s_ff
 
 # the kernels trace deep expression chains (ds arithmetic per chase step
-# inside nested loops); CPython's default recursion limit aborts tracing
-if sys.getrecursionlimit() < 20000:
-    sys.setrecursionlimit(20000)
+# inside nested loops; the grouped variants unroll 8 steps per body);
+# CPython's default recursion limit aborts tracing
+if sys.getrecursionlimit() < 40000:
+    sys.setrecursionlimit(40000)
 
 
 def _eye32(k: int):
@@ -184,6 +185,284 @@ def _flat_mat(M: FF, n2: int):
     parts = [M.hi[r, c] for r in range(k) for c in range(k)] + \
         [M.lo[r, c] for r in range(k) for c in range(k)]
     return jnp.stack(parts)
+
+
+# ---------------------------------------------------------------------------
+# Grouped (8-step) kernel variants for N > 128.
+#
+# The per-step kernels pay for Mosaic's aligned-sublane constraint with
+# masked in-block extraction/insertion on every row access (a 16-row
+# where+sum per row, ~60% of kernel A's vector ops).  The grouped variants
+# iterate aligned 8-step groups: within a group the in-block row offset of
+# step ``kk = base + a`` is the STATIC ``a``, so every row access becomes a
+# static slice of a loaded (.., 16, N) block — no masks, no sums.  Kernel B
+# additionally loads/stores each (p, 16, N) slab ONCE per group instead of
+# once per step (~8x slab traffic).  Step order and ds arithmetic are
+# identical to the per-step kernels, so results are bit-identical; steps
+# outside [m, i) are masked with selects.
+
+
+def _blk_get(hi_ref, lo_ref, f, base):
+    return FF(hi_ref[f, pl.ds(base, 16), :], lo_ref[f, pl.ds(base, 16), :])
+
+
+def _blk_put(hi_ref, lo_ref, f, base, blk: FF):
+    hi_ref[f, pl.ds(base, 16), :] = blk.hi
+    lo_ref[f, pl.ds(base, 16), :] = blk.lo
+
+
+def _srows(blk: FF, a: int, r: int) -> FF:
+    """Static 3/2-row slice of a (16, N) block value."""
+    return FF(blk.hi[a:a + r], blk.lo[a:a + r])
+
+
+def _srows_set(blk: FF, a: int, vals: FF, active) -> FF:
+    """Write rows [a, a+r) of a block value, masked by scalar ``active``."""
+    r = vals.hi.shape[0]
+    old = FF(blk.hi[a:a + r], blk.lo[a:a + r])
+    nh = jnp.where(active, vals.hi, old.hi)
+    nl = jnp.where(active, vals.lo, old.lo)
+    return FF(jnp.concatenate([blk.hi[:a], nh, blk.hi[a + r:]], axis=0),
+              jnp.concatenate([blk.lo[:a], nl, blk.lo[a + r:]], axis=0))
+
+
+def _band_col_apply_g(hi_ref, lo_ref, g, base, aa: int, kkv, M: FF,
+                      width: int, act):
+    """Grouped-static variant of :func:`_band_col_apply`.
+
+    ``aa`` is the static in-group offset of ``kkv`` (may be 8 for the
+    second per-factor transform of the last step); the covering aligned
+    16-row slab starts at ``base`` when ``aa >= 2``, else one block up
+    (clamped to 0 at the top edge — extra covered rows get the same
+    mathematically exact column transform)."""
+    if aa >= 2:
+        rb = base
+    else:
+        rb = pl.multiple_of(
+            jnp.maximum(base - jnp.int32(8), jnp.int32(0)), 8)
+    slab = FF(hi_ref[g, pl.ds(rb, 16), :], lo_ref[g, pl.ds(rb, 16), :])
+    cols = [_lane_extract(slab, kkv + c) for c in range(width)]
+    it = _lane_iota(slab.hi.shape)
+    new_hi, new_lo = slab.hi, slab.lo
+    for c in range(width):
+        acc = ff.mul(cols[0], FF(M.hi[0, c], M.lo[0, c]))
+        for s in range(1, width):
+            acc = ff.add(acc, ff.mul(cols[s], FF(M.hi[s, c], M.lo[s, c])))
+        mask = (it == (kkv + c)) & act
+        new_hi = jnp.where(mask, acc.hi[:, None], new_hi)
+        new_lo = jnp.where(mask, acc.lo[:, None], new_lo)
+    hi_ref[g, pl.ds(rb, 16), :] = new_hi
+    lo_ref[g, pl.ds(rb, 16), :] = new_lo
+
+
+def _make_sweep_kernel_g(p: int, N: int, hbm_inputs: bool = False):
+    """Grouped kernel A (see block comment above): N > 128 only."""
+
+    def kernel(scal, v0f, Hhi, Hlo, oHhi, oHlo, R0, R1, Chi, Clo, *sems):
+        m = scal[0]
+        i = scal[1]
+        g0 = scal[2]
+        g1 = scal[3]
+        if hbm_inputs:
+            c1 = pltpu.make_async_copy(Hhi, oHhi, sems[0])
+            c2 = pltpu.make_async_copy(Hlo, oHlo, sems[1])
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+            Chi[:] = oHhi[:]
+            Clo[:] = oHlo[:]
+        else:
+            oHhi[:] = Hhi[:]
+            oHlo[:] = Hlo[:]
+            Chi[:] = Hhi[:]
+            Clo[:] = Hlo[:]
+        v0 = FF(jnp.stack([v0f[0], v0f[1], v0f[2]]),
+                jnp.stack([v0f[3], v0f[4], v0f[5]]))
+
+        def group(g, _):
+            base = pl.multiple_of(g * 8, 8)
+            for a in range(8):
+                kk = base + a
+                act = (kk >= m) & (kk < i)
+                nr3 = (i - kk + 1) >= 3
+
+                # ---- H[0] bulge reflector ----------------------------
+                C0 = _blk_get(Chi, Clo, 0, base)
+                rowsC0 = _srows(C0, a, 3)
+                colC = _lane_extract(rowsC0, kk - 1)
+                first = kk == m
+                vk = ff.where(first, v0, colC)
+                z3 = jnp.where(nr3, jnp.float32(1.0), jnp.float32(0.0))
+                mask3 = jnp.stack([jnp.float32(1.0), jnp.float32(1.0), z3])
+                vk = FF(vk.hi * mask3, vk.lo * mask3)
+                w, tau, beta = reflector3s_ff(vk)
+                M3 = refl_mat_s_ff(w, tau, 3)
+                oH0 = _blk_get(oHhi, oHlo, 0, base)
+                rowsH0 = _srows(oH0, a, 3)
+                bnd = _lane_extract(rowsH0, kk - 1)
+                rowsH0 = matmul3_ff(M3, rowsH0)
+                rowsH0 = _lane_force(rowsH0, kk - 1, bnd, first)
+                oH0 = _srows_set(oH0, a, rowsH0, act)
+                _blk_put(oHhi, oHlo, 0, base, oH0)
+                rowsC0 = matmul3_ff(M3, rowsC0)
+                keep3 = ff.where(kk < i - 1, ff.zeros(()),
+                                 FF(colC.hi[2], colC.lo[2]))
+                newc = FF(jnp.stack([beta.hi, jnp.float32(0.0), keep3.hi]),
+                          jnp.stack([beta.lo, jnp.float32(0.0), keep3.lo]))
+                rowsC0 = _lane_force(rowsC0, kk - 1, newc, ~first)
+                C0 = _srows_set(C0, a, rowsC0, act)
+                _blk_put(Chi, Clo, 0, base, C0)
+                _band_col_apply_g(Chi, Clo, p - 1, base, a, kk, M3, 3, act)
+                R0[0, kk, :] = _flat_mat(M3, 9)
+                R1[0, kk, :] = _i2_flat()
+
+                # ---- factor re-triangularization loop ----------------
+                def fac(t, _, a=a, kk=kk, act=act, nr3=nr3, mask3=mask3):
+                    f = jnp.int32(p - 1) - t
+                    Cf = _blk_get(Chi, Clo, f, base)
+                    rowsCf = _srows(Cf, a, 3)
+                    colv = _lane_extract(rowsCf, kk)
+                    colv = FF(colv.hi * mask3, colv.lo * mask3)
+                    w2, tau2, beta2 = reflector3s_ff(colv)
+                    M3b = refl_mat_s_ff(w2, tau2, 3)
+                    oHf = _blk_get(oHhi, oHlo, f, base)
+                    oHf = _srows_set(
+                        oHf, a, matmul3_ff(M3b, _srows(oHf, a, 3)), act)
+                    rowsCf = matmul3_ff(M3b, rowsCf)
+                    newcf = FF(jnp.stack([beta2.hi, jnp.float32(0.0),
+                                          jnp.float32(0.0)]),
+                               jnp.stack([beta2.lo, jnp.float32(0.0),
+                                          jnp.float32(0.0)]))
+                    rowsCf = _lane_force(rowsCf, kk, newcf, True)
+                    Cf = _srows_set(Cf, a, rowsCf, act)
+
+                    # second (2-element) re-triangularization when nr3
+                    rows2 = _srows(Cf, a + 1, 2)
+                    xc = _lane_extract(rows2, kk + 1)
+                    xc3 = FF(jnp.stack([xc.hi[0], xc.hi[1],
+                                        jnp.float32(0.0)]),
+                             jnp.stack([xc.lo[0], xc.lo[1],
+                                        jnp.float32(0.0)]))
+                    wb, taub, betab = reflector3s_ff(xc3)
+                    M2 = refl_mat_s_ff(wb, taub, 2)
+                    eye2 = ff.ff(_eye32(2))
+                    M2 = ff.where(nr3, M2, eye2)
+                    oHf = _srows_set(
+                        oHf, a + 1,
+                        matmul3_ff(M2, _srows(oHf, a + 1, 2)), act)
+                    _blk_put(oHhi, oHlo, f, base, oHf)
+                    rows2 = matmul3_ff(M2, rows2)
+                    newc2 = FF(jnp.stack([betab.hi, jnp.float32(0.0)]),
+                               jnp.stack([betab.lo, jnp.float32(0.0)]))
+                    rows2 = _lane_force(rows2, kk + 1, newc2, nr3)
+                    Cf = _srows_set(Cf, a + 1, rows2, act)
+                    _blk_put(Chi, Clo, f, base, Cf)
+                    _band_col_apply_g(Chi, Clo, f - 1, base, a, kk, M3b, 3,
+                                      act)
+                    _band_col_apply_g(Chi, Clo, f - 1, base, a + 1, kk + 1,
+                                      M2, 2, act)
+                    R0[f, kk, :] = _flat_mat(M3b, 9)
+                    R1[f, kk, :] = _flat_mat(M2, 4)
+                    return jnp.int32(0)
+
+                if p > 1:
+                    lax.fori_loop(jnp.int32(0), jnp.int32(p - 1), fac,
+                                  jnp.int32(0))
+            return jnp.int32(0)
+
+        lax.fori_loop(g0, g1 + 1, group, jnp.int32(0))
+
+    return kernel
+
+
+def _make_apply_kernel_g(p: int, N: int, want_z: bool,
+                         hbm_inputs: bool = False):
+    """Grouped kernel B: one (p, 16, N) slab RMW per group per target."""
+
+    def _rollg(R):
+        if p == 1:
+            return R
+        return jnp.concatenate([R[1:], R[:1]], axis=0)
+
+    def _process(hi_ref, lo_ref, R0g, R1g, base, m, i, hi_lane=None):
+        blk = FF(hi_ref[:, pl.ds(base, 16), :],
+                 lo_ref[:, pl.ds(base, 16), :])
+        rows = [FF(blk.hi[:, r, :], blk.lo[:, r, :]) for r in range(16)]
+
+        def el(R, a, q):
+            return R[:, a, q][:, None]  # (p, 1) broadcast vs (p, N)
+
+        for a in range(8):
+            kk = base + a
+            act = (kk >= m) & (kk < i)
+            rs = [rows[a], rows[a + 1], rows[a + 2]]
+            outs = []
+            for r in range(3):  # out_r = sum_s M3[s, r] * rows[s]  (M3^T @)
+                acc = ff.mul(FF(el(R0g, a, 0 * 3 + r),
+                                el(R0g, a, 9 + 0 * 3 + r)), rs[0])
+                for s in range(1, 3):
+                    acc = ff.add(acc, ff.mul(
+                        FF(el(R0g, a, s * 3 + r),
+                           el(R0g, a, 9 + s * 3 + r)), rs[s]))
+                outs.append(acc)
+            o1 = ff.add(
+                ff.mul(FF(el(R1g, a, 0), el(R1g, a, 4)), outs[1]),
+                ff.mul(FF(el(R1g, a, 2), el(R1g, a, 6)), outs[2]))
+            o2 = ff.add(
+                ff.mul(FF(el(R1g, a, 1), el(R1g, a, 5)), outs[1]),
+                ff.mul(FF(el(R1g, a, 3), el(R1g, a, 7)), outs[2]))
+            outs = [outs[0], o1, o2]
+            lane = _lane_iota(outs[0].hi.shape, 1)
+            keep = act if hi_lane is None else act & (lane <= hi_lane)
+            for s in range(3):
+                rows[a + s] = FF(jnp.where(keep, outs[s].hi, rs[s].hi),
+                                 jnp.where(keep, outs[s].lo, rs[s].lo))
+        hi_ref[:, pl.ds(base, 16), :] = jnp.stack(
+            [r.hi for r in rows], axis=1)
+        lo_ref[:, pl.ds(base, 16), :] = jnp.stack(
+            [r.lo for r in rows], axis=1)
+
+    def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0, R1,
+               oHThi, oHTlo, oZThi, oZTlo, *sems):
+        m = scal[0]
+        i = scal[1]
+        g0 = scal[2]
+        g1 = scal[3]
+        if hbm_inputs:
+            cps = [pltpu.make_async_copy(HThi, oHThi, sems[0]),
+                   pltpu.make_async_copy(HTlo, oHTlo, sems[1])]
+            if want_z:
+                cps += [pltpu.make_async_copy(ZThi, oZThi, sems[2]),
+                        pltpu.make_async_copy(ZTlo, oZTlo, sems[3])]
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+        else:
+            oHThi[:] = HThi[:]
+            oHTlo[:] = HTlo[:]
+            if want_z:
+                oZThi[:] = ZThi[:]
+                oZTlo[:] = ZTlo[:]
+
+        def group(g, _):
+            base = pl.multiple_of(g * 8, 8)
+            R0g = R0[:, pl.ds(base, 8), :]   # (p, 8, 18)
+            R1g = R1[:, pl.ds(base, 8), :]   # (p, 8, 8)
+            _process(oHThi, oHTlo, _rollg(R0g), _rollg(R1g), base, m, i,
+                     hi_lane=i)
+            if want_z:
+                _process(oZThi, oZTlo, R0g, R1g, base, m, i)
+            return jnp.int32(0)
+
+        lax.fori_loop(g0, g1 + 1, group, jnp.int32(0))
+
+    def kernel_noz(scal, HThi, HTlo, R0, R1, oHThi, oHTlo, *sems):
+        kernel(scal, HThi, HTlo, None, None, R0, R1, oHThi, oHTlo, None,
+               None, *sems)
+
+    return kernel if want_z else kernel_noz
 
 
 def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
@@ -503,7 +782,8 @@ def _sweep_call(p: int, N: int, interpret: bool):
     # not deduplicated by aliasing); past ~96 MiB switch the H inputs to HBM
     # and DMA them in (4 buffers resident)
     hbm_inputs = _vmem_bytes(p, N, 6) > 96 * (1 << 20) and not interpret
-    kern = _make_sweep_kernel(p, N, hbm_inputs)
+    mk = _make_sweep_kernel_g if N > 128 else _make_sweep_kernel
+    kern = mk(p, N, hbm_inputs)
     n_res = 4 if hbm_inputs else 6
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (1 << 20)
     h_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
@@ -537,7 +817,8 @@ def _apply_call(p: int, N: int, want_z: bool, interpret: bool):
     n_out = 4 if want_z else 2
     n_arr = 2 * n_out
     hbm_inputs = _vmem_bytes(p, N, n_arr) > 96 * (1 << 20) and not interpret
-    kern = _make_apply_kernel(p, N, want_z, hbm_inputs)
+    mk = _make_apply_kernel_g if N > 128 else _make_apply_kernel
+    kern = mk(p, N, want_z, hbm_inputs)
     n_res = n_out if hbm_inputs else n_arr
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (1 << 20)
     big_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
@@ -577,7 +858,14 @@ def chase_sweep_ff(H: FF, ZT, m, i, v0: FF, *, want_z: bool,
     zeros on output.
     """
     p, N, _ = H.hi.shape
-    scal = jnp.stack([jnp.asarray(m, jnp.int32), jnp.asarray(i, jnp.int32)])
+    m32 = jnp.asarray(m, jnp.int32)
+    i32 = jnp.asarray(i, jnp.int32)
+    # aligned group bounds for the grouped (N > 128) kernels: steps
+    # kk = m..i-1 live in groups [m // 8, (i - 1) // 8]; an empty sweep
+    # (i <= m) yields g1 < g0 and the group loop does not run
+    g0 = m32 // 8
+    g1 = jnp.where(i32 > m32, (i32 - 1) // 8, g0 - 1)
+    scal = jnp.stack([m32, i32, g0, g1])
     v0f = jnp.concatenate([v0.hi, v0.lo]).astype(jnp.float32)
 
     # kernels are traced WITHOUT EFT barriers (Mosaic cannot lower them and

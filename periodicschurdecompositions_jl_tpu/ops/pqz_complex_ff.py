@@ -1,0 +1,577 @@
+"""Float-float split-complex periodic QZ core: the contract-grade TPU path.
+
+Same algorithm as ops/pqz_complex.py / ops/pqz_complex_split.py (MB03BZ
+semantics, reference src/generalized.jl:166-931) with every complex value
+carried as a cxff.CXF ((re, im) float-float pair): exact EFT arithmetic at
+f32 hardware speed, ~2^-48 roundoff, which is what meets the <=1e-12
+backward-error contract ON the axon chip — the split emulated-f64
+representation (ops/pqz_complex_split.py) bottoms out at the x64-rewriter's
+weak-add floor there.
+
+Precision policy (mirrors ops/pqr_ff.py):
+
+* rotation generation and every H/Z update run in ds (cxff);
+* PRODUCT-level quantities — the decomposed (alpha, beta, scale)
+  eigenvalues — are accumulated through ``safeprod_signed_split`` on
+  emulated-f64 values of the ds diagonals (per-factor power-of-two renorm
+  handles the f32 exponent range of the chip's emulated f64);
+* negligibility thresholds compare f32 hi components (threshold-grade).
+
+Chunked execution: the axon runtime kills any single device execute after
+~60 s, so ``pqz_complex_core_ff_chunked`` runs the while_loop in resumable
+it_cap segments with the state left on-device between calls (same device
+as ops/pqr_ff.pqr_real_core_ff_chunked).
+
+Also provides ``phessenberg_core_cxff``: the ds split-complex periodic
+Hessenberg reduction (reference src/PeriodicSchurDecompositions.jl:213-259
+column sweep with complex ds reflectors).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.safeprod import safeprod_signed_split
+from . import cxff, ff
+from .cxff import (CXF, at_set, colsk_cxff, conj, getcol_cxff, getel_cxff,
+                   getrow_cxff, givens_cxff, lmat_cxff, mul, neg,
+                   refl_left_cxff, refl_right_cxff, reflector_masked_cxff,
+                   rmat_adj_cxff, rowsk_cxff, setcol_cxff, setel_cxff,
+                   setrow_cxff, where)
+from .ff import FF
+
+
+def _fget(X: CXF, j) -> CXF:
+    return CXF(FF(X.re.hi[j], X.re.lo[j]), FF(X.im.hi[j], X.im.lo[j]))
+
+
+def _scale4(x: CXF, s) -> CXF:
+    return CXF(FF(x.re.hi * s, x.re.lo * s), FF(x.im.hi * s, x.im.lo * s))
+
+
+# ---------------------------------------------------------------------------
+# ds split-complex periodic Hessenberg reduction
+
+
+def _fix_column_cxff(M: CXF, i, beta: FF, zero_below) -> CXF:
+    n = M.re.hi.shape[0]
+    i = jnp.asarray(i, jnp.int32)
+    col = getcol_cxff(M, 0, i, n)
+    rows = lax.iota(jnp.int32, n)
+    piv = zero_below - 1
+    bcol = CXF(FF(jnp.broadcast_to(beta.hi, (n,)),
+                  jnp.broadcast_to(beta.lo, (n,))), ff.zeros((n,)))
+    nc = where(rows < piv, col, where(rows == piv, bcol, cxff.zeros((n,))))
+    return setcol_cxff(M, 0, i, nc)
+
+
+@partial(jax.jit, static_argnames=("want_q",))
+def phessenberg_core_cxff(Arehi, Arelo, Aimhi, Aimlo, want_q: bool = True):
+    """ds split-complex periodic Hessenberg reduction.
+
+    Args: (p, n, n) f32 hi/lo pairs of the real and imaginary parts.
+    Returns (H: 4 arrays, Q: 4 arrays or Nones) with
+    Q[j]^H A[j] Q[(j+1)%p] = H[j].
+    """
+    p, n, _ = Arehi.shape
+    A = CXF(FF(Arehi, Arelo), FF(Aimhi, Aimlo))
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (p, n, n))
+    zf = jnp.zeros((p, n, n), jnp.float32)
+    if n <= 1:
+        q = (eye, zf, zf, zf) if want_q else (None, None, None, None)
+        return (Arehi, Arelo, Aimhi, Aimlo) + q
+    Q = CXF(FF(eye, zf), FF(zf, zf)) if want_q else None
+
+    def fset(X: CXF, j, M: CXF) -> CXF:
+        return at_set(X, j, M)
+
+    def column_step(i, carry):
+        A, Q = carry
+        for j in range(p - 1, 0, -1):
+            col = getcol_cxff(_fget(A, j), 0, i, n)
+            w, tau, beta = reflector_masked_cxff(col, i)
+            Aj = refl_left_cxff(_fget(A, j), w, conj(tau))
+            Aj = _fix_column_cxff(Aj, i, beta, i + 1)
+            A = fset(A, j, Aj)
+            A = fset(A, j - 1, refl_right_cxff(_fget(A, j - 1), w, tau))
+            if want_q:
+                Q = fset(Q, j, refl_right_cxff(_fget(Q, j), w, tau))
+        col = getcol_cxff(_fget(A, 0), 0, i, n)
+        w, tau, beta = reflector_masked_cxff(col, i + 1)
+        A0 = refl_left_cxff(_fget(A, 0), w, conj(tau))
+        A0 = _fix_column_cxff(A0, i, beta, i + 2)
+        A = fset(A, 0, A0)
+        jr = p - 1 if p > 1 else 0
+        A = fset(A, jr, refl_right_cxff(_fget(A, jr), w, tau))
+        if want_q:
+            Q = fset(Q, 0, refl_right_cxff(_fget(Q, 0), w, tau))
+        return A, Q
+
+    A, Q = lax.fori_loop(0, n - 1, column_step, (A, Q))
+
+    def _triu(X: CXF) -> CXF:
+        t0 = lambda x: jnp.concatenate(  # noqa: E731
+            [jnp.triu(x[:1], -1)] + ([jnp.triu(x[1:])] if p > 1 else []),
+            axis=0)
+        return CXF(FF(t0(X.re.hi), t0(X.re.lo)),
+                   FF(t0(X.im.hi), t0(X.im.lo)))
+
+    H = _triu(A)
+    out = (H.re.hi, H.re.lo, H.im.hi, H.im.lo)
+    if want_q:
+        return out + (Q.re.hi, Q.re.lo, Q.im.hi, Q.im.lo)
+    return out + (None, None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# ds split-complex periodic QZ core
+
+
+@partial(jax.jit, static_argnames=("S", "want_z", "want_t", "maxitfac",
+                                   "with_info", "return_state"))
+def pqz_complex_core_ff(
+    Hrehi: jax.Array,
+    Hrelo: jax.Array,
+    Himhi: jax.Array,
+    Himlo: jax.Array,
+    S: Tuple[bool, ...],
+    Z4: Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]] = None,
+    want_z: bool = True,
+    want_t: bool = True,
+    maxitfac: int = 30,
+    seed: int = 1234,
+    with_info: bool = False,
+    it_cap: Optional[jax.Array] = None,
+    resume_state=None,
+    return_state: bool = False,
+):
+    """Run the ds split-complex periodic QZ iteration.
+
+    Args:
+      Hrehi..Himlo: (p, n, n) f32 hi/lo pairs; H[0] Hessenberg, rest upper
+        triangular.  On RESUME calls pass the ORIGINAL inputs unchanged.
+      S: static signature, S[0] True.
+      Z4: optional initial unitary stack as 4 f32 arrays.
+      it_cap / resume_state / return_state: chunked execution hooks (the
+        axon worker kills single device executes after ~60 s).
+
+    Returns (Trehi, Trelo, Timhi, Timlo, Zrehi, Zrelo, Zimhi, Zimlo,
+    alpha_re, alpha_im, beta, alphascale, ok) — alpha in (emulated) f64.
+    """
+    p, n, _ = Hrehi.shape
+    assert S[0], "signature entry S[0] must be True"
+    ulp = float(ff.EPS)
+    unfl = 1.175494e-38
+    smlnum = unfl * (n / ulp)
+    maxit = maxitfac * n
+    f64 = jnp.float64
+    # controlled-zero-shift trigger: product-level quantities go through
+    # safeprod's per-factor renorm, so the reference's f64-based long-cycle
+    # threshold applies (src/generalized.jl:199), not the f32 range
+    ziter0 = -1 if p >= math.log2(2.2250738585072014e-308) / \
+        math.log2(2.220446049250313e-16) else 0
+
+    H = CXF(FF(Hrehi, Hrelo), FF(Himhi, Himlo))
+    if want_z:
+        if Z4 is None:
+            eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (p, n, n))
+            zf = jnp.zeros((p, n, n), jnp.float32)
+            Z = CXF(FF(eye, zf), FF(zf, zf))
+        else:
+            Z = CXF(FF(Z4[0], Z4[1]), FF(Z4[2], Z4[3]))
+    else:
+        Z = cxff.zeros((p, 1, 1))
+
+    def _d64(x: FF):
+        return x.hi.astype(f64) + x.lo.astype(f64)
+
+    if n == 1:
+        dre = _d64(FF(Hrehi[:, 0, 0], Hrelo[:, 0, 0]))
+        dim = _d64(FF(Himhi[:, 0, 0], Himlo[:, 0, 0]))
+        ar, ai, b, s = safeprod_signed_split(dre, dim, S)
+        zout = (Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo) if want_z else (None,) * 4
+        return (Hrehi, Hrelo, Himhi, Himlo) + zout + (
+            ar[None], ai[None], b.astype(jnp.float32)[None], s[None],
+            jnp.asarray(True))
+
+    alr0 = jnp.zeros((n,), f64)
+    ali0 = jnp.zeros((n,), f64)
+    beta0 = jnp.zeros((n,), jnp.float32)
+    scal0 = jnp.zeros((n,), jnp.int32)
+    key0 = jax.random.PRNGKey(seed)
+    iv = jnp.arange(n, dtype=jnp.int32)
+
+    def zup(Z, l, k, M: CXF, active=None):
+        if not want_z:
+            return Z
+        return at_set(Z, l, colsk_cxff(_fget(Z, l), k, M, active=active))
+
+    # ------------------------------------------------------------------
+    def act_split(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        ilc = jnp.clip(ilast, 0, n - 1)
+
+        def dslice(x):
+            return lax.dynamic_slice(x, (jnp.int32(0), ilc, ilc),
+                                     (p, 1, 1))[:, 0, 0]
+
+        dre = dslice(H.re.hi).astype(f64) + dslice(H.re.lo).astype(f64)
+        dim = dslice(H.im.hi).astype(f64) + dslice(H.im.lo).astype(f64)
+        ar, ai, b, s = safeprod_signed_split(dre, dim, S)
+        alr = alr.at[ilc].set(ar)
+        ali = ali.at[ilc].set(ai)
+        be = be.at[ilc].set(b.astype(jnp.float32))
+        sc = sc.at[ilc].set(s)
+        ilast = ilast - 1
+        iiter = jnp.int32(0)
+        ziter = jnp.where(ziter != -1, jnp.int32(0), ziter)
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    def act_czshift(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        H, Z, zflag = czshift_core(H, Z, info["jlo"], ilast)
+        ziter = jnp.where(zflag, jnp.int32(1), jnp.int32(0))
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    def act_sweep(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        jlo = info["jlo"]
+        ifirst = jlo
+        iiter = iiter + 1
+        ziter = ziter + 1
+
+        one_c = cxff.cxf(jnp.float32(1.0))
+        c, s, _ = givens_cxff(one_c, one_c)
+        for l in range(p - 1, 0, -1):
+            Hl = _fget(H, l)
+            hf = getel_cxff(Hl, ifirst, ifirst)
+            hl = getel_cxff(Hl, ilast, ilast)
+            if S[l]:
+                c, s, _ = givens_cxff(cxff.mul_ff(hf, c), mul(hl, conj(s)))
+            else:
+                c, s, _ = givens_cxff(cxff.mul_ff(hl, c),
+                                      neg(mul(hf, conj(s))))
+                s = neg(s)
+        H0 = _fget(H, 0)
+        h0f = getel_cxff(H0, ifirst, ifirst)
+        h0l = getel_cxff(H0, ilast, ilast)
+        h0sub = getel_cxff(H0, ifirst + 1, ifirst)
+        c, s, _ = givens_cxff(
+            cxff.sub(cxff.mul_ff(h0f, c), mul(h0l, conj(s))),
+            cxff.mul_ff(h0sub, c))
+
+        key, subk = jax.random.split(key)
+        fg = jax.random.normal(subk, (4,), jnp.float32)
+        ce, se, _ = givens_cxff(cxff.cxf(fg[0], fg[1]),
+                                cxff.cxf(fg[2], fg[3]))
+        exc = (iiter % 10) == 0
+        c = ff.where(exc, ce, c)
+        s = where(exc, se, s)
+
+        rhi = None if want_t else ilast + 1
+        clo = None if want_t else jlo
+
+        def sweep_step(k, carry):
+            H, Z, c, s = carry
+            act = (k >= ifirst) & (k <= ilast - 1)
+            regen = act & (k > ifirst)
+            H0 = _fget(H, 0)
+            fg = getcol_cxff(H0, k, k - 1, 2)
+            cn, sn, r = givens_cxff(
+                CXF(FF(fg.re.hi[0], fg.re.lo[0]), FF(fg.im.hi[0],
+                                                     fg.im.lo[0])),
+                CXF(FF(fg.re.hi[1], fg.re.lo[1]), FF(fg.im.hi[1],
+                                                     fg.im.lo[1])))
+            zf32 = jnp.float32(0.0)
+            H0 = setcol_cxff(
+                H0, k, k - 1,
+                CXF(FF(jnp.stack([r.re.hi, zf32]),
+                       jnp.stack([r.re.lo, zf32])),
+                    FF(jnp.stack([r.im.hi, zf32]),
+                       jnp.stack([r.im.lo, zf32]))), active=regen)
+            c = ff.where(regen, cn, c)
+            s = where(regen, sn, s)
+            H0 = rowsk_cxff(H0, k, lmat_cxff(c, s), lo=k, hi=rhi,
+                            active=act)
+            H = at_set(H, 0, H0)
+            Z = zup(Z, 0, k, rmat_adj_cxff(c, s), active=act)
+            for l in range(p - 1, 0, -1):
+                Hl = _fget(H, l)
+                if S[l]:
+                    Hl = colsk_cxff(Hl, k, rmat_adj_cxff(c, s), lo=clo,
+                                    hi=k + 2, active=act)
+                    fg = getcol_cxff(Hl, k, k, 2)
+                    cn, sn, r = givens_cxff(
+                        CXF(FF(fg.re.hi[0], fg.re.lo[0]),
+                            FF(fg.im.hi[0], fg.im.lo[0])),
+                        CXF(FF(fg.re.hi[1], fg.re.lo[1]),
+                            FF(fg.im.hi[1], fg.im.lo[1])))
+                    Hl = setcol_cxff(
+                        Hl, k, k,
+                        CXF(FF(jnp.stack([r.re.hi, zf32]),
+                               jnp.stack([r.re.lo, zf32])),
+                            FF(jnp.stack([r.im.hi, zf32]),
+                               jnp.stack([r.im.lo, zf32]))), active=act)
+                    Hl = rowsk_cxff(Hl, k, lmat_cxff(cn, sn), lo=k + 1,
+                                    hi=rhi, active=act)
+                else:
+                    Hl = rowsk_cxff(Hl, k, lmat_cxff(c, s), lo=k, hi=rhi,
+                                    active=act)
+                    fg = getrow_cxff(Hl, k + 1, k, 2)
+                    cn, sn, r = givens_cxff(
+                        CXF(FF(fg.re.hi[1], fg.re.lo[1]),
+                            FF(fg.im.hi[1], fg.im.lo[1])),
+                        CXF(FF(fg.re.hi[0], fg.re.lo[0]),
+                            FF(fg.im.hi[0], fg.im.lo[0])))
+                    Hl = setrow_cxff(
+                        Hl, k + 1, k,
+                        CXF(FF(jnp.stack([zf32, r.re.hi]),
+                               jnp.stack([zf32, r.re.lo])),
+                            FF(jnp.stack([zf32, r.im.hi]),
+                               jnp.stack([zf32, r.im.lo]))), active=act)
+                    Hl = colsk_cxff(Hl, k, lmat_cxff(cn, sn), lo=clo,
+                                    hi=k + 1, active=act)
+                    sn = neg(sn)
+                H = at_set(H, l, Hl)
+                c = ff.where(act, cn, c)
+                s = where(act, sn, s)
+                Z = zup(Z, l, k, rmat_adj_cxff(c, s), active=act)
+            H0 = colsk_cxff(_fget(H, 0), k, rmat_adj_cxff(c, s), lo=clo,
+                            hi=jnp.minimum(k + 3, n), active=act)
+            H = at_set(H, 0, H0)
+            return H, Z, c, s
+
+        H, Z, c, s = lax.fori_loop(0, n - 1, sweep_step, (H, Z, c, s))
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    from .pqz_deflate_ff import make_deflate_cores_ff
+    pos_core, neg_core, czshift_core = make_deflate_cores_ff(
+        p=p, n=n, S=S, want_z=want_z, ulp=ulp, smlnum=smlnum)
+
+    def act_pos(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        H, Z = pos_core(H, Z, info["jlo"], info["ldef"], info["jdef"], ilast)
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    def act_neg(st, info):
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+        H, Z = neg_core(H, Z, info["jlo"], info["ldef"], info["jdef"], ilast)
+        return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+
+    # ------------------------------------------------------------------
+    def body(full):
+        st, jiter = full
+        H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
+
+        # f32 hi-component magnitudes: threshold-grade (policy in module
+        # docstring)
+        def habs2(rehi, imhi):
+            return jnp.hypot(rehi, imhi)
+
+        d0 = habs2(jnp.diagonal(H.re.hi[0]), jnp.diagonal(H.im.hi[0]))
+        z1 = jnp.zeros((1,), jnp.float32)
+        sub0 = habs2(jnp.concatenate([z1, jnp.diagonal(H.re.hi[0], -1)]),
+                     jnp.concatenate([z1, jnp.diagonal(H.im.hi[0], -1)]))
+        d0m = jnp.concatenate([z1, d0[:-1]])
+        tol1 = jnp.maximum(jnp.float32(ulp) * (d0m + d0),
+                           jnp.float32(smlnum))
+        neg1 = (sub0 <= tol1) & (iv >= 1) & (iv <= ilast)
+        any1 = jnp.any(neg1)
+        jstar = jnp.max(jnp.where(neg1, iv, -1))
+        jlo = jnp.where(any1, jstar, 0)
+        split1 = (ilast == 0) | (any1 & (jstar == ilast))
+        H = at_set(H, 0, setel_cxff(_fget(H, 0), jstar, jstar - 1,
+                                    cxff.zeros(()), active=any1))
+
+        dl = habs2(jnp.diagonal(H.re.hi, axis1=1, axis2=2),
+                   jnp.diagonal(H.im.hi, axis1=1, axis2=2))
+        zp1 = jnp.zeros((p, 1), jnp.float32)
+        sup = habs2(jnp.concatenate([jnp.diagonal(H.re.hi, 1, 1, 2), zp1],
+                                    axis=1),
+                    jnp.concatenate([jnp.diagonal(H.im.hi, 1, 1, 2), zp1],
+                                    axis=1))
+        supm1 = jnp.concatenate([zp1, sup[:, :-1]], axis=1)
+        toltr = jnp.where(
+            iv[None, :] == ilast, supm1,
+            jnp.where(iv[None, :] == jlo, sup, supm1 + sup))
+        toltr = jnp.maximum(jnp.float32(ulp) * toltr, jnp.float32(smlnum))
+        lv = jnp.arange(p, dtype=jnp.int32)
+        negtr = (dl <= toltr) & (iv[None, :] >= jlo) & \
+            (iv[None, :] <= ilast) & (lv[:, None] >= 1)
+        bestj = jnp.max(jnp.where(negtr, iv[None, :], -1), axis=1)
+        s_arr = jnp.asarray(S)
+        pos_l = jnp.min(jnp.where(s_arr & (bestj >= 0) & (lv >= 1), lv,
+                                  p + 1))
+        neg_l = jnp.min(jnp.where((~s_arr) & (bestj >= 0) & (lv >= 1), lv,
+                                  p + 1))
+        has_pos = pos_l <= p
+        has_neg = neg_l <= p
+        ldef = jnp.where(has_pos, pos_l, neg_l).astype(jnp.int32)
+        jdef = bestj[jnp.clip(ldef, 0, p - 1)]
+
+        action = jnp.where(
+            split1, 0,
+            jnp.where(has_pos, 1,
+                      jnp.where(has_neg, 2,
+                                jnp.where((ziter >= 7) | (ziter < 0), 3,
+                                          4))))
+
+        info = {"jlo": jlo, "ldef": ldef, "jdef": jdef}
+        st = (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
+        st = lax.switch(action, [act_split, act_pos, act_neg, act_czshift,
+                                 act_sweep], st, info)
+        return st, jiter + 1
+
+    def cond(full):
+        st, jiter = full
+        go = (st[6] >= 0) & (jiter < maxit)
+        if it_cap is not None:
+            go = go & (jiter < it_cap)
+        return go
+
+    def body_guarded(full):
+        st, jiter = full
+        return lax.cond(st[6] >= 0, body, lambda f: (f[0], f[1] + 1), full)
+
+    if resume_state is not None:
+        st0, jiter0 = resume_state
+    else:
+        st0 = (H, Z, alr0, ali0, beta0, scal0, jnp.int32(n - 1),
+               jnp.int32(0), jnp.int32(ziter0), key0)
+        jiter0 = jnp.int32(0)
+    (st, jiter) = lax.while_loop(cond, body_guarded, (st0, jiter0))
+    (H, Z, alr, ali, be, sc, ilast, _, _, _) = st
+    ok = ilast < 0
+    done = (ilast < 0) | (jiter >= maxit)
+    final_state = (st, jiter)
+
+    # structural enforcement: on exit every factor is upper triangular;
+    # sub-triangular ds junk (lo-component differences the masked updates
+    # cannot cancel exactly) is provably below the diagonal
+    H = CXF(FF(jnp.triu(H.re.hi), jnp.triu(H.re.lo)),
+            FF(jnp.triu(H.im.hi), jnp.triu(H.im.lo)))
+
+    # postprocess: real-nonneg triangular diagonals, phases into Z/neighbor
+    # (reference src/generalized.jl:860-908) — ds throughout
+    safmin = unfl
+    for l in range(p - 1, 0, -1):
+        dg = CXF(FF(jnp.diagonal(H.re.hi[l]), jnp.diagonal(H.re.lo[l])),
+                 FF(jnp.diagonal(H.im.hi[l]), jnp.diagonal(H.im.lo[l])))
+        absd = cxff.cabs(dg)
+        big = absd.hi > safmin
+        safe = ff.where(ff.eq0(absd), ff.full_like(absd, 1.0), absd)
+        zph = where(big, CXF(ff.div(dg.re, safe), ff.neg(ff.div(dg.im,
+                                                                safe))),
+                    CXF(ff.ff(jnp.ones_like(absd.hi)),
+                        ff.zeros(absd.hi.shape)))
+        newdiag = where(big, CXF(absd, ff.zeros(absd.hi.shape)), dg)
+        Hl = _fget(H, l)
+        n_ = Hl.re.hi.shape[0]
+
+        def cmul_bc(X: CXF, ph: CXF, col: bool) -> CXF:
+            ax = (slice(None), None) if not col else (None, slice(None))
+            pr = FF(ph.re.hi[ax], ph.re.lo[ax])
+            pi = FF(ph.im.hi[ax], ph.im.lo[ax])
+            return CXF(ff.sub(ff.mul(pr, X.re), ff.mul(pi, X.im)),
+                       ff.add(ff.mul(pr, X.im), ff.mul(pi, X.re)))
+
+        if S[l]:
+            Hl = cmul_bc(Hl, zph, col=False)
+            sf = zph
+        else:
+            Hl = cmul_bc(Hl, zph, col=True)
+            sf = conj(zph)
+        rr = lax.broadcasted_iota(jnp.int32, (n_, n_), 0)
+        cc = lax.broadcasted_iota(jnp.int32, (n_, n_), 1)
+        dmask = rr == cc
+        Hl = where(dmask,
+                   CXF(FF(jnp.diag(newdiag.re.hi), jnp.diag(newdiag.re.lo)),
+                       FF(jnp.diag(newdiag.im.hi), jnp.diag(newdiag.im.lo))),
+                   Hl)
+        H = at_set(H, l, Hl)
+        if want_z:
+            sfc = conj(sf)
+            Zl = cmul_bc(_fget(Z, l), sfc, col=True)
+            Z = at_set(Z, l, Zl)
+        lm = l - 1
+        Hm = _fget(H, lm)
+        if S[lm]:
+            Hm = cmul_bc(Hm, conj(sf), col=True)
+        else:
+            Hm = cmul_bc(Hm, sf, col=False)
+        H = at_set(H, lm, Hm)
+
+    zout = (Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo) if want_z else (None,) * 4
+    out = (H.re.hi, H.re.lo, H.im.hi, H.im.lo) + zout + (alr, ali, be, sc,
+                                                         ok)
+    if with_info:
+        out = out + ({"niter": jiter, "maxit": jnp.int32(maxit)},)
+    if return_state:
+        return out + (final_state, done)
+    return out
+
+
+def pqz_complex_core_ff_chunked(
+    Hrehi, Hrelo, Himhi, Himlo, S, Z4=None, want_z=True, want_t=True,
+    maxitfac=30, seed=1234, chunk_iters=None,
+):
+    """Host-chunked ds split-complex QZ (axon ~60 s execute kill timer).
+
+    Same returns as :func:`pqz_complex_core_ff`; the loop state stays
+    on-device between chunk calls and every chunk reuses the ONE resume
+    trace of the core.
+    """
+    p, n, _ = Hrehi.shape
+    if n == 1:
+        return pqz_complex_core_ff(Hrehi, Hrelo, Himhi, Himlo, S, Z4,
+                                   want_z=want_z, want_t=want_t,
+                                   maxitfac=maxitfac, seed=seed)
+    maxit = maxitfac * n
+    if chunk_iters is None:
+        # each iteration's dominant action (sweep) is ~4x the real core's
+        # per-iteration work (4 arrays, complex rotations); target <= ~20 s
+        per_iter = 4.0 * p * n * n * 1e-8
+        chunk_iters = max(64, int(20.0 / max(per_iter, 1e-9)))
+
+    # Build the initial loop state here (MUST mirror the core's setup) so
+    # every chunk call uses the ONE resume trace of the core (same device
+    # as pqr_real_core_ff_chunked).
+    import math as _math
+    ziter0 = -1 if p >= _math.log2(2.2250738585072014e-308) / \
+        _math.log2(2.220446049250313e-16) else 0
+
+    @jax.jit
+    def _init(Hrehi, Hrelo, Himhi, Himlo, Z4):
+        H = CXF(FF(Hrehi, Hrelo), FF(Himhi, Himlo))
+        if want_z:
+            if Z4 is None:
+                eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32),
+                                       (p, n, n))
+                zf = jnp.zeros((p, n, n), jnp.float32)
+                Z = CXF(FF(eye, zf), FF(zf, zf))
+            else:
+                Z = CXF(FF(Z4[0], Z4[1]), FF(Z4[2], Z4[3]))
+        else:
+            Z = cxff.zeros((p, 1, 1))
+        st0 = (H, Z, jnp.zeros((n,), jnp.float64),
+               jnp.zeros((n,), jnp.float64), jnp.zeros((n,), jnp.float32),
+               jnp.zeros((n,), jnp.int32), jnp.int32(n - 1), jnp.int32(0),
+               jnp.int32(ziter0), jax.random.PRNGKey(seed))
+        return (st0, jnp.int32(0))
+
+    state = _init(Hrehi, Hrelo, Himhi, Himlo, Z4)
+    cap = 0
+    while True:
+        cap = min(cap + chunk_iters, maxit)
+        out = pqz_complex_core_ff(
+            Hrehi, Hrelo, Himhi, Himlo, S, Z4, want_z=want_z,
+            want_t=want_t, maxitfac=maxitfac, seed=seed,
+            it_cap=jnp.int32(cap), resume_state=state, return_state=True)
+        *outs, state, done = out
+        if bool(done) or cap >= maxit:
+            return tuple(outs)

@@ -288,7 +288,7 @@ def _opening_rotations(H, S, j, ilast, key, iiter):
 
 
 @partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info",
-                                   "aggressive", "want_t"))
+                                   "aggressive", "want_t", "return_state"))
 def pqz_real_gen_core(
     H: jax.Array,
     S: Tuple[bool, ...],
@@ -299,6 +299,9 @@ def pqz_real_gen_core(
     with_info: bool = False,
     aggressive: bool = False,
     want_t: bool = True,
+    it_cap: Optional[jax.Array] = None,
+    resume_state=None,
+    return_state: bool = False,
 ):
     """Run the real generalized periodic QZ iteration.
 
@@ -654,19 +657,28 @@ def pqz_real_gen_core(
 
     def cond(full):
         st, jiter = full
-        return (st[6] >= 0) & (jiter < maxit)
+        go = (st[6] >= 0) & (jiter < maxit)
+        if it_cap is not None:
+            go = go & (jiter < it_cap)
+        return go
 
     def body_guarded(full):
         st, jiter = full
         return lax.cond(st[6] >= 0, body, lambda f: (f[0], f[1] + 1), full)
 
-    st0 = (H, Zs, jnp.zeros((n,), dt), jnp.zeros((n,), dt),
-           jnp.zeros((n,), dt), jnp.zeros((n,), jnp.int32),
-           jnp.int32(n - 1), jnp.int32(0), jnp.int32(ziter0), key0)
-    (H, Zs, alr, ali, be, sc, ilast, _, _, _), jiter = lax.while_loop(
-        cond, body_guarded, (st0, jnp.int32(0)))
+    if resume_state is not None:
+        st0, jiter0 = resume_state
+    else:
+        st0 = (H, Zs, jnp.zeros((n,), dt), jnp.zeros((n,), dt),
+               jnp.zeros((n,), dt), jnp.zeros((n,), jnp.int32),
+               jnp.int32(n - 1), jnp.int32(0), jnp.int32(ziter0), key0)
+        jiter0 = jnp.int32(0)
+    fullst, jiter = lax.while_loop(cond, body_guarded, (st0, jiter0))
+    (H, Zs, alr, ali, be, sc, ilast, _, _, _) = fullst
+    final_state = (fullst, jiter)
     czbail = ilast == -5
     ok = (ilast < 0) & (~czbail)
+    done = (ilast < 0) | (jiter >= maxit)
 
     # scrub: zero subdiagonals under real eigenvalues; triangularize others
     sub = jnp.diagonal(H[0], -1) * jnp.where(ali[:-1] == 0, 0.0, 1.0)
@@ -675,10 +687,62 @@ def pqz_real_gen_core(
     H = H.at[1:].set(jnp.triu(H[1:]))
     Zout = Zs if want_z else None
     extra = (czbail,) if aggressive else ()
+    out = (H, Zout, alr, ali, be, sc, ok) + extra
     if with_info:
-        return (H, Zout, alr, ali, be, sc, ok) + extra + (
-            {"niter": jiter, "maxit": jnp.int32(maxit)},)
-    return (H, Zout, alr, ali, be, sc, ok) + extra
+        out = out + ({"niter": jiter, "maxit": jnp.int32(maxit)},)
+    if return_state:
+        out = out + (final_state, done)
+    return out
+
+
+def pqz_real_gen_core_chunked(
+    H, S, Z=None, want_z=True, want_t=True, maxitfac=120, seed=1234,
+    aggressive=False, chunk_iters=None,
+):
+    """Host-chunked real generalized QZ (axon ~60 s execute kill timer).
+
+    Runs the while_loop in resumable it_cap segments with the state left
+    on-device between calls (same device as pqr_real_core_ff_chunked);
+    every chunk reuses the ONE resume trace of the core.  Same returns as
+    :func:`pqz_real_gen_core` (without with_info).
+    """
+    p, n, _ = H.shape
+    dt = H.dtype
+    if n == 1:
+        return pqz_real_gen_core(H, S, Z=Z, want_z=want_z, want_t=want_t,
+                                 maxitfac=maxitfac, seed=seed,
+                                 aggressive=aggressive)
+    maxit = maxitfac * n
+    if chunk_iters is None:
+        per_iter = p * n * n * 2e-8
+        chunk_iters = max(64, int(20.0 / max(per_iter, 1e-9)))
+    fi = jnp.finfo(dt)
+    ziter0 = -1 if p >= math.log2(fi.tiny) / math.log2(fi.eps) else 0
+
+    @jax.jit
+    def _init(H, Z):
+        if want_z:
+            Zs = jnp.broadcast_to(jnp.eye(n, dtype=dt),
+                                  (p, n, n)).astype(dt) if Z is None else Z
+        else:
+            Zs = jnp.zeros((p, 1, 1), dt)
+        st0 = (H, Zs, jnp.zeros((n,), dt), jnp.zeros((n,), dt),
+               jnp.zeros((n,), dt), jnp.zeros((n,), jnp.int32),
+               jnp.int32(n - 1), jnp.int32(0), jnp.int32(ziter0),
+               jax.random.PRNGKey(seed))
+        return (st0, jnp.int32(0))
+
+    state = _init(H, Z)
+    cap = 0
+    while True:
+        cap = min(cap + chunk_iters, maxit)
+        out = pqz_real_gen_core(
+            H, S, Z=Z, want_z=want_z, want_t=want_t, maxitfac=maxitfac,
+            seed=seed, aggressive=aggressive, it_cap=jnp.int32(cap),
+            resume_state=state, return_state=True)
+        *outs, state, done = out
+        if bool(done) or cap >= maxit:
+            return tuple(outs)
 
 
 def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
@@ -723,7 +787,12 @@ def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
         H, Q = phessenberg_signed_core(A, S, want_q=want_z)
     from ..config import verbosity
     czbail = False
-    if verbosity("main") >= 1:
+    # off-CPU the axon runtime kills any single device execute after ~60 s:
+    # run the iteration host-chunked (resumable it_cap state)
+    dev = jax.config.jax_default_device
+    plat = dev.platform if dev is not None else jax.default_backend()
+    chunked = plat != "cpu"
+    if verbosity("main") >= 1 and not chunked:
         out = pqz_real_gen_core(H, S, Z=Q, want_z=want_z, want_t=want_t,
                                 maxitfac=maxitfac,
                                 with_info=True, aggressive=aggressive)
@@ -734,6 +803,14 @@ def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,
         print(f"[pschur real gen] p={p} n={A.shape[-1]}: "
               f"{int(info['niter'])} iterations "
               f"(budget {int(info['maxit'])}), converged={bool(ok)}")
+    elif chunked:
+        out = pqz_real_gen_core_chunked(H, S, Z=Q, want_z=want_z,
+                                        want_t=want_t, maxitfac=maxitfac,
+                                        aggressive=aggressive)
+        if aggressive:
+            T, Z, alr, ali, be, sc, ok, czbail = out
+        else:
+            T, Z, alr, ali, be, sc, ok = out
     else:
         out = pqz_real_gen_core(H, S, Z=Q, want_z=want_z, want_t=want_t,
                                 maxitfac=maxitfac,

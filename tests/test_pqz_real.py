@@ -149,3 +149,25 @@ def test_aggressive_rejects_non_gpsd(rng):
     A = rng.standard_normal((2, 5, 5))
     with _pytest.raises(ValueError):
         psd.pschur(jnp.asarray(A), "R", aggressive=True)
+
+
+def test_chunked_equivalence(rng):
+    """it_cap chunking of the real generalized core must reproduce the
+    single-shot run exactly (resume-state round trip; the axon kill-timer
+    device, ops/pqz_real.pqz_real_gen_core_chunked)."""
+    from periodicschurdecompositions_jl_tpu.ops.hessenberg import \
+        phessenberg_signed_core
+    from periodicschurdecompositions_jl_tpu.ops.pqz_real import (
+        pqz_real_gen_core, pqz_real_gen_core_chunked)
+    p, n = 3, 8
+    S = (True, False, True)
+    A = jnp.asarray(rng.standard_normal((p, n, n)))
+    H, Q = phessenberg_signed_core(A, S, want_q=True)
+    T1, Z1, alr1, ali1, be1, sc1, ok1 = pqz_real_gen_core(H, S, Z=Q)
+    out = pqz_real_gen_core_chunked(H, S, Z=Q, chunk_iters=3)
+    T2, Z2, alr2, ali2, be2, sc2, ok2 = out
+    assert bool(ok1) and bool(ok2)
+    assert np.array_equal(np.asarray(T1), np.asarray(T2))
+    assert np.array_equal(np.asarray(Z1), np.asarray(Z2))
+    assert np.array_equal(np.asarray(alr1), np.asarray(alr2))
+    assert np.array_equal(np.asarray(ali1), np.asarray(ali2))
