@@ -70,6 +70,9 @@ def _order_key(which: str):
 
 
 def _as_ops(A, n=None, dtype=None):
+    if hasattr(A, "apply_orth"):
+        # device-resident sharded cycle (parallel.krylov_ops.ShardedCycleOps)
+        return A, A.p, A.n, np.dtype(A.dtype)
     if hasattr(A, "ndim") or isinstance(A, (list, tuple)) and hasattr(A[0], "ndim"):
         An = [np.asarray(a) for a in A]
         n = An[0].shape[0]
@@ -158,19 +161,35 @@ def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
     singularity repairs (reference's 5-strike budget, :396-407).
     """
     p, n = PK.p, PK.n
+    devops = hasattr(ops, "apply_orth")
     PK.V[0][:, k1] = u
+    if devops:
+        # device-resident path (parallel.krylov_ops.ShardedCycleOps): the
+        # basis lives on the mesh; each step is one jitted matvec+CGS with
+        # no host round-trip (only h and norms come back).  Host PK.V stays
+        # the source of truth for the restart logic: accepted columns are
+        # pulled once, and any host-side repair reloads the mirror.
+        ops.load_basis(PK.V)
     j = k1
     singularities = 0
     while j < k2:
         ldef, jdef = -1, -1
         null1 = False
         for l in range(p - 1):
-            v = np.asarray(ops[l](PK.V[l][:, j]))
             if j > 0:
-                h, v, w, inspan = _orth_step(PK.V[l + 1][:, :j], v, eta)
-                PK.B[l][:j, j] = h
+                if devops:
+                    h, w, inspan = ops.apply_orth(l, l + 1, j, j, eta)
+                    PK.B[l][:j, j] = h[:j]
+                else:
+                    v = np.asarray(ops[l](PK.V[l][:, j]))
+                    h, v, w, inspan = _orth_step(PK.V[l + 1][:, :j], v, eta)
+                    PK.B[l][:j, j] = h
             else:
-                w = np.linalg.norm(v)
+                if devops:
+                    w = ops.apply_norm(l, j)
+                else:
+                    v = np.asarray(ops[l](PK.V[l][:, j]))
+                    w = np.linalg.norm(v)
                 inspan = False
                 if w < tol1:
                     null1 = True
@@ -181,28 +200,44 @@ def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
                 PK.B[l][j, j] = 0.0
                 if not _reinitialize(PK, l + 1, j, eta):
                     raise PKSFailure("Arnoldi reinitialization failed")
+                if devops:
+                    ops.load_basis(PK.V)
             else:
                 PK.B[l][j, j] = w
-                PK.V[l + 1][:, j] = v / w
+                if devops:
+                    PK.V[l + 1][:, j] = ops.accept(l + 1, j, w)
+                else:
+                    PK.V[l + 1][:, j] = v / w
         if null1:
             _reinitialize(PK, 0, 0, eta)
+            if devops:
+                ops.load_basis(PK.V)
             continue
 
-        v = np.asarray(ops[p - 1](PK.V[p - 1][:, j]))
-        h, v, w, inspan = _orth_step(PK.V[0][:, :j + 1], v, eta)
-        PK.B[p - 1][:j + 1, j] = h
+        if devops:
+            h, w, inspan = ops.apply_orth(p - 1, 0, j, j + 1, eta)
+            PK.B[p - 1][:j + 1, j] = h[:j + 1]
+        else:
+            v = np.asarray(ops[p - 1](PK.V[p - 1][:, j]))
+            h, v, w, inspan = _orth_step(PK.V[0][:, :j + 1], v, eta)
+            PK.B[p - 1][:j + 1, j] = h
         if inspan:
             PK.B[p - 1][j + 1, j] = 0.0
             if ldef < 0:
                 # trivial deflation: restart the next column randomly
                 if not _reinitialize(PK, 0, j + 1, eta):
                     raise PKSFailure("Arnoldi reinitialization failed")
+                if devops:
+                    ops.load_basis(PK.V)
                 ldef = -1
             else:
                 pass
         else:
             PK.B[p - 1][j + 1, j] = w
-            PK.V[0][:, j + 1] = v / w
+            if devops:
+                PK.V[0][:, j + 1] = ops.accept(0, j + 1, w)
+            else:
+                PK.V[0][:, j + 1] = v / w
 
         if ldef >= 0:
             # exact deflation inside the cycle: rotate the zero out
@@ -216,6 +251,8 @@ def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
                 if jdef + 1 < k2:
                     if not _reinitialize(PK, 0, jdef + 1, eta):
                         raise PKSFailure("Arnoldi reinitialization failed")
+            if devops:
+                ops.load_basis(PK.V)
         PK.k = j + 1
         j += 1
     return True

@@ -46,3 +46,37 @@ def test_sharded_partial_pschur(rng):
     v1 = np.sort(np.abs(np.asarray(ps_sh.values)))[-4:]
     v2 = np.sort(np.abs(np.asarray(ps_d.values)))[-4:]
     assert np.allclose(v1, v2, rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8,
+                    reason="needs the 8-device virtual CPU mesh")
+def test_device_resident_partial_pschur(rng):
+    """Device-resident path (ShardedCycleOps): no host round-trip per
+    matvec — the Arnoldi basis lives on the mesh and matvec+CGS run as one
+    jitted program.  Must reproduce the dense run's Ritz values and the
+    partial-decomposition residual."""
+    from periodicschurdecompositions_jl_tpu.parallel.krylov_ops import (
+        ShardedCycleOps)
+    mesh = make_mesh(8, names=("rows",))
+    p, n = 2, 96
+    A = []
+    q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    for l in range(p):
+        T = np.triu(rng.standard_normal((n, n)) * 0.05)
+        np.fill_diagonal(T, 1.15 ** np.arange(n))
+        A.append(q @ T @ q.T)
+    A = np.stack(A)
+    sops = ShardedCycleOps(A, mesh)
+    ps_sh, hist_sh = partial_pschur(sops, 4, "LM")
+    assert hist_sh.nconverged >= 4
+    ps_d, hist_d = partial_pschur(jnp.asarray(A), 4, "LM")
+    v1 = np.sort(np.abs(np.asarray(ps_sh.values)))[-4:]
+    v2 = np.sort(np.abs(np.asarray(ps_d.values)))[-4:]
+    assert np.allclose(v1, v2, rtol=1e-6)
+    # partial decomposition residual: A[l] V[l] = V[l+1] T[l]
+    V = np.asarray(ps_sh.Vs)
+    T = np.asarray(ps_sh.Ts)
+    k = V.shape[2]
+    for l in range(p):
+        R = A[l] @ V[l] - V[(l + 1) % p] @ T[l]
+        assert np.abs(R).max() < 1e-7, (l, np.abs(R).max())
