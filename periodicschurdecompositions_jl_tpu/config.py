@@ -30,6 +30,14 @@ class AlgoConfig:
       MB03WD force-zeroes the leftover "even when wrong").
     * ``eta_orth``: iterated Gram-Schmidt re-orthogonalization threshold used
       by the periodic Arnoldi process (reference: src/krylov.jl:150).
+    * ``iterative_2x2``: recompute 2x2-block eigenvalues during reordering
+      with the ITERATIVE complex single-shift 2x2 periodic QZ (MB03BB
+      semantics, reference src/rpschur2x2.jl:9-235) instead of the default
+      one-shot scaled window-block product.  The iterative scheme is the
+      reference's robustness device for adversarial 2x2 cycles; the
+      one-shot product is validated on graded p=20 cycles and stays the
+      default.  Falls back to the one-shot value when the iteration does
+      not converge.
 
     The reference's ``_allow_early_QR`` toggle (start double-shift QR below
     the window top, reference :301-302,768) is NOT carried over: the
@@ -43,6 +51,7 @@ class AlgoConfig:
     at_pwr16: int = 4
     extra_rq: bool = False
     eta_orth: float = 1.0 / math.sqrt(2.0)
+    iterative_2x2: bool = False
 
     def ulp_x(self, ulp: float) -> float:
         """Tightened Ahues-Tisseur relative threshold ``eps^(1+at_pwr16/16)``."""

@@ -191,11 +191,13 @@ def _moveblock(T, Z, S, jsrc, jdest):
     return jsrc, here, True
 
 
-def _update_values(P, T, S):
+def _update_values(P, T, S, iterative: bool = False):
     """Recompute eigenvalues from reordered diagonals (reference _updateλ!).
 
     Works in normalized (left, slot-0) space; the cyclic product rotation
     used for 2x2 re-solves starts at slot 0: [T0, T_{p-1}, ..., T1].
+    ``iterative`` switches the 2x2 re-solve to the MB03BB-style scheme
+    (AlgoConfig.iterative_2x2).
     """
     p = len(T)
     n = T[0].shape[0]
@@ -211,6 +213,20 @@ def _update_values(P, T, S):
         if pair:
             W = [T[l][j:j + 2, j:j + 2] for l in order]
             (w1, s1), (w2, s2), bflag = _eig2x2_prod_np(W, Sx)
+            if iterative:
+                # optional MB03BB-style iterative re-solve (AlgoConfig.
+                # iterative_2x2); non-convergence keeps the one-shot value
+                from ..ops.reorder_np import rpeigvals2x2_np
+                (v1, t1), (v2, t2), bfl2, okc = rpeigvals2x2_np(W, Sx)
+                if okc:
+                    # standardize to an exact conjugate/real pair like the
+                    # one-shot path (reference _sanitize_reigpair!)
+                    if abs(v1.imag) > 0 or abs(v2.imag) > 0:
+                        wr = (v1.real + v2.real) / 2
+                        wi = abs(v1.imag - v2.imag) / 2
+                        v1, v2 = wr + 1j * wi, wr - 1j * wi
+                        t2 = t1
+                    (w1, s1), (w2, s2), bflag = (v1, t1), (v2, t2), bfl2
             alpha[j], alpha[j + 1] = w1, w2
             beta[j] = beta[j + 1] = bflag
             scale[j], scale[j + 1] = s1, s2
@@ -223,14 +239,22 @@ def _update_values(P, T, S):
     return alpha, beta, scale
 
 
-def ordschur(P, select: Sequence[bool], want_z: bool = True):
+def ordschur(P, select: Sequence[bool], want_z: bool = True,
+             cfg=None):
     """Reorder a periodic Schur decomposition: move the eigenvalues selected
     by `select` (and their invariant subspace) to the top.
 
     For real decompositions `select` is widened over conjugate pairs.  A
     swap failing its stability tests raises IllConditionedException.
     Returns a new decomposition of the same type/orientation.
+
+    ``cfg``: optional AlgoConfig; ``cfg.iterative_2x2`` switches the 2x2
+    eigenvalue re-solve to the iterative MB03BB-style scheme (reference
+    src/rpschur2x2.jl:9-235).
     """
+    from ..config import default_config
+    if cfg is None:
+        cfg = default_config
     if P.Zs is None and want_z:
         raise ValueError("ordschur requires Schur vectors (want_z decompositions)")
     Pn, steps = _normalize(P)
@@ -273,7 +297,8 @@ def ordschur(P, select: Sequence[bool], want_z: bool = True):
                 jdest += 2 if pair else 1
             j += 2 if pair else 1
 
-    alpha, beta, scale = _update_values(Pn, T, S)
+    alpha, beta, scale = _update_values(Pn, T, S,
+                                        iterative=cfg.iterative_2x2)
 
     Ts = jnp.asarray(np.stack(T))
     Zs = None if Z is None else jnp.asarray(np.stack(Z))

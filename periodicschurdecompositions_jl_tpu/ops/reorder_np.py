@@ -471,3 +471,121 @@ def swapadjqr(T: List[np.ndarray], Z, S, i1, p1, p2, tol=100.0) -> bool:
         blk = T[l][i1:i3 + 1, i1:i3 + 1]
         T[l][i1:i3 + 1, i1:i3 + 1] = np.triu(blk)
     return True
+
+
+# ---------------------------------------------------------------------------
+# iterative 2x2 periodic eigenvalue solver (MB03BB semantics)
+
+
+def rpeigvals2x2_np(W, S, maxit: int = 80, seed: int = 1903):
+    """Eigenvalues of ``prod_l W[l]^{s_l}`` for a 2x2 block cycle by
+    ITERATIVE complex single-shift periodic QZ.
+
+    Behavioral contract from the reference's `_rpeigvals2x2` (MB03BB
+    translation, src/rpschur2x2.jl:9-235): complexify the cycle,
+    triangularize all blocks but the leading one, run single-shift QZ
+    sweeps (ad-hoc random restart shifts every 10 iterations) until the
+    leading block's subdiagonal is negligible, then read the eigenvalues
+    as scaled signed diagonal products.
+
+    Args:
+      W: sequence of p (2, 2) real or complex blocks (product order).
+      S: signature sequence (True direct, False inverted).
+
+    Returns ((w1, s1), (w2, s2), beta, converged): eigenvalues
+    ``w_j * 2^{s_j}`` (complex mantissa, int exponent), ``beta`` 0 flags a
+    singular inverted factor, ``converged`` False when the 80-sweep budget
+    ran out (caller falls back to the one-shot product).
+    """
+    p = len(W)
+    B = [np.asarray(w, complex).copy() for w in W]
+    eps = np.finfo(float).eps
+    rng = np.random.default_rng(seed)
+
+    # stage 1: W'[l] = Q[l]^H W[l] Q[l+1] (direct) / Q[l+1]^H W[l] Q[l]
+    # (inverted) upper triangular for l >= 1, with Q[0] = I
+    Qnext = np.eye(2, dtype=complex)
+    for l in range(p - 1, 0, -1):
+        if S[l]:
+            M = B[l] @ Qnext
+            Q, R = np.linalg.qr(M)
+            B[l] = Q.conj().T @ M
+            Qnext = Q
+        else:
+            M = Qnext.conj().T @ B[l]
+            # RQ: M = R Q^H  via QR of the reversed-transposed matrix
+            Jr = np.array([[0.0, 1.0], [1.0, 0.0]])
+            Qt, Rt = np.linalg.qr((Jr @ M).conj().T)
+            Q = (Qt @ Jr).conj()
+            B[l] = M @ Q
+            Qnext = Q
+        B[l][1, 0] = 0.0
+    B[0] = B[0] @ Qnext
+
+    def conv():
+        b0 = B[0]
+        return abs(b0[1, 0]) <= max(
+            eps * (abs(b0[0, 0]) + abs(b0[1, 1])), 1e-290)
+
+    it = 0
+    while not conv() and it < maxit:
+        it += 1
+        # shift rotation (mirror of ops/pqz_complex.act_sweep, n=2)
+        c, s, _ = _givens_np(1.0 + 0j, 1.0 + 0j)
+        if it % 10 == 0:
+            fr = rng.standard_normal(4)
+            c, s, _ = _givens_np(fr[0] + 1j * fr[1], fr[2] + 1j * fr[3])
+        else:
+            for l in range(p - 1, 0, -1):
+                hf, hl = B[l][0, 0], B[l][1, 1]
+                if S[l]:
+                    c, s, _ = _givens_np(hf * c, hl * np.conj(s))
+                else:
+                    c, s, _ = _givens_np(hl * c, -hf * np.conj(s))
+                    s = -s
+            b0 = B[0]
+            c, s, _ = _givens_np(b0[0, 0] * c - b0[1, 1] * np.conj(s),
+                                 b0[1, 0] * c)
+
+        # one sweep step (k = 0)
+        B[0] = _gmat(c, s) @ B[0]
+        for l in range(p - 1, 0, -1):
+            if S[l]:
+                B[l] = B[l] @ _gmat(c, s).conj().T
+                c, s, _ = _givens_np(B[l][0, 0], B[l][1, 0])
+                B[l] = _gmat(c, s) @ B[l]
+                B[l][1, 0] = 0.0
+            else:
+                B[l] = _gmat(c, s) @ B[l]
+                c, s, r = _givens_np(B[l][1, 1], B[l][1, 0])
+                B[l][:1, :] = B[l][:1, :] @ _gmat(c, s)
+                B[l][1, 1] = r
+                B[l][1, 0] = 0.0
+                s = -s
+        B[0] = B[0] @ _gmat(c, s).conj().T
+
+    converged = conv()
+    if converged:
+        B[0][1, 0] = 0.0
+    beta = 1.0
+    out = []
+    for j in range(2):
+        alpha, sc = 1.0 + 0j, 0
+        for l in range(p):
+            x = B[l][j, j]
+            if S[l]:
+                alpha = alpha * x
+            else:
+                if x == 0:
+                    beta = 0.0
+                else:
+                    alpha = alpha / x
+            a = abs(alpha)
+            if a == 0:
+                sc = 0
+            else:
+                e = int(np.frexp(a)[1])
+                alpha = alpha * 2.0 ** (1 - e)
+                sc += e - 1
+        out.append((alpha, sc))
+    return out[0], out[1], beta, converged

@@ -328,3 +328,44 @@ class TestOrdschurRealGeneralized:
         assert ok, rep
         top = np.asarray(P2.values)[:2]
         assert abs(top[0] - np.conj(top[1])) < 1e-6 * abs(top[0])
+
+
+class TestIterative2x2:
+    """Optional MB03BB-style iterative 2x2 eigensolver
+    (AlgoConfig.iterative_2x2; reference src/rpschur2x2.jl:9-235)."""
+
+    @pytest.mark.parametrize("S", [(True,) * 4, (True, False, True, False)])
+    def test_matches_oneshot(self, rng, S):
+        from periodicschurdecompositions_jl_tpu.ops.reorder_np import \
+            rpeigvals2x2_np
+        from periodicschurdecompositions_jl_tpu.models.ordschur import \
+            _eig2x2_prod_np
+        for trial in range(8):
+            W = [np.triu(rng.standard_normal((2, 2))) +
+                 np.diag(0.5 + rng.random(2)) for _ in range(len(S))]
+            # make the leading block full (rotation-like for pairs)
+            W[0][1, 0] = rng.standard_normal()
+            (w1, s1), (w2, s2), b1, okc = rpeigvals2x2_np(W, S)
+            assert okc
+            (v1, t1), (v2, t2), b2 = _eig2x2_prod_np(
+                [w.astype(float) for w in W], S)
+            got = sorted([w1 * 2.0 ** s1, w2 * 2.0 ** s2],
+                         key=lambda z: (abs(z), z.imag))
+            want = sorted([v1 * 2.0 ** t1, v2 * 2.0 ** t2],
+                          key=lambda z: (abs(z), z.imag))
+            for g, w in zip(got, want):
+                err = min(abs(g - w), abs(g - np.conj(w)))
+                assert err < 1e-10 * max(abs(w), 1e-30), (trial, got, want)
+
+    def test_ordschur_with_iterative_cfg(self, rng):
+        from periodicschurdecompositions_jl_tpu.config import AlgoConfig
+        P, A = mkrps(rng, 8, 3, jcs=(3,))
+        select = [False, False, False, True, False, True, False, False]
+        P2 = ordschur(P, select, cfg=AlgoConfig(iterative_2x2=True))
+        ok, rep = check_psd(P2, A, tol=2000.0)
+        assert ok, rep
+        P3 = ordschur(P, select)
+        v2 = np.sort_complex(np.asarray(P2.values))
+        v3 = np.sort_complex(np.asarray(P3.values))
+        scale = np.abs(v3).max()
+        assert np.abs(v2 - v3).max() < 1e-10 * scale
