@@ -89,6 +89,41 @@ def _backerr(A_np, T, Z):
     return worst
 
 
+def _throughput_run(n_problems: int = 8, p: int = 8, n: int = 128):
+    """Host-sequential ensemble throughput on one chip: problems/min.
+
+    In-device vmap is gather-bound (measured 30x slowdown; parallel/mesh
+    docs), so the single-chip multi-problem story is sequential reuse of
+    the compiled core; across a mesh it is one problem per device.
+    """
+    import jax
+    import jax.numpy as jnp
+    from periodicschurdecompositions_jl_tpu.ops import ff
+    from periodicschurdecompositions_jl_tpu.ops.hessenberg_ff import (
+        phessenberg_core_ff)
+    from periodicschurdecompositions_jl_tpu.ops.pqr_ff import (
+        pqr_real_core_ff_chunked)
+
+    tpu = jax.devices()[0]
+    rng = np.random.default_rng(99)
+
+    def one(A_np):
+        f = ff.from_f64(jnp.asarray(A_np))
+        hi = jax.device_put(f.hi, tpu)
+        lo = jax.device_put(f.lo, tpu)
+        Hh, Hl, Qh, Ql = phessenberg_core_ff(hi, lo, want_q=True)
+        out = pqr_real_core_ff_chunked(Hh, Hl, Qh, Ql, want_z=True,
+                                       maxitfac=40)
+        return np.asarray(out[0])  # force host transfer
+
+    one(rng.standard_normal((p, n, n)) * 0.5)  # compile
+    t0 = time.time()
+    for _ in range(n_problems):
+        one(rng.standard_normal((p, n, n)))
+    dt = time.time() - t0
+    return n_problems / (dt / 60.0), dt
+
+
 def main():
     rng = np.random.default_rng(12345)
     A_np = rng.standard_normal((P_CYCLE, N, N))
@@ -108,12 +143,22 @@ def main():
               file=sys.stderr)
         vs = 0.0
 
+    try:
+        tput, t_ens = _throughput_run()
+        print(f"[bench] ensemble throughput: 8x (p=8, n=128) in "
+              f"{t_ens:.1f}s = {tput:.2f} problems/min", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - never fail the headline
+        print(f"[bench] throughput run failed: {e}", file=sys.stderr)
+        tput = 0.0
+
     print(json.dumps({
         "metric": (f"pschur_real wall-clock p={P_CYCLE} n={N} float-float "
                    f"(one TPU chip, vs native C++ single-core baseline)"),
         "value": round(t_tpu, 3),
         "unit": "s",
         "vs_baseline": round(vs, 4),
+        "backward_error": float(f"{err:.3e}"),
+        "throughput_problems_per_min_p8_n128": round(tput, 2),
     }))
 
 

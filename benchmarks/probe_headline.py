@@ -51,10 +51,14 @@ def backerr(A, T, Z, ZT=True):
     return worst
 
 
-# warmup/compile
+# warmup/compile THE WHOLE PIPELINE (iteration compile is minutes; timing
+# below must be compile-free, on fresh inputs)
 hi, lo = split(A * 0.5)
 Hh, Hl, Qh, Ql = phessenberg_core_ff(hi, lo, want_q=True)
-_ = np.asarray(Hh)
+t0 = time.time()
+_ = np.asarray(pqr_real_core_ff_chunked(Hh, Hl, Qh, Ql, want_z=True,
+                                        maxitfac=40)[0])
+print(f"[probe] warmup (compile + run): {time.time()-t0:.1f}s", flush=True)
 
 hi, lo = split(A)
 t0 = time.time()

@@ -17,8 +17,11 @@ ops/pqr_real.py's `chase_step`, reorganized for the TPU's memory model
 * kernel A (`sweep`) walks k = m..i-1 once: per step it generates the
   bulge/re-triangularization reflectors from a VMEM *working copy* C that
   carries the true interleaved values (left-updates as cheap row slabs;
-  right-updates band-only via lane masks on 8-row slabs), applies ONLY the
-  left (row) updates to H, and logs every right-side 3x3 transform.
+  right-updates band-only on aligned slabs), applies the FUSED per-step
+  left transform F^T = (M3 M2e)^T to H's rows ONCE, and logs the fused
+  right-side 3x3 F per (factor, step) — one transform per step per row
+  halves the per-entry rounding chain vs applying the reflector pair
+  separately (the dominant backward-error term).
 * the host-side wrapper transposes H (XLA transpose, cheap),
 * kernel B applies the logged right-transform chains to the transposed H
   and to Z (stored transposed throughout the iteration) as batched row
@@ -48,10 +51,9 @@ from .ff import FF
 from .ffkern import matmul3_ff, refl_mat_s_ff, reflector3s_ff
 
 # the kernels trace deep expression chains (ds arithmetic per chase step
-# inside nested loops; the grouped variants unroll 8 steps per body);
-# CPython's default recursion limit aborts tracing
-if sys.getrecursionlimit() < 40000:
-    sys.setrecursionlimit(40000)
+# inside nested loops); CPython's default recursion limit aborts tracing
+if sys.getrecursionlimit() < 20000:
+    sys.setrecursionlimit(20000)
 
 
 def _eye32(k: int):
@@ -62,19 +64,14 @@ def _eye32(k: int):
     return (r == c).astype(jnp.float32)
 
 
-def _i2_flat():
-    # constructed functionally (no closed-over constants, no reshape)
-    one = jnp.float32(1.0)
-    z = jnp.float32(0.0)
-    return jnp.stack([one, z, z, one, z, z, z, z])
-
-
 # Mosaic constraint: when the lane dimension spans more than one 128-tile
 # (N > 128), a dynamic SUBLANE start must be provably a multiple of 8
 # ("cannot statically prove that index in dimension 1 is a multiple of 8").
 # For those sizes every row-slab access goes through an 8-aligned 16-row
-# block with masked in-block extraction/insertion (exact: 0/1 masks); the
-# wrapper pads N so the blocks always fit (see chase_sweep_ff).
+# block ROLLED by the in-block offset (pltpu.roll with a dynamic shift is
+# an exact hardware sublane rotate), so the rows of interest sit at STATIC
+# offsets — no masked extraction/insertion sums.  The wrapper pads N so
+# the blocks always fit (see chase_sweep_ff).
 
 
 def _read_rows(hi_ref, lo_ref, f, k, r):
@@ -83,18 +80,9 @@ def _read_rows(hi_ref, lo_ref, f, k, r):
         return FF(hi_ref[f, pl.ds(k, r), :], lo_ref[f, pl.ds(k, r), :])
     k8 = pl.multiple_of(k & jnp.int32(-8), 8)
     o = k - k8
-    bh = hi_ref[f, pl.ds(k8, 16), :]
-    bl = lo_ref[f, pl.ds(k8, 16), :]
-    sub = lax.broadcasted_iota(jnp.int32, bh.shape, 0)
-    z = jnp.float32(0.0)
-    hs, ls = [], []
-    for a in range(r):
-        # jnp.where, NOT bool.astype: the Mosaic convert lowering recurses
-        # on bool->float (same footgun as int64 converts, see _band_col_apply)
-        msk = sub == o + a
-        hs.append(jnp.sum(jnp.where(msk, bh, z), axis=0))
-        ls.append(jnp.sum(jnp.where(msk, bl, z), axis=0))
-    return FF(jnp.stack(hs), jnp.stack(ls))
+    bh = pltpu.roll(hi_ref[f, pl.ds(k8, 16), :], -o, 0)
+    bl = pltpu.roll(lo_ref[f, pl.ds(k8, 16), :], -o, 0)
+    return FF(bh[:r], bl[:r])
 
 
 def _write_rows(hi_ref, lo_ref, f, k, vals: FF):
@@ -106,19 +94,22 @@ def _write_rows(hi_ref, lo_ref, f, k, vals: FF):
         return
     k8 = pl.multiple_of(k & jnp.int32(-8), 8)
     o = k - k8
-    bh = hi_ref[f, pl.ds(k8, 16), :]
-    bl = lo_ref[f, pl.ds(k8, 16), :]
-    sub = lax.broadcasted_iota(jnp.int32, bh.shape, 0)
-    for a in range(r):
-        msk = sub == o + a
-        bh = jnp.where(msk, vals.hi[a][None, :], bh)
-        bl = jnp.where(msk, vals.lo[a][None, :], bl)
-    hi_ref[f, pl.ds(k8, 16), :] = bh
-    lo_ref[f, pl.ds(k8, 16), :] = bl
+    bh = pltpu.roll(hi_ref[f, pl.ds(k8, 16), :], -o, 0)
+    bl = pltpu.roll(lo_ref[f, pl.ds(k8, 16), :], -o, 0)
+    bh = jnp.concatenate([vals.hi, bh[r:]], axis=0)
+    bl = jnp.concatenate([vals.lo, bl[r:]], axis=0)
+    hi_ref[f, pl.ds(k8, 16), :] = pltpu.roll(bh, o, 0)
+    lo_ref[f, pl.ds(k8, 16), :] = pltpu.roll(bl, o, 0)
 
 
 def _lane_iota(shape, dim=1):
     return lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+# Lane (column) access stays MASKED: tpu.dynamic_rotate on the lane axis
+# requires the lane dim to be a multiple of 128 ("unsupported unaligned
+# shape" for e.g. vector<3x272xf32>), and the ghost-padded N rarely is.
+# Sublane rotates have no such constraint (verified on-chip at N=272).
 
 
 def _lane_extract(rows: FF, j):
@@ -147,7 +138,7 @@ def _write_rows_raw(hi_ref, lo_ref, f, k, vals: FF):
 
 
 def _band_col_apply(hi_ref, lo_ref, g, k, M: FF, width: int, N: int):
-    """C[g][k-2:k+6, k:k+width] <- C[g][.., k:k+width] @ M  (lane-masked).
+    """C[g][k-2:k+6, k:k+width] <- C[g][.., k:k+width] @ M.
 
     Maintains the working copy's band under a right-side transform; only
     the 8 rows a later reflector generation can read need to be current.
@@ -187,282 +178,46 @@ def _flat_mat(M: FF, n2: int):
     return jnp.stack(parts)
 
 
-# ---------------------------------------------------------------------------
-# Grouped (8-step) kernel variants for N > 128.
-#
-# The per-step kernels pay for Mosaic's aligned-sublane constraint with
-# masked in-block extraction/insertion on every row access (a 16-row
-# where+sum per row, ~60% of kernel A's vector ops).  The grouped variants
-# iterate aligned 8-step groups: within a group the in-block row offset of
-# step ``kk = base + a`` is the STATIC ``a``, so every row access becomes a
-# static slice of a loaded (.., 16, N) block — no masks, no sums.  Kernel B
-# additionally loads/stores each (p, 16, N) slab ONCE per group instead of
-# once per step (~8x slab traffic).  Step order and ds arithmetic are
-# identical to the per-step kernels, so results are bit-identical; steps
-# outside [m, i) are masked with selects.
+def _fuse32_ff(M3: FF, M2: FF) -> FF:
+    """F = M3 @ E with E = diag-embed of M2 on rows/cols 1..2 (E[0,0]=1).
+
+    One fused 3x3 per chase step replaces the (M3 then M2) transform PAIR:
+    kernel B applies F once per step (right side), kernel A applies F^T
+    once to H's rows (left side) — both reflectors are symmetric, so the
+    right-composition F = M3 M2e and left-composition (M2e M3) are exact
+    transposes.  Halves the per-row rounding chain (the backward-error
+    driver) and cuts kernel B's arithmetic ~30%%."""
+
+    def el3(r, c):
+        return FF(M3.hi[r, c], M3.lo[r, c])
+
+    def el2(r, c):
+        return FF(M2.hi[r, c], M2.lo[r, c])
+
+    rows_hi, rows_lo = [], []
+    for r in range(3):
+        e0 = el3(r, 0)
+        e1 = ff.add(ff.mul(el3(r, 1), el2(0, 0)),
+                    ff.mul(el3(r, 2), el2(1, 0)))
+        e2 = ff.add(ff.mul(el3(r, 1), el2(0, 1)),
+                    ff.mul(el3(r, 2), el2(1, 1)))
+        rows_hi.append(jnp.stack([e0.hi, e1.hi, e2.hi]))
+        rows_lo.append(jnp.stack([e0.lo, e1.lo, e2.lo]))
+    return FF(jnp.stack(rows_hi), jnp.stack(rows_lo))
 
 
-def _blk_get(hi_ref, lo_ref, f, base):
-    return FF(hi_ref[f, pl.ds(base, 16), :], lo_ref[f, pl.ds(base, 16), :])
-
-
-def _blk_put(hi_ref, lo_ref, f, base, blk: FF):
-    hi_ref[f, pl.ds(base, 16), :] = blk.hi
-    lo_ref[f, pl.ds(base, 16), :] = blk.lo
-
-
-def _srows(blk: FF, a: int, r: int) -> FF:
-    """Static 3/2-row slice of a (16, N) block value."""
-    return FF(blk.hi[a:a + r], blk.lo[a:a + r])
-
-
-def _srows_set(blk: FF, a: int, vals: FF, active) -> FF:
-    """Write rows [a, a+r) of a block value, masked by scalar ``active``."""
-    r = vals.hi.shape[0]
-    old = FF(blk.hi[a:a + r], blk.lo[a:a + r])
-    nh = jnp.where(active, vals.hi, old.hi)
-    nl = jnp.where(active, vals.lo, old.lo)
-    return FF(jnp.concatenate([blk.hi[:a], nh, blk.hi[a + r:]], axis=0),
-              jnp.concatenate([blk.lo[:a], nl, blk.lo[a + r:]], axis=0))
-
-
-def _band_col_apply_g(hi_ref, lo_ref, g, base, aa: int, kkv, M: FF,
-                      width: int, act):
-    """Grouped-static variant of :func:`_band_col_apply`.
-
-    ``aa`` is the static in-group offset of ``kkv`` (may be 8 for the
-    second per-factor transform of the last step); the covering aligned
-    16-row slab starts at ``base`` when ``aa >= 2``, else one block up
-    (clamped to 0 at the top edge — extra covered rows get the same
-    mathematically exact column transform)."""
-    if aa >= 2:
-        rb = base
-    else:
-        rb = pl.multiple_of(
-            jnp.maximum(base - jnp.int32(8), jnp.int32(0)), 8)
-    slab = FF(hi_ref[g, pl.ds(rb, 16), :], lo_ref[g, pl.ds(rb, 16), :])
-    cols = [_lane_extract(slab, kkv + c) for c in range(width)]
-    it = _lane_iota(slab.hi.shape)
-    new_hi, new_lo = slab.hi, slab.lo
-    for c in range(width):
-        acc = ff.mul(cols[0], FF(M.hi[0, c], M.lo[0, c]))
-        for s in range(1, width):
-            acc = ff.add(acc, ff.mul(cols[s], FF(M.hi[s, c], M.lo[s, c])))
-        mask = (it == (kkv + c)) & act
-        new_hi = jnp.where(mask, acc.hi[:, None], new_hi)
-        new_lo = jnp.where(mask, acc.lo[:, None], new_lo)
-    hi_ref[g, pl.ds(rb, 16), :] = new_hi
-    lo_ref[g, pl.ds(rb, 16), :] = new_lo
-
-
-def _make_sweep_kernel_g(p: int, N: int, hbm_inputs: bool = False):
-    """Grouped kernel A (see block comment above): N > 128 only."""
-
-    def kernel(scal, v0f, Hhi, Hlo, oHhi, oHlo, R0, R1, Chi, Clo, *sems):
-        m = scal[0]
-        i = scal[1]
-        g0 = scal[2]
-        g1 = scal[3]
-        if hbm_inputs:
-            c1 = pltpu.make_async_copy(Hhi, oHhi, sems[0])
-            c2 = pltpu.make_async_copy(Hlo, oHlo, sems[1])
-            c1.start()
-            c2.start()
-            c1.wait()
-            c2.wait()
-            Chi[:] = oHhi[:]
-            Clo[:] = oHlo[:]
-        else:
-            oHhi[:] = Hhi[:]
-            oHlo[:] = Hlo[:]
-            Chi[:] = Hhi[:]
-            Clo[:] = Hlo[:]
-        v0 = FF(jnp.stack([v0f[0], v0f[1], v0f[2]]),
-                jnp.stack([v0f[3], v0f[4], v0f[5]]))
-
-        def group(g, _):
-            base = pl.multiple_of(g * 8, 8)
-            for a in range(8):
-                kk = base + a
-                act = (kk >= m) & (kk < i)
-                nr3 = (i - kk + 1) >= 3
-
-                # ---- H[0] bulge reflector ----------------------------
-                C0 = _blk_get(Chi, Clo, 0, base)
-                rowsC0 = _srows(C0, a, 3)
-                colC = _lane_extract(rowsC0, kk - 1)
-                first = kk == m
-                vk = ff.where(first, v0, colC)
-                z3 = jnp.where(nr3, jnp.float32(1.0), jnp.float32(0.0))
-                mask3 = jnp.stack([jnp.float32(1.0), jnp.float32(1.0), z3])
-                vk = FF(vk.hi * mask3, vk.lo * mask3)
-                w, tau, beta = reflector3s_ff(vk)
-                M3 = refl_mat_s_ff(w, tau, 3)
-                oH0 = _blk_get(oHhi, oHlo, 0, base)
-                rowsH0 = _srows(oH0, a, 3)
-                bnd = _lane_extract(rowsH0, kk - 1)
-                rowsH0 = matmul3_ff(M3, rowsH0)
-                rowsH0 = _lane_force(rowsH0, kk - 1, bnd, first)
-                oH0 = _srows_set(oH0, a, rowsH0, act)
-                _blk_put(oHhi, oHlo, 0, base, oH0)
-                rowsC0 = matmul3_ff(M3, rowsC0)
-                keep3 = ff.where(kk < i - 1, ff.zeros(()),
-                                 FF(colC.hi[2], colC.lo[2]))
-                newc = FF(jnp.stack([beta.hi, jnp.float32(0.0), keep3.hi]),
-                          jnp.stack([beta.lo, jnp.float32(0.0), keep3.lo]))
-                rowsC0 = _lane_force(rowsC0, kk - 1, newc, ~first)
-                C0 = _srows_set(C0, a, rowsC0, act)
-                _blk_put(Chi, Clo, 0, base, C0)
-                _band_col_apply_g(Chi, Clo, p - 1, base, a, kk, M3, 3, act)
-                R0[0, kk, :] = _flat_mat(M3, 9)
-                R1[0, kk, :] = _i2_flat()
-
-                # ---- factor re-triangularization loop ----------------
-                def fac(t, _, a=a, kk=kk, act=act, nr3=nr3, mask3=mask3):
-                    f = jnp.int32(p - 1) - t
-                    Cf = _blk_get(Chi, Clo, f, base)
-                    rowsCf = _srows(Cf, a, 3)
-                    colv = _lane_extract(rowsCf, kk)
-                    colv = FF(colv.hi * mask3, colv.lo * mask3)
-                    w2, tau2, beta2 = reflector3s_ff(colv)
-                    M3b = refl_mat_s_ff(w2, tau2, 3)
-                    oHf = _blk_get(oHhi, oHlo, f, base)
-                    oHf = _srows_set(
-                        oHf, a, matmul3_ff(M3b, _srows(oHf, a, 3)), act)
-                    rowsCf = matmul3_ff(M3b, rowsCf)
-                    newcf = FF(jnp.stack([beta2.hi, jnp.float32(0.0),
-                                          jnp.float32(0.0)]),
-                               jnp.stack([beta2.lo, jnp.float32(0.0),
-                                          jnp.float32(0.0)]))
-                    rowsCf = _lane_force(rowsCf, kk, newcf, True)
-                    Cf = _srows_set(Cf, a, rowsCf, act)
-
-                    # second (2-element) re-triangularization when nr3
-                    rows2 = _srows(Cf, a + 1, 2)
-                    xc = _lane_extract(rows2, kk + 1)
-                    xc3 = FF(jnp.stack([xc.hi[0], xc.hi[1],
-                                        jnp.float32(0.0)]),
-                             jnp.stack([xc.lo[0], xc.lo[1],
-                                        jnp.float32(0.0)]))
-                    wb, taub, betab = reflector3s_ff(xc3)
-                    M2 = refl_mat_s_ff(wb, taub, 2)
-                    eye2 = ff.ff(_eye32(2))
-                    M2 = ff.where(nr3, M2, eye2)
-                    oHf = _srows_set(
-                        oHf, a + 1,
-                        matmul3_ff(M2, _srows(oHf, a + 1, 2)), act)
-                    _blk_put(oHhi, oHlo, f, base, oHf)
-                    rows2 = matmul3_ff(M2, rows2)
-                    newc2 = FF(jnp.stack([betab.hi, jnp.float32(0.0)]),
-                               jnp.stack([betab.lo, jnp.float32(0.0)]))
-                    rows2 = _lane_force(rows2, kk + 1, newc2, nr3)
-                    Cf = _srows_set(Cf, a + 1, rows2, act)
-                    _blk_put(Chi, Clo, f, base, Cf)
-                    _band_col_apply_g(Chi, Clo, f - 1, base, a, kk, M3b, 3,
-                                      act)
-                    _band_col_apply_g(Chi, Clo, f - 1, base, a + 1, kk + 1,
-                                      M2, 2, act)
-                    R0[f, kk, :] = _flat_mat(M3b, 9)
-                    R1[f, kk, :] = _flat_mat(M2, 4)
-                    return jnp.int32(0)
-
-                if p > 1:
-                    lax.fori_loop(jnp.int32(0), jnp.int32(p - 1), fac,
-                                  jnp.int32(0))
-            return jnp.int32(0)
-
-        lax.fori_loop(g0, g1 + 1, group, jnp.int32(0))
-
-    return kernel
-
-
-def _make_apply_kernel_g(p: int, N: int, want_z: bool,
-                         hbm_inputs: bool = False):
-    """Grouped kernel B: one (p, 16, N) slab RMW per group per target."""
-
-    def _rollg(R):
-        if p == 1:
-            return R
-        return jnp.concatenate([R[1:], R[:1]], axis=0)
-
-    def _process(hi_ref, lo_ref, R0g, R1g, base, m, i, hi_lane=None):
-        blk = FF(hi_ref[:, pl.ds(base, 16), :],
-                 lo_ref[:, pl.ds(base, 16), :])
-        rows = [FF(blk.hi[:, r, :], blk.lo[:, r, :]) for r in range(16)]
-
-        def el(R, a, q):
-            return R[:, a, q][:, None]  # (p, 1) broadcast vs (p, N)
-
-        for a in range(8):
-            kk = base + a
-            act = (kk >= m) & (kk < i)
-            rs = [rows[a], rows[a + 1], rows[a + 2]]
-            outs = []
-            for r in range(3):  # out_r = sum_s M3[s, r] * rows[s]  (M3^T @)
-                acc = ff.mul(FF(el(R0g, a, 0 * 3 + r),
-                                el(R0g, a, 9 + 0 * 3 + r)), rs[0])
-                for s in range(1, 3):
-                    acc = ff.add(acc, ff.mul(
-                        FF(el(R0g, a, s * 3 + r),
-                           el(R0g, a, 9 + s * 3 + r)), rs[s]))
-                outs.append(acc)
-            o1 = ff.add(
-                ff.mul(FF(el(R1g, a, 0), el(R1g, a, 4)), outs[1]),
-                ff.mul(FF(el(R1g, a, 2), el(R1g, a, 6)), outs[2]))
-            o2 = ff.add(
-                ff.mul(FF(el(R1g, a, 1), el(R1g, a, 5)), outs[1]),
-                ff.mul(FF(el(R1g, a, 3), el(R1g, a, 7)), outs[2]))
-            outs = [outs[0], o1, o2]
-            lane = _lane_iota(outs[0].hi.shape, 1)
-            keep = act if hi_lane is None else act & (lane <= hi_lane)
-            for s in range(3):
-                rows[a + s] = FF(jnp.where(keep, outs[s].hi, rs[s].hi),
-                                 jnp.where(keep, outs[s].lo, rs[s].lo))
-        hi_ref[:, pl.ds(base, 16), :] = jnp.stack(
-            [r.hi for r in rows], axis=1)
-        lo_ref[:, pl.ds(base, 16), :] = jnp.stack(
-            [r.lo for r in rows], axis=1)
-
-    def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0, R1,
-               oHThi, oHTlo, oZThi, oZTlo, *sems):
-        m = scal[0]
-        i = scal[1]
-        g0 = scal[2]
-        g1 = scal[3]
-        if hbm_inputs:
-            cps = [pltpu.make_async_copy(HThi, oHThi, sems[0]),
-                   pltpu.make_async_copy(HTlo, oHTlo, sems[1])]
-            if want_z:
-                cps += [pltpu.make_async_copy(ZThi, oZThi, sems[2]),
-                        pltpu.make_async_copy(ZTlo, oZTlo, sems[3])]
-            for c in cps:
-                c.start()
-            for c in cps:
-                c.wait()
-        else:
-            oHThi[:] = HThi[:]
-            oHTlo[:] = HTlo[:]
-            if want_z:
-                oZThi[:] = ZThi[:]
-                oZTlo[:] = ZTlo[:]
-
-        def group(g, _):
-            base = pl.multiple_of(g * 8, 8)
-            R0g = R0[:, pl.ds(base, 8), :]   # (p, 8, 18)
-            R1g = R1[:, pl.ds(base, 8), :]   # (p, 8, 8)
-            _process(oHThi, oHTlo, _rollg(R0g), _rollg(R1g), base, m, i,
-                     hi_lane=i)
-            if want_z:
-                _process(oZThi, oZTlo, R0g, R1g, base, m, i)
-            return jnp.int32(0)
-
-        lax.fori_loop(g0, g1 + 1, group, jnp.int32(0))
-
-    def kernel_noz(scal, HThi, HTlo, R0, R1, oHThi, oHTlo, *sems):
-        kernel(scal, HThi, HTlo, None, None, R0, R1, oHThi, oHTlo, None,
-               None, *sems)
-
-    return kernel if want_z else kernel_noz
+def _matmul3T_ff(M: FF, rows: FF) -> FF:
+    """M^T @ rows without materializing the transpose (Mosaic-safe)."""
+    k = M.hi.shape[0]
+    outs = []
+    for r in range(k):
+        acc = ff.mul(FF(M.hi[0, r], M.lo[0, r]),
+                     FF(rows.hi[0], rows.lo[0]))
+        for s in range(1, k):
+            acc = ff.add(acc, ff.mul(FF(M.hi[s, r], M.lo[s, r]),
+                                     FF(rows.hi[s], rows.lo[s])))
+        outs.append(acc)
+    return ff.stack(outs, 0)
 
 
 def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
@@ -473,7 +228,7 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
     128 MiB of VMEM (p=16, N=528 needs 129.25M with pure-VMEM windows).
     """
 
-    def kernel(scal, v0f, Hhi, Hlo, oHhi, oHlo, R0, R1, Chi, Clo,
+    def kernel(scal, v0f, Hhi, Hlo, oHhi, oHlo, R0, Chi, Clo,
                *sems):
         m = scal[0]
         i = scal[1]
@@ -525,9 +280,9 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
             rowsC0 = _lane_force(rowsC0, kk - 1, newc, ~first)
             _write_rows(Chi, Clo, 0, kk, rowsC0)
             # right-side effect: C[p-1] cols kk..kk+2 (band) + log
+            # (the bulge step has no second transform: F = M3)
             _band_col_apply(Chi, Clo, p - 1, kk, M3, 3, N)
             R0[0, kk, :] = _flat_mat(M3, 9)
-            R1[0, kk, :] = _i2_flat()
 
             # ---- factor re-triangularization loop --------------------
             def fac(t, _):
@@ -539,8 +294,6 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
                 colv = FF(colv.hi * mask3, colv.lo * mask3)
                 w2, tau2, beta2 = reflector3s_ff(colv)
                 M3b = refl_mat_s_ff(w2, tau2, 3)
-                _write_rows(oHhi, oHlo, f, kk,
-                            matmul3_ff(M3b, _read_rows(oHhi, oHlo, f, kk, 3)))
                 rowsCf = matmul3_ff(M3b, rowsCf)
                 # the masked colv makes the reference's kept 3rd entry 0 in
                 # both branches (src/PeriodicSchurDecompositions.jl:859-866)
@@ -551,7 +304,6 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
                 rowsCf = _lane_force(rowsCf, kk, newcf, True)
                 _write_rows(Chi, Clo, f, kk, rowsCf)
                 _band_col_apply(Chi, Clo, f - 1, kk, M3b, 3, N)
-                R0[f, kk, :] = _flat_mat(M3b, 9)
 
                 # second (2-element) re-triangularization when nr3
                 rows2 = _read_rows(Chi, Clo, f, kk + 1, 2)
@@ -562,16 +314,20 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
                 M2 = refl_mat_s_ff(wb, taub, 2)
                 eye2 = ff.ff(_eye32(2))
                 M2 = ff.where(nr3, M2, eye2)
-                _write_rows(oHhi, oHlo, f, kk + 1,
-                            matmul3_ff(M2, _read_rows(oHhi, oHlo, f,
-                                                      kk + 1, 2)))
                 rows2 = matmul3_ff(M2, rows2)
                 newc2 = FF(jnp.stack([betab.hi, jnp.float32(0.0)]),
                            jnp.stack([betab.lo, jnp.float32(0.0)]))
                 rows2 = _lane_force(rows2, kk + 1, newc2, nr3)
                 _write_rows(Chi, Clo, f, kk + 1, rows2)
                 _band_col_apply(Chi, Clo, f - 1, kk + 1, M2, 2, N)
-                R1[f, kk, :] = _flat_mat(M2, 4)
+
+                # fused per-step transform: log F = M3b @ M2e once and
+                # apply F^T to H's rows once (see _fuse32_ff)
+                F = _fuse32_ff(M3b, M2)
+                _write_rows(oHhi, oHlo, f, kk,
+                            _matmul3T_ff(F, _read_rows(oHhi, oHlo, f,
+                                                       kk, 3)))
+                R0[f, kk, :] = _flat_mat(F, 9)
                 return jnp.int32(0)
 
             if p > 1:
@@ -635,19 +391,14 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
                       lo_ref[:, pl.ds(kk, k), :])
             rs = [FF(rows.hi[:, s, :], rows.lo[:, s, :]) for s in range(k)]
         else:
-            # aligned 16-row block + masked extraction (Mosaic requires
-            # provably 8-aligned dynamic sublane starts once N > 128)
+            # aligned 16-row block rolled by the in-block offset: rows of
+            # interest at static offsets (Mosaic requires provably
+            # 8-aligned dynamic sublane starts once N > 128)
             kk8 = pl.multiple_of(kk & jnp.int32(-8), 8)
             o = kk - kk8
-            blk = FF(hi_ref[:, pl.ds(kk8, 16), :],
-                     lo_ref[:, pl.ds(kk8, 16), :])
-            sub = lax.broadcasted_iota(jnp.int32, blk.hi.shape, 1)
-            zf = jnp.float32(0.0)
-            rs = []
-            for s in range(k):
-                msk = sub == o + s
-                rs.append(FF(jnp.sum(jnp.where(msk, blk.hi, zf), axis=1),
-                             jnp.sum(jnp.where(msk, blk.lo, zf), axis=1)))
+            bh = pltpu.roll(hi_ref[:, pl.ds(kk8, 16), :], -o, 1)
+            bl = pltpu.roll(lo_ref[:, pl.ds(kk8, 16), :], -o, 1)
+            rs = [FF(bh[:, s, :], bl[:, s, :]) for s in range(k)]
         outs = []
         for r in range(k):  # out_r = sum_s M[:, s, r] * rows[:, s]  (M^T @)
             acc = ff.mul(FF(_el(M.hi, 0, r), _el(M.lo, 0, r)), rs[0])
@@ -660,79 +411,17 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
             outs = [FF(jnp.where(lane <= hi_lane, outs[s].hi, rs[s].hi),
                        jnp.where(lane <= hi_lane, outs[s].lo, rs[s].lo))
                     for s in range(k)]
+        new = ff.stack(outs, 1)
         if lanes <= 128:
-            new = ff.stack(outs, 1)
             hi_ref[:, pl.ds(kk, k), :] = new.hi
             lo_ref[:, pl.ds(kk, k), :] = new.lo
         else:
-            bh, bl = blk.hi, blk.lo
-            for s in range(k):
-                msk = sub == o + s
-                bh = jnp.where(msk, outs[s].hi[:, None, :], bh)
-                bl = jnp.where(msk, outs[s].lo[:, None, :], bl)
-            hi_ref[:, pl.ds(kk8, 16), :] = bh
-            lo_ref[:, pl.ds(kk8, 16), :] = bl
+            bh = jnp.concatenate([new.hi, bh[:, k:, :]], axis=1)
+            bl = jnp.concatenate([new.lo, bl[:, k:, :]], axis=1)
+            hi_ref[:, pl.ds(kk8, 16), :] = pltpu.roll(bh, o, 1)
+            lo_ref[:, pl.ds(kk8, 16), :] = pltpu.roll(bl, o, 1)
 
-    def _apply2(hi_ref, lo_ref, kk, M3: FF, M2: FF, hi_lane=None):
-        """Fused per-step application: M3^T on rows kk..kk+2 then M2^T on
-        rows kk+1..kk+2, with ONE load/store per array pair (the separate
-        _apply calls each did their own read-modify-write of the same
-        aligned block — this halves kernel B's slab traffic)."""
-
-        def _el(X, k, s, r):
-            q = s * k + r
-            return X[:, q:q + 1]
-
-        lanes = hi_ref.shape[-1]
-        if lanes <= 128:
-            blk = FF(hi_ref[:, pl.ds(kk, 3), :], lo_ref[:, pl.ds(kk, 3), :])
-            rs = [FF(blk.hi[:, s, :], blk.lo[:, s, :]) for s in range(3)]
-        else:
-            kk8 = pl.multiple_of(kk & jnp.int32(-8), 8)
-            o = kk - kk8
-            blk = FF(hi_ref[:, pl.ds(kk8, 16), :],
-                     lo_ref[:, pl.ds(kk8, 16), :])
-            sub = lax.broadcasted_iota(jnp.int32, blk.hi.shape, 1)
-            zf = jnp.float32(0.0)
-            rs = []
-            for s in range(3):
-                msk = sub == o + s
-                rs.append(FF(jnp.sum(jnp.where(msk, blk.hi, zf), axis=1),
-                             jnp.sum(jnp.where(msk, blk.lo, zf), axis=1)))
-        outs = []
-        for r in range(3):
-            acc = ff.mul(FF(_el(M3.hi, 3, 0, r), _el(M3.lo, 3, 0, r)),
-                         rs[0])
-            for s in range(1, 3):
-                acc = ff.add(acc, ff.mul(
-                    FF(_el(M3.hi, 3, s, r), _el(M3.lo, 3, s, r)), rs[s]))
-            outs.append(acc)
-        o1 = ff.add(
-            ff.mul(FF(_el(M2.hi, 2, 0, 0), _el(M2.lo, 2, 0, 0)), outs[1]),
-            ff.mul(FF(_el(M2.hi, 2, 1, 0), _el(M2.lo, 2, 1, 0)), outs[2]))
-        o2 = ff.add(
-            ff.mul(FF(_el(M2.hi, 2, 0, 1), _el(M2.lo, 2, 0, 1)), outs[1]),
-            ff.mul(FF(_el(M2.hi, 2, 1, 1), _el(M2.lo, 2, 1, 1)), outs[2]))
-        outs = [outs[0], o1, o2]
-        if hi_lane is not None:
-            lane = _lane_iota(outs[0].hi.shape, 1)
-            outs = [FF(jnp.where(lane <= hi_lane, outs[s].hi, rs[s].hi),
-                       jnp.where(lane <= hi_lane, outs[s].lo, rs[s].lo))
-                    for s in range(3)]
-        if lanes <= 128:
-            new = ff.stack(outs, 1)
-            hi_ref[:, pl.ds(kk, 3), :] = new.hi
-            lo_ref[:, pl.ds(kk, 3), :] = new.lo
-        else:
-            bh, bl = blk.hi, blk.lo
-            for s in range(3):
-                msk = sub == o + s
-                bh = jnp.where(msk, outs[s].hi[:, None, :], bh)
-                bl = jnp.where(msk, outs[s].lo[:, None, :], bl)
-            hi_ref[:, pl.ds(kk8, 16), :] = bh
-            lo_ref[:, pl.ds(kk8, 16), :] = bl
-
-    def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0, R1,
+    def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0,
                oHThi, oHTlo, oZThi, oZTlo, *sems):
         m = scal[0]
         i = scal[1]
@@ -755,16 +444,15 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
 
         def step(kk, _):
             M0 = _load_logs(R0, kk, 9)
-            M1 = _load_logs(R1, kk, 4)
-            _apply2(oHThi, oHTlo, kk, _roll1(M0), _roll1(M1), hi_lane=i)
+            _apply(oHThi, oHTlo, kk, _roll1(M0), hi_lane=i)
             if want_z:
-                _apply2(oZThi, oZTlo, kk, M0, M1)
+                _apply(oZThi, oZTlo, kk, M0)
             return jnp.int32(0)
 
         lax.fori_loop(m, i, step, jnp.int32(0))
 
-    def kernel_noz(scal, HThi, HTlo, R0, R1, oHThi, oHTlo, *sems):
-        kernel(scal, HThi, HTlo, None, None, R0, R1, oHThi, oHTlo, None,
+    def kernel_noz(scal, HThi, HTlo, R0, oHThi, oHTlo, *sems):
+        kernel(scal, HThi, HTlo, None, None, R0, oHThi, oHTlo, None,
                None, *sems)
 
     return kernel if want_z else kernel_noz
@@ -782,8 +470,7 @@ def _sweep_call(p: int, N: int, interpret: bool):
     # not deduplicated by aliasing); past ~96 MiB switch the H inputs to HBM
     # and DMA them in (4 buffers resident)
     hbm_inputs = _vmem_bytes(p, N, 6) > 96 * (1 << 20) and not interpret
-    mk = _make_sweep_kernel_g if N > 128 else _make_sweep_kernel
-    kern = mk(p, N, hbm_inputs)
+    kern = _make_sweep_kernel(p, N, hbm_inputs)
     n_res = 4 if hbm_inputs else 6
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (1 << 20)
     h_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
@@ -795,14 +482,13 @@ def _sweep_call(p: int, N: int, interpret: bool):
         kern,
         out_shape=(jax.ShapeDtypeStruct((p, N, N), jnp.float32),
                    jax.ShapeDtypeStruct((p, N, N), jnp.float32),
-                   jax.ShapeDtypeStruct((p, N, 18), jnp.float32),
-                   jax.ShapeDtypeStruct((p, N, 8), jnp.float32)),
+                   jax.ShapeDtypeStruct((p, N, 18), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=h_space),
                   pl.BlockSpec(memory_space=h_space)],
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
-                        for _ in range(4)),
+                        for _ in range(3)),
         scratch_shapes=scratch,
         input_output_aliases={} if hbm_inputs else {2: 0, 3: 1},
         compiler_params=pltpu.CompilerParams(
@@ -817,8 +503,7 @@ def _apply_call(p: int, N: int, want_z: bool, interpret: bool):
     n_out = 4 if want_z else 2
     n_arr = 2 * n_out
     hbm_inputs = _vmem_bytes(p, N, n_arr) > 96 * (1 << 20) and not interpret
-    mk = _make_apply_kernel_g if N > 128 else _make_apply_kernel
-    kern = mk(p, N, want_z, hbm_inputs)
+    kern = _make_apply_kernel(p, N, want_z, hbm_inputs)
     n_res = n_out if hbm_inputs else n_arr
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (1 << 20)
     big_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
@@ -829,7 +514,7 @@ def _apply_call(p: int, N: int, want_z: bool, interpret: bool):
                         for _ in range(n_out)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=big_space)] * n_out
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in range(n_out)),
         scratch_shapes=scratch,
@@ -858,35 +543,27 @@ def chase_sweep_ff(H: FF, ZT, m, i, v0: FF, *, want_z: bool,
     zeros on output.
     """
     p, N, _ = H.hi.shape
-    m32 = jnp.asarray(m, jnp.int32)
-    i32 = jnp.asarray(i, jnp.int32)
-    # aligned group bounds for the grouped (N > 128) kernels: steps
-    # kk = m..i-1 live in groups [m // 8, (i - 1) // 8]; an empty sweep
-    # (i <= m) yields g1 < g0 and the group loop does not run
-    g0 = m32 // 8
-    g1 = jnp.where(i32 > m32, (i32 - 1) // 8, g0 - 1)
-    scal = jnp.stack([m32, i32, g0, g1])
+    scal = jnp.stack([jnp.asarray(m, jnp.int32), jnp.asarray(i, jnp.int32)])
     v0f = jnp.concatenate([v0.hi, v0.lo]).astype(jnp.float32)
 
     # kernels are traced WITHOUT EFT barriers (Mosaic cannot lower them and
     # provably does not need them); the surrounding XLA glue keeps them
     with ff.no_barriers():
-        Hhi, Hlo, R0, R1p = _sweep_call(p, N, interpret)(scal, v0f,
-                                                         H.hi, H.lo)
-    R1 = R1p  # (p, N, 8): 2x2 hi | lo
+        Hhi, Hlo, R0 = _sweep_call(p, N, interpret)(scal, v0f,
+                                                    H.hi, H.lo)
 
     HThi = jnp.swapaxes(Hhi, 1, 2)
     HTlo = jnp.swapaxes(Hlo, 1, 2)
     if want_z:
         with ff.no_barriers():
             outs = _apply_call(p, N, True, interpret)(
-                scal, HThi, HTlo, ZT.hi, ZT.lo, R0, R1)
+                scal, HThi, HTlo, ZT.hi, ZT.lo, R0)
         HThi, HTlo, ZThi, ZTlo = outs
         ZT = FF(ZThi, ZTlo)
     else:
         with ff.no_barriers():
             HThi, HTlo = _apply_call(p, N, False, interpret)(
-                scal, HThi, HTlo, R0, R1)
+                scal, HThi, HTlo, R0)
     H = FF(jnp.swapaxes(HThi, 1, 2), jnp.swapaxes(HTlo, 1, 2))
 
     # structural enforcement: deferred-ordering junk lands strictly below

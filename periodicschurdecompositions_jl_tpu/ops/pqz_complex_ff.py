@@ -533,10 +533,12 @@ def pqz_complex_core_ff_chunked(
                                    maxitfac=maxitfac, seed=seed)
     maxit = maxitfac * n
     if chunk_iters is None:
-        # each iteration's dominant action (sweep) is ~4x the real core's
-        # per-iteration work (4 arrays, complex rotations); target <= ~20 s
-        per_iter = 4.0 * p * n * n * 1e-8
-        chunk_iters = max(64, int(20.0 / max(per_iter, 1e-9)))
+        # XLA-glue core: per-iteration cost is dominated by the ~30 slab-op
+        # dispatches per (sweep step, factor) at ~1-2 us device latency,
+        # not by bandwidth — floor the per-element estimate accordingly.
+        # Target <= ~10 s per execute (axon kills single executes ~60 s).
+        per_iter = 4.0 * p * n * max(n * 1e-8, 1.2e-5)
+        chunk_iters = max(16, int(10.0 / max(per_iter, 1e-9)))
 
     # Build the initial loop state here (MUST mirror the core's setup) so
     # every chunk call uses the ONE resume trace of the core (same device

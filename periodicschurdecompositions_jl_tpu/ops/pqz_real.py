@@ -714,8 +714,10 @@ def pqz_real_gen_core_chunked(
                                  aggressive=aggressive)
     maxit = maxitfac * n
     if chunk_iters is None:
-        per_iter = p * n * n * 2e-8
-        chunk_iters = max(64, int(20.0 / max(per_iter, 1e-9)))
+        # XLA-glue core: dispatch-dominated per-iteration cost (see
+        # pqz_complex_core_ff_chunked); target <= ~10 s per execute
+        per_iter = 2.0 * p * n * max(n * 1e-8, 1.2e-5)
+        chunk_iters = max(16, int(10.0 / max(per_iter, 1e-9)))
     fi = jnp.finfo(dt)
     ziter0 = -1 if p >= math.log2(fi.tiny) / math.log2(fi.eps) else 0
 
