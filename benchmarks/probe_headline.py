@@ -25,6 +25,8 @@ from periodicschurdecompositions_jl_tpu.ops.hessenberg_ff import \
     phessenberg_core_ff
 from periodicschurdecompositions_jl_tpu.ops.pqr_ff import \
     pqr_real_core_ff_chunked
+from periodicschurdecompositions_jl_tpu.config import setverbosity
+setverbosity(1)
 
 tpu = jax.devices()[0]
 rng = np.random.default_rng(12345)

@@ -172,6 +172,15 @@ def givens_cxff(f: CXF, g: CXF):
     sg_num = mul(fsign, CXF(gsr, ff.neg(gsi)))
     s_gen = CXF(ff.div(sg_num.re, dsafe), ff.div(sg_num.im, dsafe))
 
+    # orthogonality renorm (see ffkern.givens_ff): one Newton step of
+    # 1/sqrt about h = c^2 + |s|^2 drops the rotation's unitarity defect
+    # to ~1 ulp
+    h = ff.add(ff.sq(c_gen), ff.add(ff.sq(s_gen.re), ff.sq(s_gen.im)))
+    corr = ff.mul_pow2(ff.sub(ff.ff(jnp.float32(3.0)), h),
+                       jnp.float32(0.5))
+    c_gen = ff.mul(c_gen, corr)
+    s_gen = CXF(ff.mul(s_gen.re, corr), ff.mul(s_gen.im, corr))
+
     ag = ff.sqrt(g2)
     agsafe = ff.where(ff.eq0(ag), one, ag)
     s_f0 = CXF(ff.div(gsr, agsafe), ff.neg(ff.div(gsi, agsafe)))

@@ -78,12 +78,19 @@ def reflector_ff(x: FF):
     trivial = ff.eq0(xnorm)
 
     beta = ff.neg(ff.copysign(ff.hypot2(alpha, xnorm), alpha.hi))
-    bsafe = _safe(beta)
-    tau = ff.div(ff.sub(beta, alpha), bsafe)
     denom = _safe(ff.sub(alpha, beta))
     dinv = ff.recip(denom)
     vtail = ff.mul(tail, FF(jnp.broadcast_to(dinv.hi, tail.hi.shape),
                             jnp.broadcast_to(dinv.lo, tail.lo.shape)))
+    # tau refit: 2 / ||w||^2 makes P = I - tau w w^T an EXACT reflection
+    # for whatever w was computed (P's orthogonality defect ~1 ulp instead
+    # of the ~5 ulp the (beta-alpha)/beta formula inherits from the
+    # hypot/div chain); in exact arithmetic the two coincide, and the
+    # annihilation residual stays O(u|x|) either way.  The per-transform
+    # orthogonality defect is what accumulates into Z drift / backward
+    # error over the sweep chains.
+    w2 = ff.add_f(ff.sum_(ff.sq(vtail), 0), jnp.float32(1.0))
+    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
 
     tau = ff.where(trivial, ff.zeros(()), tau)
     vtail = ff.where(trivial, ff.zeros(vtail.hi.shape), vtail)
@@ -119,10 +126,13 @@ def reflector3s_ff(x: FF):
     xnorm = ff.hypot2(x1, x2)
     trivial = ff.eq0(xnorm)
     beta = ff.neg(ff.copysign(ff.hypot2(x0, xnorm), x0.hi))
-    tau = ff.div(ff.sub(beta, x0), _safe(beta))
     dinv = ff.recip(_safe(ff.sub(x0, beta)))
     v1 = ff.mul(x1, dinv)
     v2 = ff.mul(x2, dinv)
+    # tau refit to 2/||w||^2: exact-reflection orthogonality (~1 ulp
+    # defect) — see reflector_ff
+    w2 = ff.add_f(ff.add(ff.sq(v1), ff.sq(v2)), jnp.float32(1.0))
+    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
     tau = ff.where(trivial, ff.zeros(()), tau)
     beta = ff.where(trivial, x0, beta)
     beta = FF(beta.hi * inv_, beta.lo * inv_)
@@ -210,6 +220,15 @@ def givens_ff(f: FF, g: FF):
     r_gen = ff.where(f.hi >= 0, d, ff.neg(d))
     c_gen = ff.div(af, dsafe)
     s_gen = ff.div(g, _safe(r_gen))
+    # orthogonality renorm: one Newton step of 1/sqrt about h = c^2+s^2
+    # ((3-h)/2, exact to O(u^2)) drops the rotation's orthogonality defect
+    # from the ~3-5 ulp of the div/sqrt chain to ~1 ulp — the per-transform
+    # defect is what accumulates into Z drift over the sweep chains
+    h = ff.add(ff.sq(c_gen), ff.sq(s_gen))
+    corr = ff.mul_pow2(ff.sub(ff.ff(jnp.float32(3.0)), h),
+                       jnp.float32(0.5))
+    c_gen = ff.mul(c_gen, corr)
+    s_gen = ff.mul(s_gen, corr)
     one = ff.ff(jnp.float32(1.0))
     zero = ff.zeros(())
     sgn_g = ff.where(g.hi >= 0, one, ff.neg(one))

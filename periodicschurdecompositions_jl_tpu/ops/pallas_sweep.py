@@ -74,15 +74,31 @@ def _eye32(k: int):
 # the blocks always fit (see chase_sweep_ff).
 
 
+import os as _os
+
+_ROLL_ROWS = _os.environ.get("PSD_SWEEP_MASKED", "") != "1"
+
+
 def _read_rows(hi_ref, lo_ref, f, k, r):
     lanes = hi_ref.shape[-1]
     if lanes <= 128:
         return FF(hi_ref[f, pl.ds(k, r), :], lo_ref[f, pl.ds(k, r), :])
     k8 = pl.multiple_of(k & jnp.int32(-8), 8)
     o = k - k8
-    bh = pltpu.roll(hi_ref[f, pl.ds(k8, 16), :], -o, 0)
-    bl = pltpu.roll(lo_ref[f, pl.ds(k8, 16), :], -o, 0)
-    return FF(bh[:r], bl[:r])
+    if _ROLL_ROWS:
+        bh = pltpu.roll(hi_ref[f, pl.ds(k8, 16), :], -o, 0)
+        bl = pltpu.roll(lo_ref[f, pl.ds(k8, 16), :], -o, 0)
+        return FF(bh[:r], bl[:r])
+    bh = hi_ref[f, pl.ds(k8, 16), :]
+    bl = lo_ref[f, pl.ds(k8, 16), :]
+    sub = lax.broadcasted_iota(jnp.int32, bh.shape, 0)
+    z = jnp.float32(0.0)
+    hs, ls = [], []
+    for a in range(r):
+        msk = sub == o + a
+        hs.append(jnp.sum(jnp.where(msk, bh, z), axis=0))
+        ls.append(jnp.sum(jnp.where(msk, bl, z), axis=0))
+    return FF(jnp.stack(hs), jnp.stack(ls))
 
 
 def _write_rows(hi_ref, lo_ref, f, k, vals: FF):
@@ -94,12 +110,23 @@ def _write_rows(hi_ref, lo_ref, f, k, vals: FF):
         return
     k8 = pl.multiple_of(k & jnp.int32(-8), 8)
     o = k - k8
-    bh = pltpu.roll(hi_ref[f, pl.ds(k8, 16), :], -o, 0)
-    bl = pltpu.roll(lo_ref[f, pl.ds(k8, 16), :], -o, 0)
-    bh = jnp.concatenate([vals.hi, bh[r:]], axis=0)
-    bl = jnp.concatenate([vals.lo, bl[r:]], axis=0)
-    hi_ref[f, pl.ds(k8, 16), :] = pltpu.roll(bh, o, 0)
-    lo_ref[f, pl.ds(k8, 16), :] = pltpu.roll(bl, o, 0)
+    if _ROLL_ROWS:
+        bh = pltpu.roll(hi_ref[f, pl.ds(k8, 16), :], -o, 0)
+        bl = pltpu.roll(lo_ref[f, pl.ds(k8, 16), :], -o, 0)
+        bh = jnp.concatenate([vals.hi, bh[r:]], axis=0)
+        bl = jnp.concatenate([vals.lo, bl[r:]], axis=0)
+        hi_ref[f, pl.ds(k8, 16), :] = pltpu.roll(bh, o, 0)
+        lo_ref[f, pl.ds(k8, 16), :] = pltpu.roll(bl, o, 0)
+        return
+    bh = hi_ref[f, pl.ds(k8, 16), :]
+    bl = lo_ref[f, pl.ds(k8, 16), :]
+    sub = lax.broadcasted_iota(jnp.int32, bh.shape, 0)
+    for a in range(r):
+        msk = sub == o + a
+        bh = jnp.where(msk, vals.hi[a][None, :], bh)
+        bl = jnp.where(msk, vals.lo[a][None, :], bl)
+    hi_ref[f, pl.ds(k8, 16), :] = bh
+    lo_ref[f, pl.ds(k8, 16), :] = bl
 
 
 def _lane_iota(shape, dim=1):
@@ -390,7 +417,7 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
             rows = FF(hi_ref[:, pl.ds(kk, k), :],
                       lo_ref[:, pl.ds(kk, k), :])
             rs = [FF(rows.hi[:, s, :], rows.lo[:, s, :]) for s in range(k)]
-        else:
+        elif _ROLL_ROWS:
             # aligned 16-row block rolled by the in-block offset: rows of
             # interest at static offsets (Mosaic requires provably
             # 8-aligned dynamic sublane starts once N > 128)
@@ -399,6 +426,16 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
             bh = pltpu.roll(hi_ref[:, pl.ds(kk8, 16), :], -o, 1)
             bl = pltpu.roll(lo_ref[:, pl.ds(kk8, 16), :], -o, 1)
             rs = [FF(bh[:, s, :], bl[:, s, :]) for s in range(k)]
+        else:
+            kk8 = pl.multiple_of(kk & jnp.int32(-8), 8)
+            o = kk - kk8
+            bh = hi_ref[:, pl.ds(kk8, 16), :]
+            bl = lo_ref[:, pl.ds(kk8, 16), :]
+            sub = lax.broadcasted_iota(jnp.int32, bh.shape, 1)
+            zf = jnp.float32(0.0)
+            rs = [FF(jnp.sum(jnp.where(sub == o + s, bh, zf), axis=1),
+                     jnp.sum(jnp.where(sub == o + s, bl, zf), axis=1))
+                  for s in range(k)]
         outs = []
         for r in range(k):  # out_r = sum_s M[:, s, r] * rows[:, s]  (M^T @)
             acc = ff.mul(FF(_el(M.hi, 0, r), _el(M.lo, 0, r)), rs[0])
@@ -415,11 +452,18 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
         if lanes <= 128:
             hi_ref[:, pl.ds(kk, k), :] = new.hi
             lo_ref[:, pl.ds(kk, k), :] = new.lo
-        else:
+        elif _ROLL_ROWS:
             bh = jnp.concatenate([new.hi, bh[:, k:, :]], axis=1)
             bl = jnp.concatenate([new.lo, bl[:, k:, :]], axis=1)
             hi_ref[:, pl.ds(kk8, 16), :] = pltpu.roll(bh, o, 1)
             lo_ref[:, pl.ds(kk8, 16), :] = pltpu.roll(bl, o, 1)
+        else:
+            for s in range(k):
+                msk = sub == o + s
+                bh = jnp.where(msk, outs[s].hi[:, None, :], bh)
+                bl = jnp.where(msk, outs[s].lo[:, None, :], bl)
+            hi_ref[:, pl.ds(kk8, 16), :] = bh
+            lo_ref[:, pl.ds(kk8, 16), :] = bl
 
     def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0,
                oHThi, oHTlo, oZThi, oZTlo, *sems):
@@ -472,7 +516,7 @@ def _sweep_call(p: int, N: int, interpret: bool):
     hbm_inputs = _vmem_bytes(p, N, 6) > 96 * (1 << 20) and not interpret
     kern = _make_sweep_kernel(p, N, hbm_inputs)
     n_res = 4 if hbm_inputs else 6
-    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (1 << 20)
+    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (4 << 20)
     h_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
     scratch = [pltpu.VMEM((p, N, N), jnp.float32),
                pltpu.VMEM((p, N, N), jnp.float32)]
@@ -505,7 +549,7 @@ def _apply_call(p: int, N: int, want_z: bool, interpret: bool):
     hbm_inputs = _vmem_bytes(p, N, n_arr) > 96 * (1 << 20) and not interpret
     kern = _make_apply_kernel(p, N, want_z, hbm_inputs)
     n_res = n_out if hbm_inputs else n_arr
-    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (1 << 20)
+    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (4 << 20)
     big_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
     scratch = [pltpu.SemaphoreType.DMA] * n_out if hbm_inputs else []
     call = pl.pallas_call(

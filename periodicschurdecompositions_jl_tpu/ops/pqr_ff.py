@@ -151,6 +151,7 @@ def pqr_real_core_ff_chunked(
                 jnp.zeros((n,), jnp.float64), jnp.int32(n - 1), jnp.int32(0),
                 jnp.int32(1), jnp.int32(maxit), jnp.int32(0))
 
+    from ..config import verbosity
     state = _init(Hhi, Hlo, ZThi, ZTlo)
     cap = 0
     while True:
@@ -160,6 +161,9 @@ def pqr_real_core_ff_chunked(
             cfg=cfg, interpret=interpret, it_cap=jnp.int32(cap),
             resume_state=state, return_state=True)
         *outs, state, done = out
+        if verbosity("main") >= 1:
+            print(f"[pqr_ff chunk] jiter={int(state[-1])} "
+                  f"i={int(state[4])} done={bool(done)}")
         if bool(done) or cap >= maxit:
             return tuple(outs)
 
