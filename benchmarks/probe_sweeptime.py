@@ -58,3 +58,15 @@ for r in range(reps):
 print(f"[sweeptime] p={p} n={n} N={N}: per-sweep "
       f"{min(ts)*1000:.1f} ms (all: {[f'{t*1000:.0f}' for t in ts]})",
       flush=True)
+
+# fixed-overhead probe: tiny window at the bottom of the same matrix
+ts2 = []
+for r in range(reps):
+    H, ZT = fresh()
+    t0 = time.time()
+    Hn, ZTn = ps.chase_sweep_ff(H, ZT, jnp.int32(n - 12), jnp.int32(n - 1),
+                                v0, want_z=True)
+    _ = np.asarray(Hn.hi)
+    ts2.append(time.time() - t0)
+print(f"[sweeptime] small-window (11 steps): {min(ts2)*1000:.1f} ms",
+      flush=True)

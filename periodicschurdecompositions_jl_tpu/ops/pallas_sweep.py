@@ -248,29 +248,26 @@ def _matmul3T_ff(M: FF, rows: FF) -> FF:
 
 
 def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
-    """Kernel A: chase + left updates + working copy + right-op logging.
+    """Kernel A: chase on the working copy + fused right-op logging.
 
-    ``hbm_inputs``: H stays in HBM (pltpu.ANY) and is DMA'd into the VMEM
-    working copies — required once the six (p, N, N) f32 buffers exceed the
-    128 MiB of VMEM (p=16, N=528 needs 129.25M with pure-VMEM windows).
+    Generation-only: the H left/right applications live in the batched
+    kernels (B0 left on H, B right on H^T/Z^T), OUTSIDE this kernel's
+    sequential (step, factor) chain — they use the same logged F per step
+    and vectorize over the p factors.  ``hbm_inputs``: H stays in HBM
+    (pltpu.ANY) and is DMA'd into the VMEM working copy.
     """
 
-    def kernel(scal, v0f, Hhi, Hlo, oHhi, oHlo, R0, Chi, Clo,
-               *sems):
+    def kernel(scal, v0f, Hhi, Hlo, R0, Chi, Clo, *sems):
         m = scal[0]
         i = scal[1]
         if hbm_inputs:
-            c1 = pltpu.make_async_copy(Hhi, oHhi, sems[0])
-            c2 = pltpu.make_async_copy(Hlo, oHlo, sems[1])
+            c1 = pltpu.make_async_copy(Hhi, Chi, sems[0])
+            c2 = pltpu.make_async_copy(Hlo, Clo, sems[1])
             c1.start()
             c2.start()
             c1.wait()
             c2.wait()
-            Chi[:] = oHhi[:]
-            Clo[:] = oHlo[:]
         else:
-            oHhi[:] = Hhi[:]
-            oHlo[:] = Hlo[:]
             Chi[:] = Hhi[:]
             Clo[:] = Hlo[:]
         # SMEM supports scalar loads only: gather v0 element-wise
@@ -290,14 +287,6 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
             vk = FF(vk.hi * mask3, vk.lo * mask3)
             w, tau, beta = reflector3s_ff(vk)
             M3 = refl_mat_s_ff(w, tau, 3)
-            # left update on H[0] (all lanes; sub-band junk dies in triu).
-            # At k == m lane m-1 is the window-boundary subdiagonal column,
-            # which the reference never touches (rowsk lo=k) — restore it.
-            rowsH0 = _read_rows(oHhi, oHlo, 0, kk, 3)
-            bnd = _lane_extract(rowsH0, kk - 1)
-            rowsH0 = matmul3_ff(M3, rowsH0)
-            rowsH0 = _lane_force(rowsH0, kk - 1, bnd, first)
-            _write_rows(oHhi, oHlo, 0, kk, rowsH0)
             # working copy: left update + forced bulge column (k > m)
             rowsC0 = matmul3_ff(M3, rowsC0)
             keep3 = ff.where(kk < i - 1, ff.zeros(()),
@@ -321,39 +310,48 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
                 colv = FF(colv.hi * mask3, colv.lo * mask3)
                 w2, tau2, beta2 = reflector3s_ff(colv)
                 M3b = refl_mat_s_ff(w2, tau2, 3)
-                rowsCf = matmul3_ff(M3b, rowsCf)
-                # the masked colv makes the reference's kept 3rd entry 0 in
-                # both branches (src/PeriodicSchurDecompositions.jl:859-866)
-                newcf = FF(jnp.stack([beta2.hi, jnp.float32(0.0),
-                                      jnp.float32(0.0)]),
-                           jnp.stack([beta2.lo, jnp.float32(0.0),
-                                      jnp.float32(0.0)]))
-                rowsCf = _lane_force(rowsCf, kk, newcf, True)
-                _write_rows(Chi, Clo, f, kk, rowsCf)
-                _band_col_apply(Chi, Clo, f - 1, kk, M3b, 3, N)
+                rows3 = matmul3_ff(M3b, rowsCf)
 
-                # second (2-element) re-triangularization when nr3
-                rows2 = _read_rows(Chi, Clo, f, kk + 1, 2)
-                xc = _lane_extract(rows2, kk + 1)
+                # second (2-element) re-triangularization when nr3; its
+                # generation column is read from the in-register rows3
+                # (identical values to the old write-then-reread)
+                r12 = FF(rows3.hi[1:], rows3.lo[1:])
+                xc = _lane_extract(r12, kk + 1)
                 xc3 = FF(jnp.stack([xc.hi[0], xc.hi[1], jnp.float32(0.0)]),
                          jnp.stack([xc.lo[0], xc.lo[1], jnp.float32(0.0)]))
                 wb, taub, betab = reflector3s_ff(xc3)
                 M2 = refl_mat_s_ff(wb, taub, 2)
                 eye2 = ff.ff(_eye32(2))
                 M2 = ff.where(nr3, M2, eye2)
-                rows2 = matmul3_ff(M2, rows2)
-                newc2 = FF(jnp.stack([betab.hi, jnp.float32(0.0)]),
-                           jnp.stack([betab.lo, jnp.float32(0.0)]))
-                rows2 = _lane_force(rows2, kk + 1, newc2, nr3)
-                _write_rows(Chi, Clo, f, kk + 1, rows2)
-                _band_col_apply(Chi, Clo, f - 1, kk + 1, M2, 2, N)
+                rows12 = matmul3_ff(M2, r12)
 
-                # fused per-step transform: log F = M3b @ M2e once and
-                # apply F^T to H's rows once (see _fuse32_ff)
+                # ONE C write for the step: rows3 row 0 + M2-updated rows
+                # 1..2, with the forced structural lanes (the lane-kk junk
+                # M2 mixes is overwritten by the force, so this is value-
+                # identical to the old two-write sequence)
+                rowsC = FF(jnp.concatenate([rows3.hi[:1], rows12.hi]),
+                           jnp.concatenate([rows3.lo[:1], rows12.lo]))
+                newcf = FF(jnp.stack([beta2.hi, jnp.float32(0.0),
+                                      jnp.float32(0.0)]),
+                           jnp.stack([beta2.lo, jnp.float32(0.0),
+                                      jnp.float32(0.0)]))
+                rowsC = _lane_force(rowsC, kk, newcf, True)
+                lane = _lane_iota(rowsC.hi.shape)
+                row_i = lax.broadcasted_iota(jnp.int32, rowsC.hi.shape, 0)
+                m2msk = (lane == kk + 1) & (row_i >= 1) & nr3
+                newc2 = FF(jnp.stack([jnp.float32(0.0), betab.hi,
+                                      jnp.float32(0.0)]),
+                           jnp.stack([jnp.float32(0.0), betab.lo,
+                                      jnp.float32(0.0)]))
+                rowsC = FF(jnp.where(m2msk, newc2.hi[:, None], rowsC.hi),
+                           jnp.where(m2msk, newc2.lo[:, None], rowsC.lo))
+                _write_rows(Chi, Clo, f, kk, rowsC)
+
+                # fused per-step transform F = M3b @ M2e: ONE band apply,
+                # ONE log (see _fuse32_ff); the H applications happen in
+                # the batched kernels from this log
                 F = _fuse32_ff(M3b, M2)
-                _write_rows(oHhi, oHlo, f, kk,
-                            _matmul3T_ff(F, _read_rows(oHhi, oHlo, f,
-                                                       kk, 3)))
+                _band_col_apply(Chi, Clo, f - 1, kk, F, 3, N)
                 R0[f, kk, :] = _flat_mat(F, 9)
                 return jnp.int32(0)
 
@@ -362,6 +360,79 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
                 # counter under x64, which Mosaic cannot lower
                 lax.fori_loop(jnp.int32(0), jnp.int32(p - 1), fac,
                               jnp.int32(0))
+            return jnp.int32(0)
+
+        lax.fori_loop(m, i, step, jnp.int32(0))
+
+    return kernel
+
+
+def _make_left_kernel(p: int, N: int, hbm_inputs: bool = False):
+    """Kernel B0: apply the logged left chains F^T to H's rows, batched
+    over the p factors (one (p, 16, N) slab RMW + 3-row transform per
+    step — outside kernel A's sequential factor chain).
+
+    The H[0] bulge step never touches the window-boundary subdiagonal
+    column m-1 (the reference's rowsk lo=k device): lane m-1 of factor 0
+    is restored at step kk == m.
+    """
+
+    def kernel(scal, Hhi, Hlo, R0, oHhi, oHlo, *sems):
+        m = scal[0]
+        i = scal[1]
+        if hbm_inputs:
+            c1 = pltpu.make_async_copy(Hhi, oHhi, sems[0])
+            c2 = pltpu.make_async_copy(Hlo, oHlo, sems[1])
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+        else:
+            oHhi[:] = Hhi[:]
+            oHlo[:] = Hlo[:]
+
+        def step(kk, _):
+            v = R0[:, pl.ds(kk, 1), :]
+            M = FF(v[:, 0, :9], v[:, 0, 9:18])
+
+            def el(X, s, r):
+                q = s * 3 + r
+                return X[:, q:q + 1]
+
+            lanes = oHhi.shape[-1]
+            if lanes <= 128:
+                rows = FF(oHhi[:, pl.ds(kk, 3), :], oHlo[:, pl.ds(kk, 3), :])
+                rs = [FF(rows.hi[:, t, :], rows.lo[:, t, :])
+                      for t in range(3)]
+            else:
+                kk8 = pl.multiple_of(kk & jnp.int32(-8), 8)
+                o = kk - kk8
+                bh = pltpu.roll(oHhi[:, pl.ds(kk8, 16), :], -o, 1)
+                bl = pltpu.roll(oHlo[:, pl.ds(kk8, 16), :], -o, 1)
+                rs = [FF(bh[:, t, :], bl[:, t, :]) for t in range(3)]
+            outs = []
+            for r in range(3):  # out_r = sum_s F[s, r] rows[s]  (F^T @)
+                acc = ff.mul(FF(el(M.hi, 0, r), el(M.lo, 0, r)), rs[0])
+                for t in range(1, 3):
+                    acc = ff.add(acc, ff.mul(
+                        FF(el(M.hi, t, r), el(M.lo, t, r)), rs[t]))
+                outs.append(acc)
+            # factor-0 boundary-column restore at the window head
+            lane = _lane_iota(outs[0].hi.shape, 1)
+            fct = lax.broadcasted_iota(jnp.int32, outs[0].hi.shape, 0)
+            keep = (lane == kk - 1) & (kk == m) & (fct == 0)
+            outs = [FF(jnp.where(keep, rs[t].hi, outs[t].hi),
+                       jnp.where(keep, rs[t].lo, outs[t].lo))
+                    for t in range(3)]
+            new = ff.stack(outs, 1)
+            if lanes <= 128:
+                oHhi[:, pl.ds(kk, 3), :] = new.hi
+                oHlo[:, pl.ds(kk, 3), :] = new.lo
+            else:
+                bh = jnp.concatenate([new.hi, bh[:, 3:, :]], axis=1)
+                bl = jnp.concatenate([new.lo, bl[:, 3:, :]], axis=1)
+                oHhi[:, pl.ds(kk8, 16), :] = pltpu.roll(bh, o, 1)
+                oHlo[:, pl.ds(kk8, 16), :] = pltpu.roll(bl, o, 1)
             return jnp.int32(0)
 
         lax.fori_loop(m, i, step, jnp.int32(0))
@@ -510,13 +581,12 @@ def _vmem_bytes(p, N, n_arrays):
 
 @functools.lru_cache(maxsize=32)
 def _sweep_call(p: int, N: int, interpret: bool):
-    # pure-VMEM windows need 6 full (p, N, N) f32 buffers (input windows are
-    # not deduplicated by aliasing); past ~96 MiB switch the H inputs to HBM
-    # and DMA them in (4 buffers resident)
-    hbm_inputs = _vmem_bytes(p, N, 6) > 96 * (1 << 20) and not interpret
+    # generation-only kernel: H inputs + 2 C scratch buffers; past ~96 MiB
+    # the H inputs move to HBM and are DMA'd into C
+    hbm_inputs = _vmem_bytes(p, N, 4) > 96 * (1 << 20) and not interpret
     kern = _make_sweep_kernel(p, N, hbm_inputs)
-    n_res = 4 if hbm_inputs else 6
-    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (4 << 20)
+    n_res = 2 if hbm_inputs else 4
+    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
     h_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
     scratch = [pltpu.VMEM((p, N, N), jnp.float32),
                pltpu.VMEM((p, N, N), jnp.float32)]
@@ -524,17 +594,40 @@ def _sweep_call(p: int, N: int, interpret: bool):
         scratch += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
     call = pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((p, N, N), jnp.float32),
-                   jax.ShapeDtypeStruct((p, N, N), jnp.float32),
-                   jax.ShapeDtypeStruct((p, N, 18), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((p, N, 18), jnp.float32),),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=h_space),
                   pl.BlockSpec(memory_space=h_space)],
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
-                        for _ in range(3)),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),),
         scratch_shapes=scratch,
-        input_output_aliases={} if hbm_inputs else {2: 0, 3: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 120 * (1 << 20))),
+        interpret=interpret,
+    )
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _left_call(p: int, N: int, interpret: bool):
+    hbm_inputs = _vmem_bytes(p, N, 4) > 96 * (1 << 20) and not interpret
+    kern = _make_left_kernel(p, N, hbm_inputs)
+    n_res = 2 if hbm_inputs else 4
+    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
+    h_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
+    scratch = [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA] \
+        if hbm_inputs else []
+    call = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((p, N, N), jnp.float32),
+                   jax.ShapeDtypeStruct((p, N, N), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=h_space),
+                  pl.BlockSpec(memory_space=h_space),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        scratch_shapes=scratch,
+        input_output_aliases={} if hbm_inputs else {1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem, 120 * (1 << 20))),
         interpret=interpret,
@@ -549,7 +642,7 @@ def _apply_call(p: int, N: int, want_z: bool, interpret: bool):
     hbm_inputs = _vmem_bytes(p, N, n_arr) > 96 * (1 << 20) and not interpret
     kern = _make_apply_kernel(p, N, want_z, hbm_inputs)
     n_res = n_out if hbm_inputs else n_arr
-    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (4 << 20)
+    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
     big_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
     scratch = [pltpu.SemaphoreType.DMA] * n_out if hbm_inputs else []
     call = pl.pallas_call(
@@ -593,8 +686,8 @@ def chase_sweep_ff(H: FF, ZT, m, i, v0: FF, *, want_z: bool,
     # kernels are traced WITHOUT EFT barriers (Mosaic cannot lower them and
     # provably does not need them); the surrounding XLA glue keeps them
     with ff.no_barriers():
-        Hhi, Hlo, R0 = _sweep_call(p, N, interpret)(scal, v0f,
-                                                    H.hi, H.lo)
+        (R0,) = _sweep_call(p, N, interpret)(scal, v0f, H.hi, H.lo)
+        Hhi, Hlo = _left_call(p, N, interpret)(scal, H.hi, H.lo, R0)
 
     HThi = jnp.swapaxes(Hhi, 1, 2)
     HTlo = jnp.swapaxes(Hlo, 1, 2)

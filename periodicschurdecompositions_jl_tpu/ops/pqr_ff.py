@@ -35,7 +35,7 @@ from .ffslab import (colsk_ff, fac_get, fac_set, getcol_ff, getel_ff,
 from .pallas_sweep import chase_sweep_ff
 
 
-def _band_products_scaled(Hd, n):
+def _band_products_scaled(H: FF, n):
     """Band entries of the cycle product with a GLOBAL power-of-two scale.
 
     The axon device emulates float64 on f32 pairs, so even "f64" has f32's
@@ -49,10 +49,21 @@ def _band_products_scaled(Hd, n):
     |lambda| < ~1e38 representable range on-chip; the generalized cores'
     decomposed (alpha, 2^scale) form covers anything beyond).
 
+    Takes the padded (hi, lo) stack DIRECTLY and extracts only the three
+    needed diagonals per factor before converting to emulated f64 — the
+    full-matrix f64 conversion this replaced was ~270 MB of per-iteration
+    traffic at the N=512 headline (measured 4.1 ms/iter fixed cost).
+
     Returns (hdiag, hsub, hsup, e) with true values = scaled * 2^e.
     """
-    p = Hd.shape[0]
+    p = H.hi.shape[0]
     f64 = jnp.float64
+
+    def diag64(l, off, cnt):
+        dh = jnp.diagonal(H.hi[l], off)[:cnt]
+        dl = jnp.diagonal(H.lo[l], off)[:cnt]
+        return dh.astype(f64) + dl.astype(f64)
+
     P1 = jnp.ones((n,), f64)
     P2 = jnp.zeros((n,), f64)
     P3 = jnp.zeros((n,), f64)
@@ -60,9 +71,9 @@ def _band_products_scaled(Hd, n):
     z1 = jnp.zeros((1,), f64)
     z2 = jnp.zeros((2,), f64)
     for l in range(1, p):
-        D = jnp.diagonal(Hd[l])[:n]
-        U = jnp.concatenate([jnp.diagonal(Hd[l], 1)[:n - 1], z1])
-        V = jnp.concatenate([jnp.diagonal(Hd[l], 2)[:n - 2], z2])
+        D = diag64(l, 0, n)
+        U = jnp.concatenate([diag64(l, 1, n - 1), z1])
+        V = jnp.concatenate([diag64(l, 2, n - 2), z2])
         D1 = jnp.concatenate([D[1:], z1])
         U1 = jnp.concatenate([U[1:], z1])
         D2 = jnp.concatenate([D[2:], z2])
@@ -79,9 +90,9 @@ def _band_products_scaled(Hd, n):
         P2 = P2 * sc
         P3 = P3 * sc
         e = e + ex
-    d0 = jnp.diagonal(Hd[0])[:n]
-    u0 = jnp.concatenate([jnp.diagonal(Hd[0], 1)[:n - 1], z1])
-    s0 = jnp.concatenate([z1, jnp.diagonal(Hd[0], -1)[:n - 1]])
+    d0 = diag64(0, 0, n)
+    u0 = jnp.concatenate([diag64(0, 1, n - 1), z1])
+    s0 = jnp.concatenate([z1, diag64(0, -1, n - 1)])
     P1m = jnp.concatenate([jnp.ones((1,), f64), P1[:-1]])
     P2m = jnp.concatenate([z1, P2[:-1]])
     P3m = jnp.concatenate([z1, P3[:-1]])
@@ -277,9 +288,7 @@ def pqr_real_core_ff(
     def body(st):
         (H, ZT, wr, wi, i, l, its, itleft, jiter) = st
 
-        Hn = FF(H.hi[:, :n, :n], H.lo[:, :n, :n])
-        Hd = Hn.hi.astype(f64) + Hn.lo.astype(f64)
-        hdiag, hsub, hsup, bexp = _band_products_scaled(Hd, n)
+        hdiag, hsub, hsup, bexp = _band_products_scaled(H, n)
 
         # ---- deflation scan (f64, range-safe; mirrors ops/pqr_real) ---
         z64 = jnp.zeros((1,), f64)
