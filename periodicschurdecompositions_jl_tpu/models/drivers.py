@@ -106,18 +106,17 @@ def _pschur_complex_ff(A, S, orient, want_t, want_z, maxitfac,
                        chunk_iters=None):
     """Float-float split-complex pipeline: the CONTRACT-GRADE TPU path.
 
-    All-positive signatures reduce on-device via the ds split Householder
-    reduction (ops/pqz_complex_ff.phessenberg_core_cxff); mixed signatures
-    stage the Hessenberg-triangular reduction through the complex128 host
-    path (jnp.linalg.qr has no TPU complex support) and split the result
-    exactly into ds pairs.  The iteration runs host-chunked on-device in
-    float-float arithmetic (<=1e-12-grade backward error ON the chip;
-    see ops/pqz_complex_ff.py).
+    COMPLEX-FREE end to end: all-positive signatures reduce via the ds
+    split Householder reduction (ops/pqz_complex_ff.phessenberg_core_cxff),
+    mixed signatures via the ds split signed Hessenberg-triangular
+    reduction (phessenberg_signed_core_cxff) — no complex128 host staging.
+    The iteration runs host-chunked on-device in float-float arithmetic
+    (<=1e-12-grade backward error ON the chip; see ops/pqz_complex_ff.py).
     """
-    import jax as _jax
     import numpy as _np
     from ..ops import ff as _ff
     from ..ops.pqz_complex_ff import (phessenberg_core_cxff,
+                                      phessenberg_signed_core_cxff,
                                       pqz_complex_core_ff_chunked)
     p = A.shape[0]
     Anp = _np.asarray(A)
@@ -130,23 +129,11 @@ def _pschur_complex_ff(A, S, orient, want_t, want_z, maxitfac,
     ihi, ilo = _split4(Anp.imag)
     if all(S):
         out = phessenberg_core_cxff(rhi, rlo, ihi, ilo, want_q=want_z)
-        (Hrehi, Hrelo, Himhi, Himlo) = out[:4]
-        Z4 = out[4:] if want_z else None
     else:
-        cpu = _jax.devices("cpu")[0]
-        with _jax.default_device(cpu):
-            H, Q = phessenberg_signed_core(jnp.asarray(Anp), S,
+        out = phessenberg_signed_core_cxff(rhi, rlo, ihi, ilo, S,
                                            want_q=want_z)
-            Hn = _np.asarray(H)
-            Qn = _np.asarray(Q) if want_z else None
-        Hrehi, Hrelo = _split4(Hn.real)
-        Himhi, Himlo = _split4(Hn.imag)
-        if want_z:
-            qrh, qrl = _split4(Qn.real)
-            qih, qil = _split4(Qn.imag)
-            Z4 = (qrh, qrl, qih, qil)
-        else:
-            Z4 = None
+    (Hrehi, Hrelo, Himhi, Himlo) = out[:4]
+    Z4 = out[4:] if want_z else None
     out = pqz_complex_core_ff_chunked(
         Hrehi, Hrelo, Himhi, Himlo, S, Z4, want_z=want_z, want_t=want_t,
         maxitfac=maxitfac, chunk_iters=chunk_iters)

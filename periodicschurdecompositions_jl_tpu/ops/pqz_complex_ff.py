@@ -577,3 +577,232 @@ def pqz_complex_core_ff_chunked(
         *outs, state, done = out
         if bool(done) or cap >= maxit:
             return tuple(outs)
+
+
+# ---------------------------------------------------------------------------
+# ds split-complex SIGNED Hessenberg-triangular reduction (mixed signature)
+# — removes the complex128 host staging from the complex pipeline
+# (reference src/generalized.jl:988-1082 Kressner two-stage scheme)
+
+
+def _qr_cxff(A: CXF, Q: Optional[CXF] = None):
+    """Householder QR on a CXF matrix: returns (Q_acc, R).
+
+    ``Q`` (optional) is right-multiplied by the accumulated unitary
+    (Q <- Q @ Qf), so callers can fold the factor directly into their
+    unitary stack; when None a fresh identity accumulates Qf itself.
+    """
+    n = A.re.hi.shape[0]
+    if Q is None:
+        eye = jnp.eye(n, dtype=jnp.float32)
+        zf = jnp.zeros((n, n), jnp.float32)
+        Q = CXF(FF(eye, zf), FF(zf, zf))
+
+    def col(i, carry):
+        A, Q = carry
+        c = getcol_cxff(A, 0, i, n)
+        w, tau, beta = reflector_masked_cxff(c, i)
+        A2 = refl_left_cxff(A, w, conj(tau))
+        A2 = _fix_column_cxff(A2, i, beta, i + 1)
+        Q2 = refl_right_cxff(Q, w, tau)
+        return A2, Q2
+
+    A, Q = lax.fori_loop(0, n - 1, col, (A, Q))
+
+    def _triu2(X: FF) -> FF:
+        return FF(jnp.triu(X.hi), jnp.triu(X.lo))
+
+    return Q, CXF(_triu2(A.re), _triu2(A.im))
+
+
+def _flip_ud(X: CXF) -> CXF:
+    return CXF(FF(X.re.hi[::-1, :], X.re.lo[::-1, :]),
+               FF(X.im.hi[::-1, :], X.im.lo[::-1, :]))
+
+
+def _flip_lr(X: CXF) -> CXF:
+    return CXF(FF(X.re.hi[:, ::-1], X.re.lo[:, ::-1]),
+               FF(X.im.hi[:, ::-1], X.im.lo[:, ::-1]))
+
+
+def _ctrans(X: CXF) -> CXF:
+    return CXF(FF(X.re.hi.T, X.re.lo.T), FF(-X.im.hi.T, -X.im.lo.T))
+
+
+def _rq_cxff(A: CXF):
+    """RQ decomposition A = R @ Q via a flipped QR (see hessenberg._rq)."""
+    B = _ctrans(_flip_ud(A))             # B = A^H J
+    Q1, R1 = _qr_cxff(B)
+    R = _flip_lr(_flip_ud(_ctrans(R1)))  # J R1^H J
+    Q = _flip_ud(_ctrans(Q1))            # J Q1^H
+    return R, Q
+
+
+def _cmatmul(A: CXF, B: CXF) -> CXF:
+    """Dense CXF matmul via 4 ds matmuls (ff.dot rows x cols is O(n^3)
+    HLO; use the f64-emulated... no — keep ds exactness with mul+tree-sum
+    over the contraction axis)."""
+    # (n, k) @ (k, m): contract axis 1 of A with axis 0 of B
+    Ar = FF(A.re.hi[:, :, None], A.re.lo[:, :, None])
+    Ai = FF(A.im.hi[:, :, None], A.im.lo[:, :, None])
+    Br = FF(B.re.hi[None, :, :], B.re.lo[None, :, :])
+    Bi = FF(B.im.hi[None, :, :], B.im.lo[None, :, :])
+    re = ff.sum_(ff.sub(ff.mul(Ar, Br), ff.mul(Ai, Bi)), 1)
+    im = ff.sum_(ff.add(ff.mul(Ar, Bi), ff.mul(Ai, Br)), 1)
+    return CXF(re, im)
+
+
+@partial(jax.jit, static_argnames=("S", "want_q"))
+def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
+                                 S: Tuple[bool, ...], want_q: bool = True):
+    """ds split-complex generalized Hessenberg-triangular reduction.
+
+    Mirrors ops/hessenberg.phessenberg_signed_core (reference
+    src/generalized.jl:988-1179): stage 1 QR/RQ triangularization with
+    sign-dependent neighbor propagation, stage 2 Givens Hessenberg
+    reduction of factor 0 with per-factor re-triangularization — all in
+    complex float-float arithmetic, so the mixed-signature complex
+    pipeline no longer stages through the complex128 host path.
+
+    Returns (H 4-arrays, Q 4-arrays-or-Nones).
+    """
+    p, n, _ = Arehi.shape
+    assert S[0], "signature entry S[0] must be True"
+    A = CXF(FF(Arehi, Arelo), FF(Aimhi, Aimlo))
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (p, n, n))
+    zf = jnp.zeros((p, n, n), jnp.float32)
+    Q = CXF(FF(eye, zf), FF(zf, zf)) if want_q else None
+
+    def fset(X: CXF, j, M: CXF) -> CXF:
+        return at_set(X, j, M)
+
+    # ---- stage 1: QR / RQ triangularization -------------------------
+    for l in range(p - 1, 0, -1):
+        Al = _fget(A, l)
+        if S[l]:
+            Qf, R = _qr_cxff(Al)
+            A = fset(A, l, R)
+            if S[l - 1]:
+                A = fset(A, l - 1, _cmatmul(_fget(A, l - 1), Qf))
+            else:
+                A = fset(A, l - 1, _cmatmul(_ctrans(Qf), _fget(A, l - 1)))
+            if want_q:
+                Q = fset(Q, l, _cmatmul(_fget(Q, l), Qf))
+        else:
+            R, Qf = _rq_cxff(Al)
+            A = fset(A, l, R)
+            if S[l - 1]:
+                A = fset(A, l - 1, _cmatmul(_fget(A, l - 1), _ctrans(Qf)))
+            else:
+                A = fset(A, l - 1, _cmatmul(Qf, _fget(A, l - 1)))
+            if want_q:
+                Q = fset(Q, l, _cmatmul(_fget(Q, l), _ctrans(Qf)))
+
+    def _pack(A, Q):
+        def t0(x, k):
+            return jnp.concatenate(
+                [jnp.triu(x[:1], k)] + ([jnp.triu(x[1:])] if p > 1 else []),
+                axis=0)
+        H = CXF(FF(t0(A.re.hi, -1), t0(A.re.lo, -1)),
+                FF(t0(A.im.hi, -1), t0(A.im.lo, -1)))
+        out = (H.re.hi, H.re.lo, H.im.hi, H.im.lo)
+        if want_q:
+            return out + (Q.re.hi, Q.re.lo, Q.im.hi, Q.im.lo)
+        return out + (None, None, None, None)
+
+    if n <= 2:
+        return _pack(A, Q)
+
+    # ---- stage 2: Givens Hessenberg reduction of factor 0 -----------
+    zero_c = cxff.zeros(())
+
+    def col_step(j, carry):
+        A, Q = carry
+        Gc0 = ff.ff(jnp.ones((n,), jnp.float32))
+        Gs0 = cxff.zeros((n,))
+
+        def chain_desc(M: CXF, Gc: FF, Gs: CXF, lo_i) -> CXF:
+            def bd(t, M):
+                i = n - 1 - t
+                act = i >= lo_i
+                from .cxff import fvget, vget
+                return colsk_cxff(M, i - 1,
+                                  rmat_adj_cxff(fvget(Gc, i), vget(Gs, i)),
+                                  active=act)
+            return lax.fori_loop(0, n, bd, M)
+
+        from .cxff import fvget, fvset, vget, vset
+
+        def a_step(t, carry):
+            A0, Gc, Gs = carry
+            i = n - 1 - t
+            act = i >= j + 2
+            c, s, r = givens_cxff(getel_cxff(A0, i - 1, j),
+                                  getel_cxff(A0, i, j))
+            A0 = setel_cxff(A0, i - 1, j, r, active=act)
+            A0 = setel_cxff(A0, i, j, zero_c, active=act)
+            A0 = rowsk_cxff(A0, i - 1, lmat_cxff(c, s), lo=j + 1,
+                            active=act)
+            Gc = fvset(Gc, i, c, act)
+            Gs = vset(Gs, i, s, act)
+            return A0, Gc, Gs
+
+        A0, Gc, Gs = lax.fori_loop(0, n, a_step, (_fget(A, 0), Gc0, Gs0))
+        A = fset(A, 0, A0)
+        if want_q:
+            Q = fset(Q, 0, chain_desc(_fget(Q, 0), Gc, Gs, j + 2))
+
+        for l in range(p - 1, 0, -1):
+            if S[l]:
+                def b_step(t, carry, l=l):
+                    Al, Gc, Gs = carry
+                    i = n - 1 - t
+                    act = i >= j + 2
+                    Al = colsk_cxff(Al, i - 1,
+                                    rmat_adj_cxff(fvget(Gc, i),
+                                                  vget(Gs, i)),
+                                    hi=i + 1, active=act)
+                    c, s, r = givens_cxff(getel_cxff(Al, i - 1, i - 1),
+                                          getel_cxff(Al, i, i - 1))
+                    Al = setel_cxff(Al, i - 1, i - 1, r, active=act)
+                    Al = setel_cxff(Al, i, i - 1, zero_c, active=act)
+                    Al = rowsk_cxff(Al, i - 1, lmat_cxff(c, s), lo=i,
+                                    active=act)
+                    Gc = fvset(Gc, i, c, act)
+                    Gs = vset(Gs, i, s, act)
+                    return Al, Gc, Gs
+            else:
+                def b_step(t, carry, l=l):
+                    Al, Gc, Gs = carry
+                    i = n - 1 - t
+                    act = i >= j + 2
+                    Al = rowsk_cxff(Al, i - 1,
+                                    lmat_cxff(fvget(Gc, i), vget(Gs, i)),
+                                    lo=i - 1, active=act)
+                    c, s, r = givens_cxff(getel_cxff(Al, i, i),
+                                          getel_cxff(Al, i, i - 1))
+                    Al = setel_cxff(Al, i, i, r, active=act)
+                    Al = setel_cxff(Al, i, i - 1, zero_c, active=act)
+                    Al = colsk_cxff(Al, i - 1, lmat_cxff(c, s), hi=i,
+                                    active=act)
+                    Gc = fvset(Gc, i, c, act)
+                    Gs = vset(Gs, i, neg(s), act)
+                    return Al, Gc, Gs
+
+            Al, Gc, Gs = lax.fori_loop(0, n, b_step, (_fget(A, l), Gc, Gs))
+            A = fset(A, l, Al)
+            if want_q:
+                Q = fset(Q, l, chain_desc(_fget(Q, l), Gc, Gs, j + 2))
+
+        def c_step(t, A0):
+            i = n - 1 - t
+            act = i >= j + 2
+            return colsk_cxff(A0, i - 1,
+                              rmat_adj_cxff(fvget(Gc, i), vget(Gs, i)),
+                              active=act)
+
+        A = fset(A, 0, lax.fori_loop(0, n, c_step, _fget(A, 0)))
+        return A, Q
+
+    A, Q = lax.fori_loop(0, n - 2, col_step, (A, Q))
+    return _pack(A, Q)
