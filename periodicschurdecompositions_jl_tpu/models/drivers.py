@@ -113,6 +113,7 @@ def _pschur_complex_ff(A, S, orient, want_t, want_z, maxitfac,
     The iteration runs host-chunked on-device in float-float arithmetic
     (<=1e-12-grade backward error ON the chip; see ops/pqz_complex_ff.py).
     """
+    import jax as _jax
     import numpy as _np
     from ..ops import ff as _ff
     from ..ops.pqz_complex_ff import (phessenberg_core_cxff,

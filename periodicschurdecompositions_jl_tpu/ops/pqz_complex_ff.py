@@ -92,15 +92,28 @@ def phessenberg_core_cxff(Arehi, Arelo, Aimhi, Aimlo, want_q: bool = True):
 
     def column_step(i, carry):
         A, Q = carry
-        for j in range(p - 1, 0, -1):
-            col = getcol_cxff(_fget(A, j), 0, i, n)
+
+        # factor loop as fori with dynamic access: the python-unrolled
+        # version blows the XLA:TPU graph up p-fold (remote compiler dies
+        # at p >= ~6)
+        def fac_step(t, AQ):
+            A, Q = AQ
+            j = jnp.int32(p - 1) - t
+            Aj = cxff.fac_get(A, j)
+            col = getcol_cxff(Aj, 0, i, n)
             w, tau, beta = reflector_masked_cxff(col, i)
-            Aj = refl_left_cxff(_fget(A, j), w, conj(tau))
+            Aj = refl_left_cxff(Aj, w, conj(tau))
             Aj = _fix_column_cxff(Aj, i, beta, i + 1)
-            A = fset(A, j, Aj)
-            A = fset(A, j - 1, refl_right_cxff(_fget(A, j - 1), w, tau))
+            A = cxff.fac_set(A, j, Aj)
+            A = cxff.fac_set(
+                A, j - 1, refl_right_cxff(cxff.fac_get(A, j - 1), w, tau))
             if want_q:
-                Q = fset(Q, j, refl_right_cxff(_fget(Q, j), w, tau))
+                Q = cxff.fac_set(
+                    Q, j, refl_right_cxff(cxff.fac_get(Q, j), w, tau))
+            return A, Q
+
+        if p > 1:
+            A, Q = lax.fori_loop(0, p - 1, fac_step, (A, Q))
         col = getcol_cxff(_fget(A, 0), 0, i, n)
         w, tau, beta = reflector_masked_cxff(col, i + 1)
         A0 = refl_left_cxff(_fget(A, 0), w, conj(tau))
@@ -211,6 +224,13 @@ def pqz_complex_core_ff(
             return Z
         return at_set(Z, l, colsk_cxff(_fget(Z, l), k, M, active=active))
 
+    def zup_dyn(Z, l, k, M: CXF, active=None):
+        if not want_z:
+            return Z
+        Zl = cxff.fac_get(Z, l)
+        Zl = colsk_cxff(Zl, k, M, active=active)
+        return cxff.fac_set(Z, l, Zl)
+
     # ------------------------------------------------------------------
     def act_split(st, info):
         H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
@@ -245,18 +265,36 @@ def pqz_complex_core_ff(
         iiter = iiter + 1
         ziter = ziter + 1
 
+        # shift rotation: fori + sign-cond with dynamic factor access (the
+        # python-unrolled loops of the split core blow the XLA:TPU graph
+        # up p-fold; the remote compiler dies on it at p >= ~6)
         one_c = cxff.cxf(jnp.float32(1.0))
         c, s, _ = givens_cxff(one_c, one_c)
-        for l in range(p - 1, 0, -1):
-            Hl = _fget(H, l)
+        S_arr = jnp.asarray(S)
+
+        def shift_fac(t, cs):
+            c, s = cs
+            l = jnp.int32(p - 1) - t
+            Hl = cxff.fac_get(H, l)
             hf = getel_cxff(Hl, ifirst, ifirst)
             hl = getel_cxff(Hl, ilast, ilast)
-            if S[l]:
-                c, s, _ = givens_cxff(cxff.mul_ff(hf, c), mul(hl, conj(s)))
-            else:
-                c, s, _ = givens_cxff(cxff.mul_ff(hl, c),
-                                      neg(mul(hf, conj(s))))
-                s = neg(s)
+
+            def pos(cs):
+                c, s = cs
+                c2, s2, _ = givens_cxff(cxff.mul_ff(hf, c),
+                                        mul(hl, conj(s)))
+                return c2, s2
+
+            def neg_(cs):
+                c, s = cs
+                c2, s2, _ = givens_cxff(cxff.mul_ff(hl, c),
+                                        neg(mul(hf, conj(s))))
+                return c2, neg(s2)
+
+            return lax.cond(S_arr[l], pos, neg_, (c, s))
+
+        if p > 1:
+            c, s = lax.fori_loop(0, p - 1, shift_fac, (c, s))
         H0 = _fget(H, 0)
         h0f = getel_cxff(H0, ifirst, ifirst)
         h0l = getel_cxff(H0, ilast, ilast)
@@ -300,9 +338,14 @@ def pqz_complex_core_ff(
                             active=act)
             H = at_set(H, 0, H0)
             Z = zup(Z, 0, k, rmat_adj_cxff(c, s), active=act)
-            for l in range(p - 1, 0, -1):
-                Hl = _fget(H, l)
-                if S[l]:
+
+            def fac_body(t, carry):
+                H, Z, c, s = carry
+                l = jnp.int32(p - 1) - t
+                Hl = cxff.fac_get(H, l)
+
+                def pos(args):
+                    Hl, c, s = args
                     Hl = colsk_cxff(Hl, k, rmat_adj_cxff(c, s), lo=clo,
                                     hi=k + 2, active=act)
                     fg = getcol_cxff(Hl, k, k, 2)
@@ -319,7 +362,10 @@ def pqz_complex_core_ff(
                                jnp.stack([r.im.lo, zf32]))), active=act)
                     Hl = rowsk_cxff(Hl, k, lmat_cxff(cn, sn), lo=k + 1,
                                     hi=rhi, active=act)
-                else:
+                    return Hl, cn, sn
+
+                def neg_(args):
+                    Hl, c, s = args
                     Hl = rowsk_cxff(Hl, k, lmat_cxff(c, s), lo=k, hi=rhi,
                                     active=act)
                     fg = getrow_cxff(Hl, k + 1, k, 2)
@@ -336,11 +382,18 @@ def pqz_complex_core_ff(
                                jnp.stack([zf32, r.im.lo]))), active=act)
                     Hl = colsk_cxff(Hl, k, lmat_cxff(cn, sn), lo=clo,
                                     hi=k + 1, active=act)
-                    sn = neg(sn)
-                H = at_set(H, l, Hl)
+                    return Hl, cn, neg(sn)
+
+                Hl, cn, sn = lax.cond(S_arr[l], pos, neg_, (Hl, c, s))
+                H = cxff.fac_set(H, l, Hl)
                 c = ff.where(act, cn, c)
                 s = where(act, sn, s)
-                Z = zup(Z, l, k, rmat_adj_cxff(c, s), active=act)
+                Z = zup_dyn(Z, l, k, rmat_adj_cxff(c, s), active=act)
+                return H, Z, c, s
+
+            if p > 1:
+                H, Z, c, s = lax.fori_loop(0, p - 1, fac_body,
+                                           (H, Z, c, s))
             H0 = colsk_cxff(_fget(H, 0), k, rmat_adj_cxff(c, s), lo=clo,
                             hi=jnp.minimum(k + 3, n), active=act)
             H = at_set(H, 0, H0)
@@ -399,7 +452,12 @@ def pqz_complex_core_ff(
         toltr = jnp.where(
             iv[None, :] == ilast, supm1,
             jnp.where(iv[None, :] == jlo, sup, supm1 + sup))
-        toltr = jnp.maximum(jnp.float32(ulp) * toltr, jnp.float32(smlnum))
+        # 4x ulp: ds-REDUCED factors carry ~1-2 ulp_ds of junk in exactly
+        # singular diagonals (measured 1.2 ulp at a planted zero), so the
+        # 1-ulp threshold of the exact-f64 core (reference
+        # src/generalized.jl:323-353) would marginally miss them here
+        toltr = jnp.maximum(jnp.float32(4 * ulp) * toltr,
+                            jnp.float32(smlnum))
         lv = jnp.arange(p, dtype=jnp.int32)
         negtr = (dl <= toltr) & (iv[None, :] >= jlo) & \
             (iv[None, :] <= ilast) & (lv[:, None] >= 1)
@@ -457,11 +515,24 @@ def pqz_complex_core_ff(
             FF(jnp.triu(H.im.hi), jnp.triu(H.im.lo)))
 
     # postprocess: real-nonneg triangular diagonals, phases into Z/neighbor
-    # (reference src/generalized.jl:860-908) — ds throughout
+    # (reference src/generalized.jl:860-908) — ds throughout; fori + sign-
+    # cond keeps the XLA graph p-independent
     safmin = unfl
-    for l in range(p - 1, 0, -1):
-        dg = CXF(FF(jnp.diagonal(H.re.hi[l]), jnp.diagonal(H.re.lo[l])),
-                 FF(jnp.diagonal(H.im.hi[l]), jnp.diagonal(H.im.lo[l])))
+    S_arr2 = jnp.asarray(S)
+
+    def cmul_bc(X: CXF, ph: CXF, col: bool) -> CXF:
+        ax = (slice(None), None) if not col else (None, slice(None))
+        pr = FF(ph.re.hi[ax], ph.re.lo[ax])
+        pi = FF(ph.im.hi[ax], ph.im.lo[ax])
+        return CXF(ff.sub(ff.mul(pr, X.re), ff.mul(pi, X.im)),
+                   ff.add(ff.mul(pr, X.im), ff.mul(pi, X.re)))
+
+    def post_body(t, HZ):
+        H, Z = HZ
+        l = jnp.int32(p - 1) - t
+        Hl = cxff.fac_get(H, l)
+        dg = CXF(FF(jnp.diagonal(Hl.re.hi), jnp.diagonal(Hl.re.lo)),
+                 FF(jnp.diagonal(Hl.im.hi), jnp.diagonal(Hl.im.lo)))
         absd = cxff.cabs(dg)
         big = absd.hi > safmin
         safe = ff.where(ff.eq0(absd), ff.full_like(absd, 1.0), absd)
@@ -470,41 +541,30 @@ def pqz_complex_core_ff(
                     CXF(ff.ff(jnp.ones_like(absd.hi)),
                         ff.zeros(absd.hi.shape)))
         newdiag = where(big, CXF(absd, ff.zeros(absd.hi.shape)), dg)
-        Hl = _fget(H, l)
-        n_ = Hl.re.hi.shape[0]
-
-        def cmul_bc(X: CXF, ph: CXF, col: bool) -> CXF:
-            ax = (slice(None), None) if not col else (None, slice(None))
-            pr = FF(ph.re.hi[ax], ph.re.lo[ax])
-            pi = FF(ph.im.hi[ax], ph.im.lo[ax])
-            return CXF(ff.sub(ff.mul(pr, X.re), ff.mul(pi, X.im)),
-                       ff.add(ff.mul(pr, X.im), ff.mul(pi, X.re)))
-
-        if S[l]:
-            Hl = cmul_bc(Hl, zph, col=False)
-            sf = zph
-        else:
-            Hl = cmul_bc(Hl, zph, col=True)
-            sf = conj(zph)
-        rr = lax.broadcasted_iota(jnp.int32, (n_, n_), 0)
-        cc = lax.broadcasted_iota(jnp.int32, (n_, n_), 1)
-        dmask = rr == cc
-        Hl = where(dmask,
+        sl = S_arr2[jnp.clip(l, 0, p - 1)]
+        Hl = where(sl, cmul_bc(Hl, zph, col=False),
+                   cmul_bc(Hl, zph, col=True))
+        sf = where(sl, zph, conj(zph))
+        rr = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cc = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        Hl = where(rr == cc,
                    CXF(FF(jnp.diag(newdiag.re.hi), jnp.diag(newdiag.re.lo)),
                        FF(jnp.diag(newdiag.im.hi), jnp.diag(newdiag.im.lo))),
                    Hl)
-        H = at_set(H, l, Hl)
+        H = cxff.fac_set(H, l, Hl)
         if want_z:
-            sfc = conj(sf)
-            Zl = cmul_bc(_fget(Z, l), sfc, col=True)
-            Z = at_set(Z, l, Zl)
+            Zl = cmul_bc(cxff.fac_get(Z, l), conj(sf), col=True)
+            Z = cxff.fac_set(Z, l, Zl)
         lm = l - 1
-        Hm = _fget(H, lm)
-        if S[lm]:
-            Hm = cmul_bc(Hm, conj(sf), col=True)
-        else:
-            Hm = cmul_bc(Hm, sf, col=False)
-        H = at_set(H, lm, Hm)
+        Hm = cxff.fac_get(H, lm)
+        sm = S_arr2[jnp.clip(lm, 0, p - 1)]
+        Hm = where(sm, cmul_bc(Hm, conj(sf), col=True),
+                   cmul_bc(Hm, sf, col=False))
+        H = cxff.fac_set(H, lm, Hm)
+        return H, Z
+
+    if p > 1:
+        H, Z = lax.fori_loop(0, p - 1, post_body, (H, Z))
 
     zout = (Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo) if want_z else (None,) * 4
     out = (H.re.hi, H.re.lo, H.im.hi, H.im.lo) + zout + (alr, ali, be, sc,
@@ -677,26 +737,50 @@ def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
         return at_set(X, j, M)
 
     # ---- stage 1: QR / RQ triangularization -------------------------
-    for l in range(p - 1, 0, -1):
-        Al = _fget(A, l)
-        if S[l]:
+    # fori + cond with dynamic factor access (not python-unrolled: the
+    # per-factor QR graph is large and the remote TPU compiler dies on
+    # the p-fold unrolled version at p >= ~6)
+    S_arr = jnp.asarray(S)
+
+    def stage1(t, AQ):
+        A, Q = AQ
+        l = jnp.int32(p - 1) - t
+        lm = jnp.clip(l - 1, 0, p - 1)
+        Al = cxff.fac_get(A, l)
+
+        def qr_branch(args):
+            A, Q, Al = args
             Qf, R = _qr_cxff(Al)
-            A = fset(A, l, R)
-            if S[l - 1]:
-                A = fset(A, l - 1, _cmatmul(_fget(A, l - 1), Qf))
-            else:
-                A = fset(A, l - 1, _cmatmul(_ctrans(Qf), _fget(A, l - 1)))
+            A = cxff.fac_set(A, l, R)
+            Am = cxff.fac_get(A, lm)
+            Am = lax.cond(S_arr[lm],
+                          lambda x: _cmatmul(x, Qf),
+                          lambda x: _cmatmul(_ctrans(Qf), x), Am)
+            A = cxff.fac_set(A, lm, Am)
             if want_q:
-                Q = fset(Q, l, _cmatmul(_fget(Q, l), Qf))
-        else:
+                Q = cxff.fac_set(Q, l,
+                                 _cmatmul(cxff.fac_get(Q, l), Qf))
+            return A, Q
+
+        def rq_branch(args):
+            A, Q, Al = args
             R, Qf = _rq_cxff(Al)
-            A = fset(A, l, R)
-            if S[l - 1]:
-                A = fset(A, l - 1, _cmatmul(_fget(A, l - 1), _ctrans(Qf)))
-            else:
-                A = fset(A, l - 1, _cmatmul(Qf, _fget(A, l - 1)))
+            A = cxff.fac_set(A, l, R)
+            Am = cxff.fac_get(A, lm)
+            Am = lax.cond(S_arr[lm],
+                          lambda x: _cmatmul(x, _ctrans(Qf)),
+                          lambda x: _cmatmul(Qf, x), Am)
+            A = cxff.fac_set(A, lm, Am)
             if want_q:
-                Q = fset(Q, l, _cmatmul(_fget(Q, l), _ctrans(Qf)))
+                Q = cxff.fac_set(Q, l,
+                                 _cmatmul(cxff.fac_get(Q, l), _ctrans(Qf)))
+            return A, Q
+
+        return lax.cond(S_arr[jnp.clip(l, 0, p - 1)], qr_branch, rq_branch,
+                        (A, Q, Al))
+
+    if p > 1:
+        A, Q = lax.fori_loop(0, p - 1, stage1, (A, Q))
 
     def _pack(A, Q):
         def t0(x, k):
@@ -752,47 +836,58 @@ def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
         if want_q:
             Q = fset(Q, 0, chain_desc(_fget(Q, 0), Gc, Gs, j + 2))
 
-        for l in range(p - 1, 0, -1):
-            if S[l]:
-                def b_step(t, carry, l=l):
-                    Al, Gc, Gs = carry
-                    i = n - 1 - t
-                    act = i >= j + 2
-                    Al = colsk_cxff(Al, i - 1,
-                                    rmat_adj_cxff(fvget(Gc, i),
-                                                  vget(Gs, i)),
-                                    hi=i + 1, active=act)
-                    c, s, r = givens_cxff(getel_cxff(Al, i - 1, i - 1),
-                                          getel_cxff(Al, i, i - 1))
-                    Al = setel_cxff(Al, i - 1, i - 1, r, active=act)
-                    Al = setel_cxff(Al, i, i - 1, zero_c, active=act)
-                    Al = rowsk_cxff(Al, i - 1, lmat_cxff(c, s), lo=i,
-                                    active=act)
-                    Gc = fvset(Gc, i, c, act)
-                    Gs = vset(Gs, i, s, act)
-                    return Al, Gc, Gs
-            else:
-                def b_step(t, carry, l=l):
-                    Al, Gc, Gs = carry
-                    i = n - 1 - t
-                    act = i >= j + 2
-                    Al = rowsk_cxff(Al, i - 1,
-                                    lmat_cxff(fvget(Gc, i), vget(Gs, i)),
-                                    lo=i - 1, active=act)
-                    c, s, r = givens_cxff(getel_cxff(Al, i, i),
-                                          getel_cxff(Al, i, i - 1))
-                    Al = setel_cxff(Al, i, i, r, active=act)
-                    Al = setel_cxff(Al, i, i - 1, zero_c, active=act)
-                    Al = colsk_cxff(Al, i - 1, lmat_cxff(c, s), hi=i,
-                                    active=act)
-                    Gc = fvset(Gc, i, c, act)
-                    Gs = vset(Gs, i, neg(s), act)
-                    return Al, Gc, Gs
+        def b_outer(t0, carry):
+            A, Q, Gc, Gs = carry
+            l = jnp.int32(p - 1) - t0
 
-            Al, Gc, Gs = lax.fori_loop(0, n, b_step, (_fget(A, l), Gc, Gs))
-            A = fset(A, l, Al)
+            def b_pos(t, carry):
+                Al, Gc, Gs = carry
+                i = n - 1 - t
+                act = i >= j + 2
+                Al = colsk_cxff(Al, i - 1,
+                                rmat_adj_cxff(fvget(Gc, i),
+                                              vget(Gs, i)),
+                                hi=i + 1, active=act)
+                c, s, r = givens_cxff(getel_cxff(Al, i - 1, i - 1),
+                                      getel_cxff(Al, i, i - 1))
+                Al = setel_cxff(Al, i - 1, i - 1, r, active=act)
+                Al = setel_cxff(Al, i, i - 1, zero_c, active=act)
+                Al = rowsk_cxff(Al, i - 1, lmat_cxff(c, s), lo=i,
+                                active=act)
+                Gc = fvset(Gc, i, c, act)
+                Gs = vset(Gs, i, s, act)
+                return Al, Gc, Gs
+
+            def b_neg(t, carry):
+                Al, Gc, Gs = carry
+                i = n - 1 - t
+                act = i >= j + 2
+                Al = rowsk_cxff(Al, i - 1,
+                                lmat_cxff(fvget(Gc, i), vget(Gs, i)),
+                                lo=i - 1, active=act)
+                c, s, r = givens_cxff(getel_cxff(Al, i, i),
+                                      getel_cxff(Al, i, i - 1))
+                Al = setel_cxff(Al, i, i, r, active=act)
+                Al = setel_cxff(Al, i, i - 1, zero_c, active=act)
+                Al = colsk_cxff(Al, i - 1, lmat_cxff(c, s), hi=i,
+                                active=act)
+                Gc = fvset(Gc, i, c, act)
+                Gs = vset(Gs, i, neg(s), act)
+                return Al, Gc, Gs
+
+            Al, Gc, Gs = lax.cond(
+                S_arr[jnp.clip(l, 0, p - 1)],
+                lambda a: lax.fori_loop(0, n, b_pos, a),
+                lambda a: lax.fori_loop(0, n, b_neg, a),
+                (cxff.fac_get(A, l), Gc, Gs))
+            A = cxff.fac_set(A, l, Al)
             if want_q:
-                Q = fset(Q, l, chain_desc(_fget(Q, l), Gc, Gs, j + 2))
+                Q = cxff.fac_set(
+                    Q, l, chain_desc(cxff.fac_get(Q, l), Gc, Gs, j + 2))
+            return A, Q, Gc, Gs
+
+        if p > 1:
+            A, Q, Gc, Gs = lax.fori_loop(0, p - 1, b_outer, (A, Q, Gc, Gs))
 
         def c_step(t, A0):
             i = n - 1 - t

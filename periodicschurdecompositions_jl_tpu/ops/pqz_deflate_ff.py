@@ -90,47 +90,56 @@ def make_deflate_cores_ff(*, p, n, S, want_z, ulp, smlnum):
             Z = fac_set(Z, 0, chain_right_static(fac_get(Z, 0), Gc, Gs,
                                                  jlo, jdef - 1))
 
-        for l in range(p - 1, 0, -1):
+        def outer1(t, carry):
+            H, Z, Gc, Gs = carry
+            l = jnp.int32(p - 1) - t
             ntra = jnp.where(l < ldef, jdef - 2, jdef - 1)
-            if S[l]:
-                def b1(k, carry, l=l, ntra=ntra):
-                    Hl, Gc, Gs = carry
-                    act = (k >= jlo) & (k <= ntra)
-                    Hl = colsk_cxff(Hl, k,
-                                    rmat_adj_cxff(fvget(Gc, k), vget(Gs, k)),
-                                    hi=k + 2, active=act)
-                    c, s, r = givens_cxff(getel_cxff(Hl, k, k),
-                                          getel_cxff(Hl, k + 1, k))
-                    Hl = setel_cxff(Hl, k, k, r, active=act)
-                    Hl = setel_cxff(Hl, k + 1, k, zero_c, active=act)
-                    Hl = rowsk_cxff(Hl, k, lmat_cxff(c, s), lo=k + 1,
-                                    active=act)
-                    Gc = fvset(Gc, k, c, act)
-                    Gs = vset(Gs, k, s, act)
-                    return Hl, Gc, Gs
-            else:
-                def b1(k, carry, l=l, ntra=ntra):
-                    Hl, Gc, Gs = carry
-                    act = (k >= jlo) & (k <= ntra)
-                    Hl = rowsk_cxff(Hl, k,
-                                    lmat_cxff(fvget(Gc, k), vget(Gs, k)),
-                                    lo=k, active=act)
-                    c, s, r = givens_cxff(getel_cxff(Hl, k + 1, k + 1),
-                                          getel_cxff(Hl, k + 1, k))
-                    Hl = setel_cxff(Hl, k + 1, k + 1, r, active=act)
-                    Hl = setel_cxff(Hl, k + 1, k, zero_c, active=act)
-                    Hl = colsk_cxff(Hl, k, lmat_cxff(c, s), hi=k + 1,
-                                    active=act)
-                    Gc = fvset(Gc, k, c, act)
-                    Gs = vset(Gs, k, neg(s), act)
-                    return Hl, Gc, Gs
 
-            Hl, Gc, Gs = lax.fori_loop(0, n - 1, b1,
-                                       (fac_get(H, l), Gc, Gs))
+            def b1_pos(k, carry):
+                Hl, Gc, Gs = carry
+                act = (k >= jlo) & (k <= ntra)
+                Hl = colsk_cxff(Hl, k,
+                                rmat_adj_cxff(fvget(Gc, k), vget(Gs, k)),
+                                hi=k + 2, active=act)
+                c, s, r = givens_cxff(getel_cxff(Hl, k, k),
+                                      getel_cxff(Hl, k + 1, k))
+                Hl = setel_cxff(Hl, k, k, r, active=act)
+                Hl = setel_cxff(Hl, k + 1, k, zero_c, active=act)
+                Hl = rowsk_cxff(Hl, k, lmat_cxff(c, s), lo=k + 1,
+                                active=act)
+                Gc = fvset(Gc, k, c, act)
+                Gs = vset(Gs, k, s, act)
+                return Hl, Gc, Gs
+
+            def b1_neg(k, carry):
+                Hl, Gc, Gs = carry
+                act = (k >= jlo) & (k <= ntra)
+                Hl = rowsk_cxff(Hl, k,
+                                lmat_cxff(fvget(Gc, k), vget(Gs, k)),
+                                lo=k, active=act)
+                c, s, r = givens_cxff(getel_cxff(Hl, k + 1, k + 1),
+                                      getel_cxff(Hl, k + 1, k))
+                Hl = setel_cxff(Hl, k + 1, k + 1, r, active=act)
+                Hl = setel_cxff(Hl, k + 1, k, zero_c, active=act)
+                Hl = colsk_cxff(Hl, k, lmat_cxff(c, s), hi=k + 1,
+                                active=act)
+                Gc = fvset(Gc, k, c, act)
+                Gs = vset(Gs, k, neg(s), act)
+                return Hl, Gc, Gs
+
+            Hl, Gc, Gs = lax.cond(
+                S_arr[jnp.clip(l, 0, p - 1)],
+                lambda a: lax.fori_loop(0, n - 1, b1_pos, a),
+                lambda a: lax.fori_loop(0, n - 1, b1_neg, a),
+                (fac_get(H, l), Gc, Gs))
             H = fac_set(H, l, Hl)
             if want_z:
                 Z = fac_set(Z, l, chain_right_static(fac_get(Z, l), Gc, Gs,
                                                      jlo, ntra))
+            return H, Z, Gc, Gs
+
+        if p > 1:
+            H, Z, Gc, Gs = lax.fori_loop(0, p - 1, outer1, (H, Z, Gc, Gs))
 
         def c1(k, H0):
             act = (k >= jlo) & (k <= jdef - 2)
@@ -164,51 +173,62 @@ def make_deflate_cores_ff(*, p, n, S, want_z, ulp, smlnum):
                                                    G2c, G2s,
                                                    jdef + 1, ilast))
 
-        for l in range(1, p):
+        def outer2(t0, carry):
+            H, Z, G2c, G2s = carry
+            l = jnp.int32(1) + t0
             ntra = jnp.where(l > ldef, jdef + 2, jdef + 1)
-            if not S[l]:
-                def b2(t, carry, l=l, ntra=ntra):
-                    Hl, G2c, G2s = carry
-                    j = ilast - t
-                    act = j >= ntra
-                    Hl = colsk_cxff(Hl, j - 1,
-                                    rmat_adj_cxff(fvget(G2c, j),
-                                                  vget(G2s, j)),
-                                    hi=j + 1, active=act)
-                    c, s, r = givens_cxff(getel_cxff(Hl, j - 1, j - 1),
-                                          getel_cxff(Hl, j, j - 1))
-                    Hl = setel_cxff(Hl, j - 1, j - 1, r, active=act)
-                    Hl = setel_cxff(Hl, j, j - 1, zero_c, active=act)
-                    Hl = rowsk_cxff(Hl, j - 1, lmat_cxff(c, s), lo=j,
-                                    active=act)
-                    G2c = fvset(G2c, j, c, act)
-                    G2s = vset(G2s, j, s, act)
-                    return Hl, G2c, G2s
-            else:
-                def b2(t, carry, l=l, ntra=ntra):
-                    Hl, G2c, G2s = carry
-                    j = ilast - t
-                    act = j >= ntra
-                    Hl = rowsk_cxff(Hl, j - 1,
-                                    lmat_cxff(fvget(G2c, j), vget(G2s, j)),
-                                    lo=j - 1, active=act)
-                    c, s, r = givens_cxff(getel_cxff(Hl, j, j),
-                                          getel_cxff(Hl, j, j - 1))
-                    Hl = setel_cxff(Hl, j, j, r, active=act)
-                    Hl = setel_cxff(Hl, j, j - 1, zero_c, active=act)
-                    Hl = colsk_cxff(Hl, j - 1, lmat_cxff(c, s), hi=j,
-                                    active=act)
-                    G2c = fvset(G2c, j, c, act)
-                    G2s = vset(G2s, j, neg(s), act)
-                    return Hl, G2c, G2s
 
-            Hl, G2c, G2s = lax.fori_loop(0, n, b2,
-                                         (fac_get(H, l), G2c, G2s))
+            def b2_neg(t, carry):
+                Hl, G2c, G2s = carry
+                j = ilast - t
+                act = j >= ntra
+                Hl = colsk_cxff(Hl, j - 1,
+                                rmat_adj_cxff(fvget(G2c, j),
+                                              vget(G2s, j)),
+                                hi=j + 1, active=act)
+                c, s, r = givens_cxff(getel_cxff(Hl, j - 1, j - 1),
+                                      getel_cxff(Hl, j, j - 1))
+                Hl = setel_cxff(Hl, j - 1, j - 1, r, active=act)
+                Hl = setel_cxff(Hl, j, j - 1, zero_c, active=act)
+                Hl = rowsk_cxff(Hl, j - 1, lmat_cxff(c, s), lo=j,
+                                active=act)
+                G2c = fvset(G2c, j, c, act)
+                G2s = vset(G2s, j, s, act)
+                return Hl, G2c, G2s
+
+            def b2_pos(t, carry):
+                Hl, G2c, G2s = carry
+                j = ilast - t
+                act = j >= ntra
+                Hl = rowsk_cxff(Hl, j - 1,
+                                lmat_cxff(fvget(G2c, j), vget(G2s, j)),
+                                lo=j - 1, active=act)
+                c, s, r = givens_cxff(getel_cxff(Hl, j, j),
+                                      getel_cxff(Hl, j, j - 1))
+                Hl = setel_cxff(Hl, j, j, r, active=act)
+                Hl = setel_cxff(Hl, j, j - 1, zero_c, active=act)
+                Hl = colsk_cxff(Hl, j - 1, lmat_cxff(c, s), hi=j,
+                                active=act)
+                G2c = fvset(G2c, j, c, act)
+                G2s = vset(G2s, j, neg(s), act)
+                return Hl, G2c, G2s
+
+            Hl, G2c, G2s = lax.cond(
+                S_arr[jnp.clip(l, 0, p - 1)],
+                lambda a: lax.fori_loop(0, n, b2_pos, a),
+                lambda a: lax.fori_loop(0, n, b2_neg, a),
+                (fac_get(H, l), G2c, G2s))
             H = fac_set(H, l, Hl)
             if want_z:
-                Z = fac_set(Z, (l + 1) % p,
-                            chain_right_desc(fac_get(Z, (l + 1) % p),
+                ln = jnp.where(l + 1 >= p, 0, l + 1)
+                Z = fac_set(Z, ln,
+                            chain_right_desc(fac_get(Z, ln),
                                              G2c, G2s, ntra, ilast))
+            return H, Z, G2c, G2s
+
+        if p > 1:
+            H, Z, G2c, G2s = lax.fori_loop(0, p - 1, outer2,
+                                           (H, Z, G2c, G2s))
 
         def c2(t, H0):
             j = ilast - t
@@ -343,13 +363,18 @@ def make_deflate_cores_ff(*, p, n, S, want_z, ulp, smlnum):
             H = fac_set(H, 0, H0)
             c2, s2 = c, neg(s)
             Z = zup(Z, 1 % p, j - 1, c2, s2)
-            for l in range(1, p):
+
+            def tail_dn(t0, carry):
+                H, Z, c2, s2 = carry
+                l = jnp.int32(1) + t0
                 act = l < ldef
 
-                def run2(HZcs, l=l):
+                def run2(HZcs):
                     H, Z, c2, s2 = HZcs
-                    Hl = fac_get(H, jnp.int32(l))
-                    if not S[l]:
+                    Hl = fac_get(H, l)
+
+                    def sneg(args):
+                        Hl, c2, s2 = args
                         Hl = colsk_cxff(Hl, j - 1, rmat_adj_cxff(c2, s2),
                                         hi=j + 1)
                         cn, sn, r = givens_cxff(
@@ -358,8 +383,10 @@ def make_deflate_cores_ff(*, p, n, S, want_z, ulp, smlnum):
                         Hl = setel_cxff(Hl, j - 1, j - 1, r)
                         Hl = setel_cxff(Hl, j, j - 1, zero_c)
                         Hl = rowsk_cxff(Hl, j - 1, lmat_cxff(cn, sn), lo=j)
-                        cf, sf = cn, sn
-                    else:
+                        return Hl, cn, sn
+
+                    def spos(args):
+                        Hl, c2, s2 = args
                         Hl = rowsk_cxff(Hl, j - 1, lmat_cxff(c2, s2),
                                         lo=j - 1)
                         cn, sn, r = givens_cxff(getel_cxff(Hl, j, j),
@@ -367,13 +394,20 @@ def make_deflate_cores_ff(*, p, n, S, want_z, ulp, smlnum):
                         Hl = setel_cxff(Hl, j, j, r)
                         Hl = setel_cxff(Hl, j, j - 1, zero_c)
                         Hl = colsk_cxff(Hl, j - 1, lmat_cxff(cn, sn), hi=j)
-                        cf, sf = cn, neg(sn)
-                    H = fac_set(H, jnp.int32(l), Hl)
-                    Z = zup(Z, (l + 1) % p, j - 1, cf, sf)
+                        return Hl, cn, neg(sn)
+
+                    Hl, cf, sf = lax.cond(S_arr[jnp.clip(l, 0, p - 1)],
+                                          spos, sneg, (Hl, c2, s2))
+                    H = fac_set(H, l, Hl)
+                    ln = jnp.where(l + 1 >= p, 0, l + 1)
+                    Z = zup_dyn(Z, ln, j - 1, cf, sf)
                     return H, Z, cf, sf
 
-                H, Z, c2, s2 = lax.cond(act, run2, lambda x: x,
-                                        (H, Z, c2, s2))
+                return lax.cond(act, run2, lambda x: x, (H, Z, c2, s2))
+
+            if p > 1:
+                H, Z, c2, s2 = lax.fori_loop(0, p - 1, tail_dn,
+                                             (H, Z, c2, s2))
             Hl = fac_get(H, ldef)
             Hl = colsk_cxff(Hl, j - 1, rmat_adj_cxff(c2, s2), hi=j + 1)
             H = fac_set(H, ldef, Hl)
@@ -434,13 +468,18 @@ def make_deflate_cores_ff(*, p, n, S, want_z, ulp, smlnum):
             H = fac_set(H, 0, H0)
             c2, s2 = c, s
             Z = zup(Z, 0, j, c2, s2)
-            for l in range(p - 1, 0, -1):
+
+            def tail_up(t0, carry):
+                H, Z, c2, s2 = carry
+                l = jnp.int32(p - 1) - t0
                 act = l > ldef
 
-                def run2(HZcs, l=l):
+                def run2(HZcs):
                     H, Z, c2, s2 = HZcs
-                    Hl = fac_get(H, jnp.int32(l))
-                    if S[l]:
+                    Hl = fac_get(H, l)
+
+                    def spos(args):
+                        Hl, c2, s2 = args
                         Hl = colsk_cxff(Hl, j, rmat_adj_cxff(c2, s2),
                                         hi=j + 2)
                         cn, sn, r = givens_cxff(getel_cxff(Hl, j, j),
@@ -448,8 +487,10 @@ def make_deflate_cores_ff(*, p, n, S, want_z, ulp, smlnum):
                         Hl = setel_cxff(Hl, j, j, r)
                         Hl = setel_cxff(Hl, j + 1, j, zero_c)
                         Hl = rowsk_cxff(Hl, j, lmat_cxff(cn, sn), lo=j + 1)
-                        cf, sf = cn, sn
-                    else:
+                        return Hl, cn, sn
+
+                    def sneg(args):
+                        Hl, c2, s2 = args
                         Hl = rowsk_cxff(Hl, j, lmat_cxff(c2, s2), lo=j)
                         cn, sn, r = givens_cxff(
                             getel_cxff(Hl, j + 1, j + 1),
@@ -457,13 +498,19 @@ def make_deflate_cores_ff(*, p, n, S, want_z, ulp, smlnum):
                         Hl = setel_cxff(Hl, j + 1, j + 1, r)
                         Hl = setel_cxff(Hl, j + 1, j, zero_c)
                         Hl = colsk_cxff(Hl, j, lmat_cxff(cn, sn), hi=j + 1)
-                        cf, sf = cn, neg(sn)
-                    H = fac_set(H, jnp.int32(l), Hl)
-                    Z = zup(Z, l, j, cf, sf)
+                        return Hl, cn, neg(sn)
+
+                    Hl, cf, sf = lax.cond(S_arr[jnp.clip(l, 0, p - 1)],
+                                          spos, sneg, (Hl, c2, s2))
+                    H = fac_set(H, l, Hl)
+                    Z = zup_dyn(Z, l, j, cf, sf)
                     return H, Z, cf, sf
 
-                H, Z, c2, s2 = lax.cond(act, run2, lambda x: x,
-                                        (H, Z, c2, s2))
+                return lax.cond(act, run2, lambda x: x, (H, Z, c2, s2))
+
+            if p > 1:
+                H, Z, c2, s2 = lax.fori_loop(0, p - 1, tail_up,
+                                             (H, Z, c2, s2))
             Hl = fac_get(H, ldef)
             Hl = rowsk_cxff(Hl, j, lmat_cxff(c2, s2), lo=j + 1)
             H = fac_set(H, ldef, Hl)
@@ -506,67 +553,73 @@ def make_deflate_cores_ff(*, p, n, S, want_z, ulp, smlnum):
             Z = fac_set(Z, 0, chain_right(fac_get(Z, 0), Gc, Gs,
                                           jlo, ilast - 1))
 
-        for l in range(p - 1, 0, -1):
-            if S[l]:
-                def stage_b_pos(k, carry):
-                    Hl, Gc, Gs = carry
-                    sk = vget(Gs, k)
-                    act = (k >= jlo) & (k <= ilast - 1) & (~cxff.is0(sk))
-                    Hl = colsk_cxff(Hl, k, rmat_adj_cxff(fvget(Gc, k), sk),
-                                    hi=k + 2, active=act)
-                    tol = _habs(getel_cxff(Hl, k, k)) + \
-                        _habs(getel_cxff(Hl, k + 1, k + 1))
-                    tol = jnp.maximum(jnp.float32(ulp) * tol,
-                                      jnp.float32(smlnum))
-                    negl = _habs(getel_cxff(Hl, k + 1, k)) <= tol
-                    f = getel_cxff(Hl, k, k)
-                    g = getel_cxff(Hl, k + 1, k)
-                    c, s, r = givens_cxff(f, g)
-                    use = act & (~negl)
-                    Hl = setel_cxff(Hl, k, k, r, active=use)
-                    Hl = setel_cxff(Hl, k + 1, k, zero_c, active=act)
-                    Hl = rowsk_cxff(Hl, k, lmat_cxff(c, s), lo=k + 1,
-                                    active=use)
-                    cnew = ff.where(negl, ff.ff(jnp.float32(1.0)), c)
-                    snew = where(negl, cxff.zeros(()), s)
-                    Gc = fvset(Gc, k, cnew, act)
-                    Gs = vset(Gs, k, snew, act)
-                    return Hl, Gc, Gs
+        def outer_b(t, carry):
+            H, Z, Gc, Gs = carry
+            l = jnp.int32(p - 1) - t
 
-                Hl, Gc, Gs = lax.fori_loop(0, n - 1, stage_b_pos,
-                                           (fac_get(H, l), Gc, Gs))
-            else:
-                def stage_b_neg(k, carry):
-                    Hl, Gc, Gs = carry
-                    sk = vget(Gs, k)
-                    act = (k >= jlo) & (k <= ilast - 1) & (~cxff.is0(sk))
-                    Hl = rowsk_cxff(Hl, k, lmat_cxff(fvget(Gc, k), sk),
-                                    lo=k, active=act)
-                    tol = _habs(getel_cxff(Hl, k, k)) + \
-                        _habs(getel_cxff(Hl, k + 1, k + 1))
-                    tol = jnp.maximum(jnp.float32(ulp) * tol,
-                                      jnp.float32(smlnum))
-                    negl = _habs(getel_cxff(Hl, k + 1, k)) <= tol
-                    f = getel_cxff(Hl, k + 1, k + 1)
-                    g = getel_cxff(Hl, k + 1, k)
-                    c, s, r = givens_cxff(f, g)
-                    use = act & (~negl)
-                    Hl = setel_cxff(Hl, k + 1, k + 1, r, active=use)
-                    Hl = setel_cxff(Hl, k + 1, k, zero_c, active=act)
-                    Hl = colsk_cxff(Hl, k, lmat_cxff(c, s), hi=k + 1,
-                                    active=use)
-                    cnew = ff.where(negl, ff.ff(jnp.float32(1.0)), c)
-                    snew = where(negl, cxff.zeros(()), neg(s))
-                    Gc = fvset(Gc, k, cnew, act)
-                    Gs = vset(Gs, k, snew, act)
-                    return Hl, Gc, Gs
+            def stage_b_pos(k, carry):
+                Hl, Gc, Gs = carry
+                sk = vget(Gs, k)
+                act = (k >= jlo) & (k <= ilast - 1) & (~cxff.is0(sk))
+                Hl = colsk_cxff(Hl, k, rmat_adj_cxff(fvget(Gc, k), sk),
+                                hi=k + 2, active=act)
+                tol = _habs(getel_cxff(Hl, k, k)) + \
+                    _habs(getel_cxff(Hl, k + 1, k + 1))
+                tol = jnp.maximum(jnp.float32(ulp) * tol,
+                                  jnp.float32(smlnum))
+                negl = _habs(getel_cxff(Hl, k + 1, k)) <= tol
+                f = getel_cxff(Hl, k, k)
+                g = getel_cxff(Hl, k + 1, k)
+                c, s, r = givens_cxff(f, g)
+                use = act & (~negl)
+                Hl = setel_cxff(Hl, k, k, r, active=use)
+                Hl = setel_cxff(Hl, k + 1, k, zero_c, active=act)
+                Hl = rowsk_cxff(Hl, k, lmat_cxff(c, s), lo=k + 1,
+                                active=use)
+                cnew = ff.where(negl, ff.ff(jnp.float32(1.0)), c)
+                snew = where(negl, cxff.zeros(()), s)
+                Gc = fvset(Gc, k, cnew, act)
+                Gs = vset(Gs, k, snew, act)
+                return Hl, Gc, Gs
 
-                Hl, Gc, Gs = lax.fori_loop(0, n - 1, stage_b_neg,
-                                           (fac_get(H, l), Gc, Gs))
+            def stage_b_neg(k, carry):
+                Hl, Gc, Gs = carry
+                sk = vget(Gs, k)
+                act = (k >= jlo) & (k <= ilast - 1) & (~cxff.is0(sk))
+                Hl = rowsk_cxff(Hl, k, lmat_cxff(fvget(Gc, k), sk),
+                                lo=k, active=act)
+                tol = _habs(getel_cxff(Hl, k, k)) + \
+                    _habs(getel_cxff(Hl, k + 1, k + 1))
+                tol = jnp.maximum(jnp.float32(ulp) * tol,
+                                  jnp.float32(smlnum))
+                negl = _habs(getel_cxff(Hl, k + 1, k)) <= tol
+                f = getel_cxff(Hl, k + 1, k + 1)
+                g = getel_cxff(Hl, k + 1, k)
+                c, s, r = givens_cxff(f, g)
+                use = act & (~negl)
+                Hl = setel_cxff(Hl, k + 1, k + 1, r, active=use)
+                Hl = setel_cxff(Hl, k + 1, k, zero_c, active=act)
+                Hl = colsk_cxff(Hl, k, lmat_cxff(c, s), hi=k + 1,
+                                active=use)
+                cnew = ff.where(negl, ff.ff(jnp.float32(1.0)), c)
+                snew = where(negl, cxff.zeros(()), neg(s))
+                Gc = fvset(Gc, k, cnew, act)
+                Gs = vset(Gs, k, snew, act)
+                return Hl, Gc, Gs
+
+            Hl, Gc, Gs = lax.cond(
+                S_arr[jnp.clip(l, 0, p - 1)],
+                lambda a: lax.fori_loop(0, n - 1, stage_b_pos, a),
+                lambda a: lax.fori_loop(0, n - 1, stage_b_neg, a),
+                (fac_get(H, l), Gc, Gs))
             H = fac_set(H, l, Hl)
             if want_z:
                 Z = fac_set(Z, l, chain_right(fac_get(Z, l), Gc, Gs,
                                               jlo, ilast - 1))
+            return H, Z, Gc, Gs
+
+        if p > 1:
+            H, Z, Gc, Gs = lax.fori_loop(0, p - 1, outer_b, (H, Z, Gc, Gs))
 
         def stage_c(k, carry):
             H0, zflag = carry
