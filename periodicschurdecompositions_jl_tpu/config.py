@@ -52,6 +52,16 @@ class AlgoConfig:
     extra_rq: bool = False
     eta_orth: float = 1.0 / math.sqrt(2.0)
     iterative_2x2: bool = False
+    # Multi-bulge chase (ds TPU real core only): chase ``nbulges``
+    # double-shift bulges per Pallas sweep, each trailing the previous by
+    # ``bulge_gap`` columns.  The per-bulge reflector-generation chains —
+    # the sweep's sequential bottleneck — run batched, so extra bulges
+    # cost only slab arithmetic.  Shift pairs come from disjoint trailing
+    # 2x2 blocks of the band product (small-bulge multishift semantics);
+    # 1 = classic single-bulge Francis sweep (the reference's scheme,
+    # src/PeriodicSchurDecompositions.jl:806-886).
+    nbulges: int = 1
+    bulge_gap: int = 3
 
     def ulp_x(self, ulp: float) -> float:
         """Tightened Ahues-Tisseur relative threshold ``eps^(1+at_pwr16/16)``."""

@@ -145,6 +145,96 @@ def reflector3s_ff(x: FF):
     return w, tau, beta
 
 
+def reflector3b_ff(x0: FF, x1: FF, x2: FF):
+    """Batched xLARFG on B 3-slot vectors given as (B,)-shaped components.
+
+    Vectorized :func:`reflector3s_ff`: one ds op chain covers all B rows
+    (the multi-bulge sweep batches the per-bulge generation chains this
+    way — the chain is issue-bound, so B bulges cost one bulge's ops).
+    Returns (v1, v2, tau, beta) with the implicit w = [1, v1, v2] per row.
+    """
+    s_, inv_ = _prescale(jnp.maximum(jnp.abs(x0.hi),
+                                     jnp.maximum(jnp.abs(x1.hi),
+                                                 jnp.abs(x2.hi))))
+    x0 = FF(x0.hi * s_, x0.lo * s_)
+    x1 = FF(x1.hi * s_, x1.lo * s_)
+    x2 = FF(x2.hi * s_, x2.lo * s_)
+    xnorm = ff.hypot2(x1, x2)
+    trivial = ff.eq0(xnorm)
+    beta = ff.neg(ff.copysign(ff.hypot2(x0, xnorm), x0.hi))
+    dinv = ff.recip(_safe(ff.sub(x0, beta)))
+    v1 = ff.mul(x1, dinv)
+    v2 = ff.mul(x2, dinv)
+    # tau refit to 2/||w||^2: exact-reflection orthogonality (~1 ulp
+    # defect) — see reflector_ff
+    w2 = ff.add_f(ff.add(ff.sq(v1), ff.sq(v2)), jnp.float32(1.0))
+    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
+    zero = ff.zeros(x0.hi.shape)
+    tau = ff.where(trivial, zero, tau)
+    beta = ff.where(trivial, x0, beta)
+    beta = FF(beta.hi * inv_, beta.lo * inv_)
+    v1 = ff.where(trivial, zero, v1)
+    v2 = ff.where(trivial, zero, v2)
+    return v1, v2, tau, beta
+
+
+def refl_mat3b_flat(v1: FF, v2: FF, tau: FF):
+    """I - tau w w^T for batched w = [1, v1, v2]: 9 row-major (B,) FF
+    entries [m00..m22] (flat layout; Mosaic-safe — no tiny 2D arrays)."""
+    tw0 = ff.neg(tau)
+    tw1 = ff.neg(ff.mul(tau, v1))
+    tw2 = ff.neg(ff.mul(tau, v2))
+    one = jnp.float32(1.0)
+    m00 = ff.add_f(tw0, one)
+    m01 = ff.mul(tw0, v1)
+    m02 = ff.mul(tw0, v2)
+    m10 = tw1
+    m11 = ff.add_f(ff.mul(tw1, v1), one)
+    m12 = ff.mul(tw1, v2)
+    m20 = tw2
+    m21 = ff.mul(tw2, v1)
+    m22 = ff.add_f(ff.mul(tw2, v2), one)
+    return [m00, m01, m02, m10, m11, m12, m20, m21, m22]
+
+
+def refl_mat2b_flat(v1: FF, tau: FF, active=None):
+    """I - tau w w^T for batched w = [1, v1]: 4 row-major (B,) FF entries
+    [e00, e01, e10, e11].  ``active`` (bool (B,)): rows where False get the
+    identity (the nr3 < 3 case of the chase)."""
+    one = jnp.float32(1.0)
+    tw1 = ff.neg(ff.mul(tau, v1))
+    e00 = ff.add_f(ff.neg(tau), one)
+    e01 = ff.mul(ff.neg(tau), v1)
+    e10 = tw1
+    e11 = ff.add_f(ff.mul(tw1, v1), one)
+    if active is not None:
+        eye1 = ff.ff(jnp.ones_like(tau.hi))
+        zer = ff.zeros(tau.hi.shape)
+        e00 = ff.where(active, e00, eye1)
+        e01 = ff.where(active, e01, zer)
+        e10 = ff.where(active, e10, zer)
+        e11 = ff.where(active, e11, eye1)
+    return [e00, e01, e10, e11]
+
+
+def fuse32b_flat(M3, M2):
+    """Batched fused per-step transform F = M3 @ E(M2) in flat layout.
+
+    M3: 9 (B,) FF entries, M2: 4 (B,) FF entries (E = diag-embed of M2 on
+    rows/cols 1..2).  Returns 9 (B,) FF entries.  Mirrors
+    pallas_sweep._fuse32_ff.
+    """
+    out = []
+    for r in range(3):
+        e0 = M3[r * 3 + 0]
+        e1 = ff.add(ff.mul(M3[r * 3 + 1], M2[0]),
+                    ff.mul(M3[r * 3 + 2], M2[2]))
+        e2 = ff.add(ff.mul(M3[r * 3 + 1], M2[1]),
+                    ff.mul(M3[r * 3 + 2], M2[3]))
+        out += [e0, e1, e2]
+    return out
+
+
 def refl_mat_ff(w: FF, tau: FF) -> FF:
     """Dense k x k FF matrix I - tau w w^T."""
     k = w.hi.shape[0]

@@ -48,7 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import ff
 from .ff import FF
-from .ffkern import matmul3_ff, refl_mat_s_ff, reflector3s_ff
+from .ffkern import (fuse32b_flat, matmul3_ff, refl_mat2b_flat,
+                     refl_mat3b_flat, refl_mat_s_ff, reflector3b_ff,
+                     reflector3s_ff)
 
 # the kernels trace deep expression chains (ds arithmetic per chase step
 # inside nested loops); CPython's default recursion limit aborts tracing
@@ -247,6 +249,78 @@ def _matmul3T_ff(M: FF, rows: FF) -> FF:
     return ff.stack(outs, 0)
 
 
+def _el_flat(M, q, b) -> FF:
+    """Scalar entry q of row b from a flat batched matrix (list of (B,) FF)."""
+    return FF(M[q].hi[b], M[q].lo[b])
+
+
+def _matmul3_flat_b(M, b, rows: FF) -> FF:
+    """rows (3, N) <- M_b @ rows, M a flat batched 3x3 (9 (B,) FF entries)."""
+    outs = []
+    for r in range(3):
+        acc = ff.mul(_el_flat(M, r * 3, b), FF(rows.hi[0], rows.lo[0]))
+        for s in range(1, 3):
+            acc = ff.add(acc, ff.mul(_el_flat(M, r * 3 + s, b),
+                                     FF(rows.hi[s], rows.lo[s])))
+        outs.append(acc)
+    return ff.stack(outs, 0)
+
+
+def _matmul2_flat_b(M2, b, rows: FF) -> FF:
+    """rows (2, N) <- M2_b @ rows, M2 a flat batched 2x2 (4 (B,) FF)."""
+    outs = []
+    for r in range(2):
+        acc = ff.mul(_el_flat(M2, r * 2, b), FF(rows.hi[0], rows.lo[0]))
+        acc = ff.add(acc, ff.mul(_el_flat(M2, r * 2 + 1, b),
+                                 FF(rows.hi[1], rows.lo[1])))
+        outs.append(acc)
+    return ff.stack(outs, 0)
+
+
+def _band_col_apply_flat_b(hi_ref, lo_ref, g, k, M, b, width: int, N: int,
+                           lowext: int = 0):
+    """_band_col_apply with a flat batched transform (row b of M).
+
+    ``lowext``: extra maintained rows BELOW k-2.  Multi-bulge sweeps need
+    the band current down to the hindmost trailing bulge's rows
+    (k - (NB-1)*GAP ..): a trailing bulge's left transform mixes its three
+    rows across ALL lanes — including the leading bulges' columns — so
+    stale entries there would poison the working copy (verified: gen
+    inputs match the full-update reference exactly once the slab reaches
+    k-2-lowext; without it they diverge at the first trailing read).
+    """
+    if N <= 128:
+        W = min(8 + lowext, N)
+        rb = jnp.maximum(jnp.int32(0),
+                         jnp.minimum(k - 2 - lowext, jnp.int32(N - W)))
+    else:
+        W = 16 + ((lowext + 7) & -8)
+        rb = pl.multiple_of(
+            jnp.maximum(jnp.int32(0), k - 2 - lowext) & jnp.int32(-8), 8)
+        # N is a multiple of 8 (pqr_ff padding rule), so the clamp keeps
+        # 8-alignment; re-assert it — a bare jnp.minimum erases the proof
+        # and Mosaic then rejects the dynamic sublane start
+        rb = pl.multiple_of(jnp.minimum(rb, jnp.int32(N - W)), 8)
+    slab = _read_rows_raw(hi_ref, lo_ref, g, rb, W)
+    cols = [_lane_extract(slab, k + c) for c in range(width)]
+    it = _lane_iota(slab.hi.shape)
+    new_hi, new_lo = slab.hi, slab.lo
+    for c in range(width):
+        acc = ff.mul(cols[0], _el_flat(M, c, b))
+        for s in range(1, width):
+            acc = ff.add(acc, ff.mul(cols[s], _el_flat(M, s * width + c, b)))
+        mask = it == (k + c)
+        new_hi = jnp.where(mask, acc.hi[:, None], new_hi)
+        new_lo = jnp.where(mask, acc.lo[:, None], new_lo)
+    _write_rows_raw(hi_ref, lo_ref, g, rb, FF(new_hi, new_lo))
+
+
+def _flat_mat_b(M, b):
+    """(18,) f32 log row from a flat batched 3x3 (9 (B,) FF entries)."""
+    parts = [M[q].hi[b] for q in range(9)] + [M[q].lo[b] for q in range(9)]
+    return jnp.stack(parts)
+
+
 def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
     """Kernel A: chase on the working copy + fused right-op logging.
 
@@ -367,7 +441,260 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
     return kernel
 
 
-def _make_left_kernel(p: int, N: int, hbm_inputs: bool = False):
+def _make_sweep_kernel_mb(p: int, N: int, NB: int, GAP: int,
+                          hbm_inputs: bool = False):
+    """Multi-bulge kernel A: chase NB double-shift bulges in one sweep.
+
+    Bulge b trails bulge b-1 by GAP columns (GAP >= 3 keeps every pair of
+    per-step transforms on disjoint lanes/rows, which is what makes the
+    deferred all-of-bulge-0-then-all-of-bulge-1 application of kernels
+    B0/B equal to the tick-order interleaving).  The per-bulge generation
+    chains — the issue-bound cost of the sweep — run BATCHED as (NB,)
+    ds ops (ffkern.reflector3b_ff and friends), so NB bulges cost about
+    one bulge's sequential chain per (tick, factor).
+
+    Shift pairs for bulges 1..NB-1 come from the glue (trailing 2x2
+    blocks of the scaled cycle product, SMEM ``sig``); their v0 columns
+    are computed IN-KERNEL at the introduction tick from the working
+    copy's leading 3x3 product, accumulated under the glue's per-factor
+    power-of-two scale schedule (SMEM ``scs``) so shifts and product
+    entries share a scale.  Mirrors the small-bulge multishift QR idea
+    (Braman-Byers-Mathias) applied to the periodic sweep of the
+    reference's src/PeriodicSchurDecompositions.jl:806-886.
+
+    Logs: R0 lanes [b*18, (b+1)*18) hold bulge b's fused F per
+    (factor, step); kernels B0/B are invoked once per bulge with the
+    corresponding lane slice.
+    """
+
+    def kernel(scal, v0f, sig, scs, Hhi, Hlo, R0, Chi, Clo, *sems):
+        m = scal[0]
+        i = scal[1]
+        nbact = scal[2]
+        if hbm_inputs:
+            c1 = pltpu.make_async_copy(Hhi, Chi, sems[0])
+            c2 = pltpu.make_async_copy(Hlo, Clo, sems[1])
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+        else:
+            Chi[:] = Hhi[:]
+            Clo[:] = Hlo[:]
+        v0_glue = (v0f[0], v0f[1], v0f[2], v0f[3], v0f[4], v0f[5])
+
+        one_s = jnp.float32(1.0)
+        zero_s = jnp.float32(0.0)
+
+        def _lead_v0(b):
+            """v0 (6 f32 scalars) for bulge b introduced at window top m,
+            from the working copy's leading 3x3 cycle product."""
+
+            def b3(f):
+                rows = _read_rows(Chi, Clo, f, m, 3)
+                cs = [_lane_extract(rows, m + c) for c in range(3)]
+                return [FF(cs[c].hi[r], cs[c].lo[r])
+                        for r in range(3) for c in range(3)]
+
+            def mm33(A, B):
+                out = []
+                for r in range(3):
+                    for c in range(3):
+                        acc = ff.mul(A[r * 3], B[c])
+                        acc = ff.add(acc, ff.mul(A[r * 3 + 1], B[3 + c]))
+                        acc = ff.add(acc, ff.mul(A[r * 3 + 2], B[6 + c]))
+                        out.append(acc)
+                return out
+
+            eye9 = [ff.ff(one_s if q in (0, 4, 8) else zero_s)
+                    for q in range(9)]
+
+            def facstep(t, T):
+                f = jnp.int32(1) + t
+                Tn = mm33(list(T), b3(f))
+                sc = scs[f]
+                return tuple(FF(e.hi * sc, e.lo * sc) for e in Tn)
+
+            T = tuple(eye9)
+            if p > 1:
+                T = lax.fori_loop(jnp.int32(0), jnp.int32(p - 1), facstep, T)
+            A0 = b3(0)
+
+            def a_entry(r, c):
+                acc = ff.mul(A0[r * 3], T[c])
+                acc = ff.add(acc, ff.mul(A0[r * 3 + 1], T[3 + c]))
+                return ff.add(acc, ff.mul(A0[r * 3 + 2], T[6 + c]))
+
+            h11 = a_entry(0, 0)
+            h21 = a_entry(1, 0)
+            h12 = a_entry(0, 1)
+            h22 = a_entry(1, 1)
+            h32 = a_entry(2, 1)
+            rt1r = FF(sig[b * 6 + 0], sig[b * 6 + 1])
+            rt1i = FF(sig[b * 6 + 2], sig[b * 6 + 3])
+            rt2r = FF(sig[b * 6 + 4], sig[b * 6 + 5])
+            # v1L/v2L/v3L of the glue's shifted-column formula (rt2i=-rt1i)
+            sv = ff.add(ff.add(ff.abs_(ff.sub(h11, rt2r)), ff.abs_(rt1i)),
+                        ff.abs_(h21))
+            svs = ff.where(ff.eq0(sv), ff.ff(one_s), sv)
+            h21s = ff.div(h21, svs)
+            v1 = ff.add(ff.mul(h21s, h12),
+                        ff.mul(ff.sub(h11, rt1r),
+                               ff.div(ff.sub(h11, rt2r), svs)))
+            v1 = ff.add(v1, ff.mul(rt1i, ff.div(rt1i, svs)))
+            v2 = ff.mul(h21s,
+                        ff.sub(ff.sub(ff.add(h11, h22), rt1r), rt2r))
+            v3 = ff.mul(h21s, h32)
+            sn = ff.add(ff.add(ff.abs_(v1), ff.abs_(v2)), ff.abs_(v3))
+            sns = ff.where(ff.eq0(sn), ff.ff(one_s), sn)
+            v1 = ff.div(v1, sns)
+            v2 = ff.div(v2, sns)
+            v3 = ff.div(v3, sns)
+            return (v1.hi, v2.hi, v3.hi, v1.lo, v2.lo, v3.lo)
+
+        def step(kk, _):
+            ks, acts, firsts, nr3s = [], [], [], []
+            for b in range(NB):
+                kb = kk - jnp.int32(b * GAP)
+                inr = (kb >= m) & (kb <= i - 1)
+                act = inr & (jnp.int32(b) < nbact)
+                kc = jnp.maximum(m, jnp.minimum(kb, i - 1))
+                ks.append(kc)
+                acts.append(act)
+                firsts.append(kb == m)
+                nr3s.append((i - kc + 1) >= 3)
+
+            # ---- bulge creation / continuation at H[0] ---------------
+            rows0, cols0, vks = [], [], []
+            for b in range(NB):
+                r0 = _read_rows(Chi, Clo, 0, ks[b], 3)
+                c0 = _lane_extract(r0, ks[b] - 1)
+                rows0.append(r0)
+                cols0.append(c0)
+            for b in range(NB):
+                if b == 0:
+                    v6 = v0_glue
+                else:
+                    v6 = lax.cond(firsts[b] & acts[b],
+                                  lambda b=b: _lead_v0(b),
+                                  lambda: (zero_s,) * 6)
+                z3 = jnp.where(nr3s[b], one_s, zero_s)
+                c0 = cols0[b]
+                vh = jnp.stack([jnp.where(firsts[b], v6[0], c0.hi[0]),
+                                jnp.where(firsts[b], v6[1], c0.hi[1]),
+                                jnp.where(firsts[b], v6[2], c0.hi[2]) * z3])
+                vl = jnp.stack([jnp.where(firsts[b], v6[3], c0.lo[0]),
+                                jnp.where(firsts[b], v6[4], c0.lo[1]),
+                                jnp.where(firsts[b], v6[5], c0.lo[2]) * z3])
+                vks.append(FF(vh, vl))
+            x0 = FF(jnp.stack([vks[b].hi[0] for b in range(NB)]),
+                    jnp.stack([vks[b].lo[0] for b in range(NB)]))
+            x1 = FF(jnp.stack([vks[b].hi[1] for b in range(NB)]),
+                    jnp.stack([vks[b].lo[1] for b in range(NB)]))
+            x2 = FF(jnp.stack([vks[b].hi[2] for b in range(NB)]),
+                    jnp.stack([vks[b].lo[2] for b in range(NB)]))
+            v1b, v2b, taub, betab = reflector3b_ff(x0, x1, x2)
+            M3 = refl_mat3b_flat(v1b, v2b, taub)
+            for b in range(NB):
+                # re-read the rows: for p == 1 the leading bulges' band
+                # applies (earlier in this loop) target THIS factor and
+                # touch these rows' lanes; the pre-read above is only for
+                # the generation column (lane ks[b]-1, which no same-tick
+                # transform of another bulge reaches)
+                rC = _matmul3_flat_b(
+                    M3, b, _read_rows(Chi, Clo, 0, ks[b], 3))
+                keep3 = ff.where(ks[b] < i - 1, ff.zeros(()),
+                                 FF(cols0[b].hi[2], cols0[b].lo[2]))
+                newc = FF(jnp.stack([betab.hi[b], zero_s, keep3.hi]),
+                          jnp.stack([betab.lo[b], zero_s, keep3.lo]))
+                rC = _lane_force(rC, ks[b] - 1, newc, ~firsts[b])
+
+                @pl.when(acts[b])
+                def _do(b=b, rC=rC):
+                    _write_rows(Chi, Clo, 0, ks[b], rC)
+                    _band_col_apply_flat_b(Chi, Clo, p - 1, ks[b], M3, b,
+                                           3, N, lowext=(NB - 1) * GAP)
+                    R0[0, ks[b], b * 18:(b + 1) * 18] = _flat_mat_b(M3, b)
+
+            # ---- factor re-triangularization loop --------------------
+            def fac(t, _):
+                f = jnp.int32(p - 1) - t
+                rowsf, colsf = [], []
+                for b in range(NB):
+                    rf = _read_rows(Chi, Clo, f, ks[b], 3)
+                    colv = _lane_extract(rf, ks[b])
+                    rowsf.append(rf)
+                    colsf.append(colv)
+                # NO jnp.stack of bool scalars: Mosaic dies on the i1
+                # vreg bitcast ("Invalid vector register cast"); stack
+                # f32 0/1 selects and re-derive the bool vector by
+                # comparison (comparison-born masks lower fine)
+                z3v = jnp.stack([jnp.where(nr3s[b], one_s, zero_s)
+                                 for b in range(NB)])
+                nr3v = z3v > jnp.float32(0.5)
+                x0 = FF(jnp.stack([colsf[b].hi[0] for b in range(NB)]),
+                        jnp.stack([colsf[b].lo[0] for b in range(NB)]))
+                x1 = FF(jnp.stack([colsf[b].hi[1] for b in range(NB)]),
+                        jnp.stack([colsf[b].lo[1] for b in range(NB)]))
+                x2 = FF(jnp.stack([colsf[b].hi[2] for b in range(NB)]) * z3v,
+                        jnp.stack([colsf[b].lo[2] for b in range(NB)]) * z3v)
+                w1b, w2b, tau2b, beta2b = reflector3b_ff(x0, x1, x2)
+                M3b = refl_mat3b_flat(w1b, w2b, tau2b)
+                rows3s, xcs = [], []
+                for b in range(NB):
+                    rows3 = _matmul3_flat_b(M3b, b, rowsf[b])
+                    r12 = FF(rows3.hi[1:], rows3.lo[1:])
+                    xc = _lane_extract(r12, ks[b] + 1)
+                    rows3s.append(rows3)
+                    xcs.append(xc)
+                y0 = FF(jnp.stack([xcs[b].hi[0] for b in range(NB)]),
+                        jnp.stack([xcs[b].lo[0] for b in range(NB)]))
+                y1 = FF(jnp.stack([xcs[b].hi[1] for b in range(NB)]),
+                        jnp.stack([xcs[b].lo[1] for b in range(NB)]))
+                y2 = ff.zeros((NB,))
+                u1b, _u2b, taum2, betam2 = reflector3b_ff(y0, y1, y2)
+                M2 = refl_mat2b_flat(u1b, taum2, active=nr3v)
+                Fm = fuse32b_flat(M3b, M2)
+                for b in range(NB):
+                    rows3 = rows3s[b]
+                    r12 = FF(rows3.hi[1:], rows3.lo[1:])
+                    rows12 = _matmul2_flat_b(M2, b, r12)
+                    rC = FF(jnp.concatenate([rows3.hi[:1], rows12.hi]),
+                            jnp.concatenate([rows3.lo[:1], rows12.lo]))
+                    newcf = FF(jnp.stack([beta2b.hi[b], zero_s, zero_s]),
+                               jnp.stack([beta2b.lo[b], zero_s, zero_s]))
+                    rC = _lane_force(rC, ks[b], newcf, True)
+                    lane = _lane_iota(rC.hi.shape)
+                    row_i = lax.broadcasted_iota(jnp.int32, rC.hi.shape, 0)
+                    m2msk = (lane == ks[b] + 1) & (row_i >= 1) & nr3s[b]
+                    newc2 = FF(jnp.stack([zero_s, betam2.hi[b], zero_s]),
+                               jnp.stack([zero_s, betam2.lo[b], zero_s]))
+                    rC = FF(jnp.where(m2msk, newc2.hi[:, None], rC.hi),
+                            jnp.where(m2msk, newc2.lo[:, None], rC.lo))
+
+                    @pl.when(acts[b])
+                    def _dof(b=b, rC=rC, f=f):
+                        _write_rows(Chi, Clo, f, ks[b], rC)
+                        _band_col_apply_flat_b(Chi, Clo, f - 1, ks[b],
+                                               Fm, b, 3, N,
+                                               lowext=(NB - 1) * GAP)
+                        R0[f, ks[b], b * 18:(b + 1) * 18] = \
+                            _flat_mat_b(Fm, b)
+                return jnp.int32(0)
+
+            if p > 1:
+                lax.fori_loop(jnp.int32(0), jnp.int32(p - 1), fac,
+                              jnp.int32(0))
+            return jnp.int32(0)
+
+        hi_tick = i + (nbact - 1) * jnp.int32(GAP)
+        lax.fori_loop(m, hi_tick, step, jnp.int32(0))
+
+    return kernel
+
+
+def _make_left_kernel(p: int, N: int, hbm_inputs: bool = False,
+                      NB: int = 1):
     """Kernel B0: apply the logged left chains F^T to H's rows, batched
     over the p factors (one (p, 16, N) slab RMW + 3-row transform per
     step — outside kernel A's sequential factor chain).
@@ -380,6 +707,7 @@ def _make_left_kernel(p: int, N: int, hbm_inputs: bool = False):
     def kernel(scal, Hhi, Hlo, R0, oHhi, oHlo, *sems):
         m = scal[0]
         i = scal[1]
+        on = scal[2]
         if hbm_inputs:
             c1 = pltpu.make_async_copy(Hhi, oHhi, sems[0])
             c2 = pltpu.make_async_copy(Hlo, oHlo, sems[1])
@@ -391,9 +719,10 @@ def _make_left_kernel(p: int, N: int, hbm_inputs: bool = False):
             oHhi[:] = Hhi[:]
             oHlo[:] = Hlo[:]
 
-        def step(kk, _):
+        def step(kk, _, b=0):
             v = R0[:, pl.ds(kk, 1), :]
-            M = FF(v[:, 0, :9], v[:, 0, 9:18])
+            M = FF(v[:, 0, b * 18:b * 18 + 9],
+                   v[:, 0, b * 18 + 9:b * 18 + 18])
 
             def el(X, s, r):
                 q = s * 3 + r
@@ -435,13 +764,17 @@ def _make_left_kernel(p: int, N: int, hbm_inputs: bool = False):
                 oHlo[:, pl.ds(kk8, 16), :] = pltpu.roll(bl, o, 1)
             return jnp.int32(0)
 
-        lax.fori_loop(m, i, step, jnp.int32(0))
+        for b in range(NB):
+            @pl.when(jnp.int32(b) < on)
+            def _run(b=b):
+                lax.fori_loop(m, i, functools.partial(step, b=b),
+                              jnp.int32(0))
 
     return kernel
 
 
 def _make_apply_kernel(p: int, N: int, want_z: bool,
-                       hbm_inputs: bool = False):
+                       hbm_inputs: bool = False, NB: int = 1):
     """Kernel B: apply logged right-transform chains to H^T (and Z^T).
 
     Target factor g receives source ((g+1) mod p)'s transforms (the chase
@@ -451,12 +784,12 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
     transposed storage.
     """
 
-    def _load_logs(R, kk, n2):
+    def _load_logs(R, kk, n2, b=0):
         # returns ROW-MAJOR FLAT (p, n2) hi/lo pairs (no reshape: Mosaic
         # cannot shape-cast); _apply indexes elements by s*k+r
-        v = R[:, pl.ds(kk, 1), :]  # (p, 1, 2*n2)
-        hi = v[:, 0, :n2]
-        lo = v[:, 0, n2:2 * n2]
+        v = R[:, pl.ds(kk, 1), :]  # (p, 1, NB*2*n2)
+        hi = v[:, 0, b * 2 * n2:b * 2 * n2 + n2]
+        lo = v[:, 0, b * 2 * n2 + n2:b * 2 * n2 + 2 * n2]
         return FF(hi, lo)
 
     def _roll1(M: FF) -> FF:
@@ -540,6 +873,7 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
                oHThi, oHTlo, oZThi, oZTlo, *sems):
         m = scal[0]
         i = scal[1]
+        on = scal[2]
         if hbm_inputs:
             cps = [pltpu.make_async_copy(HThi, oHThi, sems[0]),
                    pltpu.make_async_copy(HTlo, oHTlo, sems[1])]
@@ -557,14 +891,18 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
                 oZThi[:] = ZThi[:]
                 oZTlo[:] = ZTlo[:]
 
-        def step(kk, _):
-            M0 = _load_logs(R0, kk, 9)
+        def step(kk, _, b=0):
+            M0 = _load_logs(R0, kk, 9, b)
             _apply(oHThi, oHTlo, kk, _roll1(M0), hi_lane=i)
             if want_z:
                 _apply(oZThi, oZTlo, kk, M0)
             return jnp.int32(0)
 
-        lax.fori_loop(m, i, step, jnp.int32(0))
+        for b in range(NB):
+            @pl.when(jnp.int32(b) < on)
+            def _run(b=b):
+                lax.fori_loop(m, i, functools.partial(step, b=b),
+                              jnp.int32(0))
 
     def kernel_noz(scal, HThi, HTlo, R0, oHThi, oHTlo, *sems):
         kernel(scal, HThi, HTlo, None, None, R0, oHThi, oHTlo, None,
@@ -609,9 +947,34 @@ def _sweep_call(p: int, N: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=32)
-def _left_call(p: int, N: int, interpret: bool):
+def _sweep_call_mb(p: int, N: int, NB: int, GAP: int, interpret: bool):
     hbm_inputs = _vmem_bytes(p, N, 4) > 96 * (1 << 20) and not interpret
-    kern = _make_left_kernel(p, N, hbm_inputs)
+    kern = _make_sweep_kernel_mb(p, N, NB, GAP, hbm_inputs)
+    n_res = 2 if hbm_inputs else 4
+    vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * NB * 40 * 4 + (8 << 20)
+    h_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
+    scratch = [pltpu.VMEM((p, N, N), jnp.float32),
+               pltpu.VMEM((p, N, N), jnp.float32)]
+    if hbm_inputs:
+        scratch += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+    call = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((p, N, NB * 18), jnp.float32),),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+        + [pl.BlockSpec(memory_space=h_space)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem, 120 * (1 << 20))),
+        interpret=interpret,
+    )
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _left_call(p: int, N: int, interpret: bool, NB: int = 1):
+    hbm_inputs = _vmem_bytes(p, N, 4) > 96 * (1 << 20) and not interpret
+    kern = _make_left_kernel(p, N, hbm_inputs, NB)
     n_res = 2 if hbm_inputs else 4
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
     h_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
@@ -636,11 +999,11 @@ def _left_call(p: int, N: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=32)
-def _apply_call(p: int, N: int, want_z: bool, interpret: bool):
+def _apply_call(p: int, N: int, want_z: bool, interpret: bool, NB: int = 1):
     n_out = 4 if want_z else 2
     n_arr = 2 * n_out
     hbm_inputs = _vmem_bytes(p, N, n_arr) > 96 * (1 << 20) and not interpret
-    kern = _make_apply_kernel(p, N, want_z, hbm_inputs)
+    kern = _make_apply_kernel(p, N, want_z, hbm_inputs, NB)
     n_res = n_out if hbm_inputs else n_arr
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
     big_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
@@ -680,7 +1043,8 @@ def chase_sweep_ff(H: FF, ZT, m, i, v0: FF, *, want_z: bool,
     zeros on output.
     """
     p, N, _ = H.hi.shape
-    scal = jnp.stack([jnp.asarray(m, jnp.int32), jnp.asarray(i, jnp.int32)])
+    scal = jnp.stack([jnp.asarray(m, jnp.int32), jnp.asarray(i, jnp.int32),
+                      jnp.int32(1)])
     v0f = jnp.concatenate([v0.hi, v0.lo]).astype(jnp.float32)
 
     # kernels are traced WITHOUT EFT barriers (Mosaic cannot lower them and
@@ -705,6 +1069,64 @@ def chase_sweep_ff(H: FF, ZT, m, i, v0: FF, *, want_z: bool,
 
     # structural enforcement: deferred-ordering junk lands strictly below
     # the subdiagonal of H[0] / the diagonal of the triangular factors
+    h0 = FF(jnp.triu(H.hi[0], -1), jnp.triu(H.lo[0], -1))
+    if p > 1:
+        rest = FF(jnp.triu(H.hi[1:]), jnp.triu(H.lo[1:]))
+        H = FF(jnp.concatenate([h0.hi[None], rest.hi]),
+               jnp.concatenate([h0.lo[None], rest.lo]))
+    else:
+        H = FF(h0.hi[None], h0.lo[None])
+    return H, ZT
+
+
+def chase_sweep_ff_mb(H: FF, ZT, m, i, v0: FF, sig, scs, nbact, *,
+                      NB: int, GAP: int = 3, want_z: bool,
+                      interpret: bool = False):
+    """Multi-bulge double-shift QR sweep: NB bulges chased in one kernel-A
+    pass (batched generation chains), logs applied bulge-major.
+
+    Args beyond :func:`chase_sweep_ff`:
+      sig: (NB*6,) f32 — per-bulge ds shift pairs
+        [rt1r.hi, rt1r.lo, rt1i.hi, rt1i.lo, rt2r.hi, rt2r.lo] in the
+        glue's scaled band-product domain (bulge 0's slot is unused: its
+        first column arrives pre-computed as ``v0``).
+      scs: (p,) f32 — the glue's per-factor power-of-two band scale
+        schedule (scs[0] unused), so the in-kernel leading-product shifts
+        share the band scale.
+      nbact: traced int32 in [1, NB] — bulges actually chased (window-
+        size / exceptional-shift clamp).
+
+    Bulge-major application is exact: bulge b's transform at column q
+    commutes with every LATER (tick-order) transform of bulges b' < b,
+    which sit at columns > q + 2 by the GAP >= 3 spacing.
+    """
+    p, N, _ = H.hi.shape
+    mi = jnp.asarray(m, jnp.int32)
+    ii = jnp.asarray(i, jnp.int32)
+    nb = jnp.asarray(nbact, jnp.int32)
+    scal = jnp.stack([mi, ii, nb])
+    v0f = jnp.concatenate([v0.hi, v0.lo]).astype(jnp.float32)
+
+    # kernels B0/B iterate the NB bulge chains INSIDE one launch each
+    # (bulge-major; `scal[2]` = active count gates trailing chains), so the
+    # full-state copies and launch overhead stay independent of NB
+    with ff.no_barriers():
+        (R0,) = _sweep_call_mb(p, N, NB, GAP, interpret)(
+            scal, v0f, sig, scs, H.hi, H.lo)
+        Hhi, Hlo = _left_call(p, N, interpret, NB)(scal, H.hi, H.lo, R0)
+
+    HThi = jnp.swapaxes(Hhi, 1, 2)
+    HTlo = jnp.swapaxes(Hlo, 1, 2)
+    with ff.no_barriers():
+        if want_z:
+            HThi, HTlo, ZThi, ZTlo = _apply_call(p, N, True, interpret, NB)(
+                scal, HThi, HTlo, ZT.hi, ZT.lo, R0)
+            ZT = FF(ZThi, ZTlo)
+        else:
+            HThi, HTlo = _apply_call(p, N, False, interpret, NB)(
+                scal, HThi, HTlo, R0)
+    H = FF(jnp.swapaxes(HThi, 1, 2), jnp.swapaxes(HTlo, 1, 2))
+
     h0 = FF(jnp.triu(H.hi[0], -1), jnp.triu(H.lo[0], -1))
     if p > 1:
         rest = FF(jnp.triu(H.hi[1:]), jnp.triu(H.lo[1:]))

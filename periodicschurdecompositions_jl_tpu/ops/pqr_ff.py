@@ -32,7 +32,7 @@ from .ffkern import givens_ff, refl_mat_ff, reflector_ff
 from .lanv2 import lanv2
 from .ffslab import (colsk_ff, fac_get, fac_set, getcol_ff, getel_ff,
                      rowsk_ff, setel_ff)
-from .pallas_sweep import chase_sweep_ff
+from .pallas_sweep import chase_sweep_ff, chase_sweep_ff_mb
 
 
 def _band_products_scaled(H: FF, n):
@@ -54,7 +54,11 @@ def _band_products_scaled(H: FF, n):
     full-matrix f64 conversion this replaced was ~270 MB of per-iteration
     traffic at the N=512 headline (measured 4.1 ms/iter fixed cost).
 
-    Returns (hdiag, hsub, hsup, e) with true values = scaled * 2^e.
+    Returns (hdiag, hsub, hsup, e, scs) with true values = scaled * 2^e;
+    scs is the (p,) f32 per-factor scale schedule (scs[l] = the 2^-ex_l
+    applied after factor l's multiply; scs[0] = 1, prod scs = 2^-e) —
+    the multi-bulge kernel re-derives in-window leading products under
+    the same schedule so its shifted columns share the band scale.
     """
     p = H.hi.shape[0]
     f64 = jnp.float64
@@ -68,6 +72,7 @@ def _band_products_scaled(H: FF, n):
     P2 = jnp.zeros((n,), f64)
     P3 = jnp.zeros((n,), f64)
     e = jnp.int32(0)
+    scs = [jnp.float32(1.0)]
     z1 = jnp.zeros((1,), f64)
     z2 = jnp.zeros((2,), f64)
     for l in range(1, p):
@@ -90,6 +95,8 @@ def _band_products_scaled(H: FF, n):
         P2 = P2 * sc
         P3 = P3 * sc
         e = e + ex
+        scs.append(sc.astype(jnp.float32))
+    scs = jnp.stack(scs)
     d0 = diag64(0, 0, n)
     u0 = jnp.concatenate([diag64(0, 1, n - 1), z1])
     s0 = jnp.concatenate([z1, diag64(0, -1, n - 1)])
@@ -100,7 +107,7 @@ def _band_products_scaled(H: FF, n):
     hdiag = s0 * P2m + d0 * P1
     P11 = jnp.concatenate([P1[1:], z1])
     hsup = s0 * P3m + d0 * P2 + u0 * P11
-    return hdiag, hsub, hsup, e
+    return hdiag, hsub, hsup, e, scs
 
 
 def pqr_real_core_ff_chunked(
@@ -288,7 +295,7 @@ def pqr_real_core_ff(
     def body(st):
         (H, ZT, wr, wi, i, l, its, itleft, jiter) = st
 
-        hdiag, hsub, hsup, bexp = _band_products_scaled(H, n)
+        hdiag, hsub, hsup, bexp, bscs = _band_products_scaled(H, n)
 
         # ---- deflation scan (f64, range-safe; mirrors ops/pqr_real) ---
         z64 = jnp.zeros((1,), f64)
@@ -451,8 +458,57 @@ def pqr_real_core_ff(
             v0hi = v0d.astype(jnp.float32)
             v0 = FF(v0hi, (v0d - v0hi.astype(f64)).astype(jnp.float32))
 
-            H, ZT = chase_sweep_ff(H, ZT if want_z else None, m, i, v0,
-                                   want_z=want_z, interpret=interpret)
+            if cfg.nbulges <= 1:
+                H, ZT = chase_sweep_ff(H, ZT if want_z else None, m, i, v0,
+                                       want_z=want_z, interpret=interpret)
+                if not want_z:
+                    ZT = HZ[1]
+                return H, ZT
+
+            # ---- multi-bulge sweep: NB Francis pairs from disjoint ----
+            # trailing 2x2 blocks of the scaled band product; bulge b's
+            # first column is re-derived IN-KERNEL at its introduction
+            # tick (the leading product has been modified by bulges < b)
+            def _francis_pair(j):
+                a44 = el(hdiag, j)
+                a33 = el(hdiag, j - 1)
+                a43 = el(hsub, j)
+                a34 = el(hsup, j - 1)
+                s4 = jnp.abs(a33) + jnp.abs(a34) + jnp.abs(a43) + \
+                    jnp.abs(a44)
+                s4s = jnp.where(s4 == 0, 1.0, s4)
+                a33n, a44n = a33 / s4s, a44 / s4s
+                a34n, a43n = a34 / s4s, a43 / s4s
+                tc = (a33n + a44n) * 0.5
+                dc = (a33n - tc) * (a44n - tc) - a34n * a43n
+                rtd = jnp.sqrt(jnp.abs(dc))
+                q1 = tc + rtd
+                q2 = tc - rtd
+                pk = jnp.where(jnp.abs(q1 - a44n) <= jnp.abs(q2 - a44n),
+                               q1, q2)
+                b1r = jnp.where(s4 == 0, 0.0,
+                                jnp.where(dc >= 0, tc * s4, pk * s4))
+                b1i = jnp.where(s4 == 0, 0.0,
+                                jnp.where(dc >= 0, rtd * s4, 0.0))
+                return b1r, b1i, b1r
+
+            NBs, GAPs = cfg.nbulges, cfg.bulge_gap
+            Lw = i - m + 1
+            nb_fit = jnp.minimum((Lw - 2) // jnp.int32(GAPs) + 1,
+                                 Lw // 2)
+            nbact = jnp.clip(
+                jnp.where(exc, jnp.int32(1),
+                          jnp.minimum(nb_fit, jnp.int32(NBs))),
+                1, NBs).astype(jnp.int32)
+            sigs = []
+            for b in range(NBs):
+                for vv in _francis_pair(i - 2 * b):
+                    vvh = vv.astype(jnp.float32)
+                    sigs += [vvh, (vv - vvh.astype(f64)).astype(jnp.float32)]
+            sig = jnp.stack(sigs)
+            H, ZT = chase_sweep_ff_mb(
+                H, ZT if want_z else None, m, i, v0, sig, bscs, nbact,
+                NB=NBs, GAP=GAPs, want_z=want_z, interpret=interpret)
             if not want_z:
                 ZT = HZ[1]
             return H, ZT

@@ -122,3 +122,27 @@ def test_pqr_ff_chunked_resume():
     for a, b in zip(out1[:8], out2[:8]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     assert bool(out2[8])
+
+
+@pytest.mark.parametrize("p,n,nb", [(1, 12, 2), (2, 12, 3), (4, 16, 2)])
+def test_pqr_ff_multibulge(p, n, nb):
+    """cfg.nbulges > 1: NB double-shift bulges per Pallas sweep (batched
+    generation chains + bulge-major deferred application)."""
+    from periodicschurdecompositions_jl_tpu.config import AlgoConfig
+    rng = np.random.default_rng(17 * p + n + nb)
+    A = rng.standard_normal((p, n, n))
+    H64, Q64 = phessenberg_core(jnp.asarray(A), want_q=True)
+    Hff = ff.from_f64(jnp.asarray(np.asarray(H64)))
+    QT = np.swapaxes(np.asarray(Q64), 1, 2)
+    QTff = ff.from_f64(jnp.asarray(QT))
+    out = pqr_real_core_ff(Hff.hi, Hff.lo, QTff.hi, QTff.lo,
+                           want_z=True, interpret=True,
+                           cfg=AlgoConfig(nbulges=nb))
+    (Thi, Tlo, ZThi, ZTlo, wrh, wrl, wih, wil, ok) = out
+    T = np.asarray(Thi, np.float64) + np.asarray(Tlo, np.float64)
+    Z = np.swapaxes(
+        np.asarray(ZThi, np.float64) + np.asarray(ZTlo, np.float64), 1, 2)
+    wr = np.asarray(wrh, np.float64) + np.asarray(wrl, np.float64)
+    wi = np.asarray(wih, np.float64) + np.asarray(wil, np.float64)
+    assert bool(ok)
+    _check(A, T, Z, wr, wi)
