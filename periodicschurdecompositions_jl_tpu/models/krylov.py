@@ -445,6 +445,9 @@ def partial_pschur(
     seed: int = 1234,
     eta_orth: Optional[float] = None,
     vrand=None,
+    checkpoint: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
 ):
     """Find ``nev`` exterior eigenvalues of the product ``A[p-1] @ ... @ A[0]``
     (left orientation, like the reference) by periodic Krylov-Schur.
@@ -459,6 +462,12 @@ def partial_pschur(
       vrand: optional ``vrand(shape) -> ndarray`` filler for restart vectors
         (reference's custom ``vrand!``, src/krylov.jl:454); reproducible
         structured restarts.  Defaults to a seeded Gaussian.
+      checkpoint: optional path; the restart loop state (bases, projected
+        factors, Ritz bookkeeping, RNG) is saved there every
+        ``checkpoint_every`` restarts, and — when ``resume`` — a matching
+        existing file continues the loop mid-run.  Beyond the reference
+        (SURVEY.md §5: no checkpointing exists there); long restart runs
+        on expensive operators survive interruption.
 
     Returns:
       (PartialPeriodicSchur, ArnoldiHistory)
@@ -485,22 +494,51 @@ def partial_pschur(
     key = _order_key(which)
     eps23 = eps ** (2.0 / 3.0)
 
-    if u1 is None:
-        v = PK.vrand(n)
-    else:
-        v = np.asarray(u1, dtype=dtype)
-    v = v / np.linalg.norm(v)
     tol1 = 100 * eps
+    start_it = 0
+    resumed = False
+    if checkpoint is not None and resume:
+        import os as _os
+        if _os.path.exists(checkpoint):
+            from ..utils.io import load_krylov_state
+            Vc, Bc, meta = load_krylov_state(checkpoint)
+            if (int(meta["p"]) != p or int(meta["n"]) != n or
+                    int(meta["maxdim"]) != maxdim or
+                    str(meta["dtype"]) != np.dtype(dtype).name):
+                raise ValueError(
+                    "checkpoint problem shape/dtype mismatch: "
+                    f"{dict(p=int(meta['p']), n=int(meta['n']), maxdim=int(meta['maxdim']), dtype=str(meta['dtype']))}")
+            for l in range(p):
+                PK.V[l][...] = Vc[l]
+                PK.B[l][...] = Bc[l]
+            PK.k = int(meta["k"])
+            import ast as _ast
+            rng.bit_generator.state = _ast.literal_eval(str(meta["rng"]))
+            nprods = int(meta["nprods"])
+            nlock = int(meta["nlock"])
+            active = int(meta["active"])
+            k = int(meta["k"])
+            lams_all = np.asarray(meta["lams_all"], complex).copy()
+            rs_all = np.asarray(meta["rs_all"], float).copy()
+            start_it = int(meta["it"]) + 1
+            pa_ok = True
+            resumed = True
 
-    pa_ok = periodic_arnoldi(ops, PK, 0, mindim, v, tol1, eta_orth)
-    nprods = p * mindim
-    nlock = 0
-    active = 0
-    k = mindim
-    lams_all = np.zeros(maxdim, complex)
-    rs_all = np.full(maxdim, np.inf)
+    if not resumed:
+        if u1 is None:
+            v = PK.vrand(n)
+        else:
+            v = np.asarray(u1, dtype=dtype)
+        v = v / np.linalg.norm(v)
+        pa_ok = periodic_arnoldi(ops, PK, 0, mindim, v, tol1, eta_orth)
+        nprods = p * mindim
+        nlock = 0
+        active = 0
+        k = mindim
+        lams_all = np.zeros(maxdim, complex)
+        rs_all = np.full(maxdim, np.inf)
 
-    for it in range(restarts):
+    for it in range(start_it, restarts):
         if it > 0:
             _restore_hessenberg(PK, active, k)
         u = PK.V[0][:, k]
@@ -620,6 +658,15 @@ def partial_pschur(
         if not pa_ok:
             break
         active = nlock
+        if checkpoint is not None and (it + 1) % max(checkpoint_every, 1) == 0:
+            from ..utils.io import save_krylov_state
+            save_krylov_state(checkpoint, PK.V, PK.B, {
+                "p": p, "n": n, "maxdim": maxdim,
+                "dtype": np.dtype(dtype).name,
+                "rng": str(rng.bit_generator.state),
+                "nprods": nprods, "nlock": nlock, "active": active,
+                "k": k, "it": it,
+                "lams_all": lams_all, "rs_all": rs_all})
         if active >= nev:
             break
 

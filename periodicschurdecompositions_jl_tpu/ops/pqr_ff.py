@@ -532,7 +532,12 @@ def pqr_real_core_ff(
                     for lf in range(2, p):
                         Wr = (Wr @ win64(lf)) * bscs[lf].astype(f64)
                     Wp = Wp @ Wr
-                wrw, wiw = hess_eigs_small(Wp[1:, 1:], niter=8 * Mwin)
+                # 5*M fixed iterations: typical convergence is ~1.5/eig +
+                # one shrink step per block; the budget is sequential
+                # scalar work inside every sweep iteration, so keep it
+                # tight — an occasional unconverged window only degrades
+                # that sweep's trailing shifts
+                wrw, wiw = hess_eigs_small(Wp[1:, 1:], niter=5 * Mwin)
                 fits = i >= Mwin
 
                 def win_pair(b):

@@ -69,3 +69,47 @@ def load_decomposition(path: str):
             Zs=jnp.asarray(f["Zs"]) if "Zs" in f else None,
             values=jnp.asarray(f["values"]),
             orientation=orientation, schurindex=schurindex)
+
+
+# ---------------------------------------------------------------------------
+# Krylov restart checkpointing
+
+def save_krylov_state(path: str, V, B, meta: dict) -> None:
+    """Checkpoint a ``partial_pschur`` restart loop.
+
+    ``V``/``B`` are the Krylov basis / projected-factor lists (numpy,
+    per-slot shapes differ); ``meta`` carries the scalar loop state
+    (it, k, active, nlock, nprods, p, n, maxdim, dtype, rng_state-as-str,
+    lams_all, rs_all).  The reference has no checkpointing at all
+    (SURVEY.md §5); long restart runs on expensive operators resume
+    mid-loop here.
+    """
+    data = {}
+    for l, v in enumerate(V):
+        data[f"V{l}"] = np.asarray(v)
+    for l, b in enumerate(B):
+        data[f"B{l}"] = np.asarray(b)
+    for key, val in meta.items():
+        data[f"meta_{key}"] = np.asarray(val)
+    np.savez_compressed(path, **data)
+
+
+def load_krylov_state(path: str):
+    """Load a checkpoint saved by :func:`save_krylov_state`.
+
+    Returns (V, B, meta): lists of numpy arrays plus the scalar dict.
+    """
+    with np.load(path) as f:
+        V, B, meta = [], [], {}
+        for name in f.files:
+            if name.startswith("meta_"):
+                meta[name[5:]] = f[name][()]
+        l = 0
+        while f"V{l}" in f.files:
+            V.append(f[f"V{l}"])
+            l += 1
+        l = 0
+        while f"B{l}" in f.files:
+            B.append(f[f"B{l}"])
+            l += 1
+    return V, B, meta

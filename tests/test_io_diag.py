@@ -41,3 +41,32 @@ def test_facchecker(rng):
     Zbad = np.asarray(P.Zs).copy()
     Zbad[0, 0, 0] += 1e-3
     assert fc("corrupt", np.asarray(P.Ts), Zbad, verbose=False) > 1e-5
+
+
+def test_krylov_checkpoint_resume(rng, tmp_path):
+    """An interrupted partial_pschur resumes from its checkpoint and lands
+    on the SAME result as an uninterrupted run (deterministic loop + saved
+    RNG state)."""
+    from periodicschurdecompositions_jl_tpu import partial_pschur
+
+    p, n = 3, 40
+    A = jnp.asarray(rng.standard_normal((p, n, n)))
+    kw = dict(nev=3, which="LM", mindim=6, maxdim=12, seed=7)
+    ref, href = partial_pschur(A, **kw)
+
+    f = str(tmp_path / "krylov.npz")
+    # interrupted run: stop after 2 restarts, checkpoint each
+    partial_pschur(A, restarts=2, checkpoint=f, **kw)
+    import os
+    assert os.path.exists(f)
+    # resumed run must complete and match the uninterrupted result
+    got, hgot = partial_pschur(A, checkpoint=f, **kw)
+    assert hgot.converged
+    a = np.sort_complex(np.asarray(ref.values))
+    b = np.sort_complex(np.asarray(got.values))
+    assert np.allclose(a, b, rtol=1e-10, atol=1e-12)
+    # shape mismatch must be rejected
+    import pytest as _pytest
+    A2 = jnp.asarray(np.asarray(A)[:, :n - 2, :n - 2])
+    with _pytest.raises(ValueError):
+        partial_pschur(A2, checkpoint=f, **kw)
