@@ -56,10 +56,12 @@ class AlgoConfig:
     # double-shift bulges per Pallas sweep, each trailing the previous by
     # ``bulge_gap`` columns.  The per-bulge reflector-generation chains —
     # the sweep's sequential bottleneck — run batched, so extra bulges
-    # cost only slab arithmetic.  Shift pairs come from disjoint trailing
-    # 2x2 blocks of the band product (small-bulge multishift semantics);
-    # 1 = classic single-bulge Francis sweep (the reference's scheme,
-    # src/PeriodicSchurDecompositions.jl:806-886).
+    # cost only slab arithmetic.  Shift pairs are the eigenvalues of the
+    # trailing 2*nbulges x 2*nbulges window of the cycle product
+    # (small-bulge multishift semantics, ops/smallschur.py; measured
+    # jiter 76 -> 50 at p=2 n=32 nb=4 vs the disjoint-2x2 shifts that
+    # reduced nothing); 1 = classic single-bulge Francis sweep (the
+    # reference's scheme, src/PeriodicSchurDecompositions.jl:806-886).
     nbulges: int = 1
     bulge_gap: int = 3
 

@@ -591,17 +591,35 @@ def pqr_real_core_ff(
 
         # =============================================================
         # deflation branch (reference :895-1054)
+        # Runs of consecutive trailing 1x1 deflations collapse into ONE
+        # iteration: when found_k flags several negligible subdiagonals
+        # ending at i, all those diagonal entries are already converged
+        # real eigenvalues (a 1x1 deflation modifies nothing in H), so a
+        # deflation-only iteration per eigenvalue would just re-pay the
+        # fixed per-iteration cost (band products + state copies).  The
+        # run length (+ the window floor when the whole window is
+        # diagonal) comes off i at once; the final subdiagonal scrub
+        # already zeroes real-eigenvalue subdiagonals, exactly as in the
+        # one-at-a-time flow.
+        one_only = lnew == i
+        jdx = i - iv
+        fk_ok = (jdx >= l + 1) & (jdx <= i)
+        fk_run = jnp.where(
+            fk_ok, found_k[jnp.clip(jdx, 0, n - 1)].astype(jnp.int32), 0)
+        run1 = jnp.sum(jnp.cumprod(fk_run)).astype(jnp.int32)
+        run1 = jnp.where(run1 >= i - l, run1 + 1, run1)  # window all-diag
+        ndefl1 = jnp.maximum(run1, 1).astype(jnp.int32)
+        ndefl = jnp.where(one_only, ndefl1, jnp.int32(2)).astype(jnp.int32)
+
         def do_deflate(HZwrwi):
             H, ZT, wr, wi = HZwrwi
-            one_only = lnew == i
 
             def defl1(HZwrwi):
                 H, ZT, wr, wi = HZwrwi
-                ic = jnp.clip(i, 0, n - 1)
-                lam = lax.dynamic_slice(hdiag, (ic,), (1,))[0] * \
-                    jnp.exp2(bexp.astype(f64))
-                wr = lax.dynamic_update_slice(wr, lam[None], (ic,))
-                wi = lax.dynamic_update_slice(wi, jnp.zeros((1,), f64), (ic,))
+                dmask = (iv <= i) & (iv > i - ndefl1)
+                lamv = hdiag * jnp.exp2(bexp.astype(f64))
+                wr = jnp.where(dmask, lamv, wr)
+                wi = jnp.where(dmask, 0.0, wi)
                 return H, ZT, wr, wi
 
             def defl2(HZwrwi):
@@ -786,7 +804,7 @@ def pqr_real_core_ff(
             splitting, do_deflate, lambda x: x, (H, ZT, wr, wi))
 
         itleft = jnp.where(splitting, itleft - its, itleft)
-        i = jnp.where(splitting, lnew - 1, i)
+        i = jnp.where(splitting, i - ndefl, i)
         l = jnp.where(splitting, jnp.int32(0), lnew)
         its = jnp.where(splitting, jnp.int32(1), its + 1)
         return (H, ZT, wr, wi, i, l, its, itleft, jiter + 1)
