@@ -124,7 +124,8 @@ def test_pqr_ff_chunked_resume():
     assert bool(out2[8])
 
 
-@pytest.mark.parametrize("p,n,nb", [(1, 12, 2), (2, 12, 3), (4, 16, 2)])
+@pytest.mark.parametrize("p,n,nb", [(1, 12, 2), (2, 12, 3), (4, 16, 2),
+                                    (2, 6, 4)])
 def test_pqr_ff_multibulge(p, n, nb):
     """cfg.nbulges > 1: NB double-shift bulges per Pallas sweep (batched
     generation chains + bulge-major deferred application)."""
