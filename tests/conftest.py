@@ -33,10 +33,25 @@ os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
-# The axon TPU plugin registers itself as default even when JAX_PLATFORMS=cpu;
-# pin the default device explicitly so tests run on (8 virtual) CPU devices
+# The axon TPU plugin registers itself (via sitecustomize) as default even
+# when JAX_PLATFORMS=cpu, and its backend INITIALIZATION blocks indefinitely
+# when the chip tunnel is down — which would hang the whole (CPU-only) test
+# suite.  Registration has happened by the time conftest runs, but
+# initialization is lazy: drop the factory before any backend is built so
+# tests never touch the tunnel.  Bench/on-chip probes run in separate
+# processes and are unaffected.
+from jax._src import xla_bridge  # noqa: E402
+
+xla_bridge._backend_factories.pop("axon", None)
+# register() also writes jax.config jax_platforms="axon,cpu", which overrides
+# the env var; put it back to cpu-only.
+jax.config.update("jax_platforms", "cpu")
+
+# Pin the default device explicitly so tests run on (8 virtual) CPU devices
 # with exact float64.
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
