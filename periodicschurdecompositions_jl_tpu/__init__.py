@@ -61,6 +61,7 @@ from .models.ordschur import ordschur  # noqa: E402
 from .models.vectors import eigvecs  # noqa: E402
 from .models.krylov import partial_pschur, ArnoldiHistory  # noqa: E402
 from .utils.io import load_decomposition, save_decomposition  # noqa: E402
+from .ops.pqz_mp import MpGeneralizedPeriodicSchur, pschur_mp  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -87,4 +88,6 @@ __all__ = [
     "FacChecker",
     "save_decomposition",
     "load_decomposition",
+    "pschur_mp",
+    "MpGeneralizedPeriodicSchur",
 ]
