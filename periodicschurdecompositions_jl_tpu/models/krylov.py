@@ -390,10 +390,100 @@ def _slot_q(PS: PeriodicSchur) -> List[np.ndarray]:
     return [W[(p - l) % p] for l in range(p)]
 
 
+def _blocks_of(T0: np.ndarray) -> List[tuple]:
+    """(start, size) diagonal-block partition from the quasi-triangular
+    factor's subdiagonal (1x1 everywhere for complex/strict-triangular)."""
+    k = T0.shape[0]
+    blocks = []
+    i = 0
+    while i < k:
+        if i + 1 < k and T0[i + 1, i] != 0:
+            blocks.append((i, 2))
+            i += 2
+        else:
+            blocks.append((i, 1))
+            i += 1
+    return blocks
+
+
+def _invariant_basis_at1(Ts: np.ndarray, bstart: int, bsize: int,
+                         blocks: List[tuple]) -> np.ndarray:
+    """Orthonormal basis of the T-cycle invariant subspace at slot 1.
+
+    ``Ts``: (p, k, k) right-oriented (quasi-)triangular stack with
+    ``Zs[l]^H M[l] Zs[l+1] = Ts[l]``; the diagonal block at ``bstart`` (size
+    ``bsize``) names the candidate.  The basis columns v satisfy
+    ``(Ts[1] Ts[2] ... Ts[0]) v = v Mprod`` with the block's eigenvalues —
+    i.e. exactly the span the leading columns of a reordered Zs[1] acquire,
+    but obtained by cyclic periodic-Sylvester back-substitution (the math of
+    models/vectors.py's pair solve) instead of a trial ``ordschur``.
+
+    Raises IllConditionedException (from pgsylsolve) when a level's
+    separation vanishes; callers fall back to the trial-reorder probe.
+    """
+    from ..ops.reorder_np import pgsylsolve
+    p, kk, _ = Ts.shape
+    dt = Ts.dtype
+    M = [Ts[l, bstart:bstart + bsize, bstart:bstart + bsize]
+         for l in range(p)]
+    above = [b for b in blocks if b[0] < bstart]
+    Sd = (True,) * p
+    # fill[l][bi] = X_l block for level bi; level equations (derived from
+    # Ts[l] v_{l+1} = v_l M_l on v = [x; I; 0]):
+    #   Ts[l][Bi,Bi] X_{l+1} - X_l M_l = -C_l,
+    # solved nearest-level-first so C can accumulate the in-between fill.
+    fill = [dict() for _ in range(p)]
+    for bi, bs in reversed(above):
+        A = [Ts[l, bi:bi + bs, bi:bi + bs] for l in range(p)]
+        C = []
+        for l in range(p):
+            ln = (l + 1) % p
+            c = np.array(Ts[l, bi:bi + bs, bstart:bstart + bsize],
+                         dtype=dt)
+            for bq, bqs in above:
+                if bq > bi:
+                    c = c + Ts[l, bi:bi + bs, bq:bq + bqs] @ fill[ln][bq]
+            C.append(c)
+        # map A_l X_{l+1} - X_l B_l = -C_l onto pgsylsolve's
+        # A'[k] X'[k] - X'[k+1] B'[k] = -C'[k] by reversing the cycle
+        # (X'[k] = X_{(1-k) % p}; verified numerically in the tests)
+        Ar = [A[(-k) % p] for k in range(p)]
+        Br = [M[(-k) % p] for k in range(p)]
+        Cr = [C[(-k) % p] for k in range(p)]
+        v = pgsylsolve(Ar, Br, Cr, Sd)
+        pp = bs * bsize
+        for k2 in range(p):
+            fill[(1 - k2) % p][bi] = \
+                v[k2 * pp:(k2 + 1) * pp].reshape((bs, bsize), order="F")
+    V = np.zeros((kk, bsize), dtype=dt)
+    V[bstart:bstart + bsize] = np.eye(bsize, dtype=dt)
+    for bi, bs in above:
+        V[bi:bi + bs] = fill[1 % p][bi]
+    if not np.all(np.isfinite(V)):
+        raise IllConditionedException()
+    q, _ = np.linalg.qr(V)
+    return q
+
+
 def _residuals(PS, foot, ritz_ord, lams, active, isreal_t):
-    """Ritz residuals by trial reordering each candidate to the top
-    (reference `_compute_ritz_resids!`, src/krylov.jl:833-919)."""
+    """Ritz residuals per candidate (reference `_compute_ritz_resids!`,
+    src/krylov.jl:833-919).
+
+    Fast path: the residual only needs the span the leading columns of
+    Zs[1] would acquire after reordering the candidate to the top, so it is
+    computed DIRECTLY from a cyclic Sylvester back-substitution
+    (:func:`_invariant_basis_at1`) — O(k^2 p) per candidate instead of the
+    reference's full trial ``ordschur`` (O(k^3 p) swap machinery plus a
+    decomposition copy per candidate, the dominant host cost at larger
+    maxdim).  Values are identical for 1x1 candidates (the same unit
+    vector up to phase); for pairs the projection 2-norm replaces the
+    basis-dependent max-|entry| of the trial probe (within sqrt(2),
+    conservative).  Ill-conditioned levels fall back to the trial probe.
+    """
     nwrk = len(lams)
+    Tsn = np.asarray(PS.Ts)
+    W1 = np.asarray(PS.Zs)[1 % PS.period]
+    blocks = _blocks_of(Tsn[0])
     rs = np.full(nwrk, np.inf)
     skip_next = False
     for idx, j in enumerate(ritz_ord):
@@ -402,27 +492,50 @@ def _residuals(PS, foot, ritz_ord, lams, active, isreal_t):
             continue
         lam = lams[j]
         pair = isreal_t and lam.imag != 0
-        select = np.zeros(nwrk, bool)
-        select[j] = True
+        jc = None
         if pair:
             jc = j + 1 if j + 1 < nwrk and abs(np.conj(lams[j + 1]) - lam) <= \
                 1e-8 * max(abs(lam), 1e-300) else j - 1
-            select[jc] = True
             skip_next = True
+        bstart, bsize = (min(j, jc), 2) if pair else (j, 1)
+        # the candidate must align with the quasi-triangular block
+        # partition (a half-pair or straddled block falls back to the
+        # trial probe, which handles any structure)
+        aligned = (bstart, bsize) in blocks if pair else \
+            any(b == (bstart, 1) for b in blocks)
         try:
-            PSx = ordschur(PS, list(select))
-        except IllConditionedException:
-            rs[j] = np.abs(foot[:j + 1]).max()
-            continue
-        Q = _slot_q(PSx)
-        newrow = foot @ Q[p_of(PSx)]
+            if not aligned:
+                raise IllConditionedException()
+            U = _invariant_basis_at1(Tsn, bstart, bsize, blocks)
+            newrow = foot @ (W1 @ U)
+            r = float(np.linalg.norm(newrow))
+        except (IllConditionedException, np.linalg.LinAlgError):
+            r = _residual_trial(PS, foot, j, jc, nwrk)
         if pair:
-            r = max(abs(newrow[0]), abs(newrow[1]))
             rs[j] = r
             rs[jc] = r
         else:
-            rs[j] = abs(newrow[0])
+            rs[j] = r
     return rs
+
+
+def _residual_trial(PS, foot, j, jc, nwrk):
+    """Trial-reorder residual probe for one candidate (the reference's
+    scheme, src/krylov.jl:833-919): move it to the top, read the
+    transformed foot row."""
+    select = np.zeros(nwrk, bool)
+    select[j] = True
+    if jc is not None:
+        select[jc] = True
+    try:
+        PSx = ordschur(PS, list(select))
+    except IllConditionedException:
+        return float(np.abs(foot[:j + 1]).max())
+    Q = _slot_q(PSx)
+    newrow = foot @ Q[p_of(PSx)]
+    if jc is not None:
+        return float(max(abs(newrow[0]), abs(newrow[1])))
+    return float(abs(newrow[0]))
 
 
 def p_of(PS):

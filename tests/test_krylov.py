@@ -173,3 +173,49 @@ def test_krylov_custom_vrand(rng):
     ps2, h2 = partial_pschur(A, nev, "LM", vrand=filler2)
     assert np.allclose(np.asarray(ps1.values), np.asarray(ps2.values))
     check_partial(A, ps1)
+
+
+def test_direct_residuals_match_trial_probe(rng):
+    """The cyclic-Sylvester residual fast path must agree with the
+    reference's trial-reorder probe: exactly for 1x1 candidates, within
+    sqrt(2) (+ rounding headroom) for conjugate pairs (projection 2-norm
+    vs basis-dependent max-|entry|)."""
+    from periodicschurdecompositions_jl_tpu.models.krylov import (
+        _residual_trial, _residuals, _small_pschur)
+
+    for dtype in (np.float64, np.complex128):
+        p, kk = 3, 9
+        B = [np.triu(rng.standard_normal((kk + 1, kk + 1))).astype(dtype)
+             for _ in range(p - 1)]
+        Bp = np.triu(rng.standard_normal((kk + 1, kk + 1)), -1).astype(dtype)
+        if np.issubdtype(dtype, np.complexfloating):
+            B = [b + 1j * np.triu(rng.standard_normal(b.shape))
+                 for b in B]
+            Bp = Bp + 1j * np.triu(rng.standard_normal(Bp.shape), -1)
+        Bl = B + [Bp]
+        PS = _small_pschur(Bl, 0, kk, np.dtype(dtype))
+        foot = rng.standard_normal(kk).astype(dtype)
+        lams = np.asarray(PS.values)
+        isreal_t = not np.issubdtype(dtype, np.complexfloating)
+        rs = _residuals(PS, foot, list(range(kk)), lams, 0, isreal_t)
+        # recompute every candidate via the trial probe and compare
+        skip = False
+        for j in range(kk):
+            if skip:
+                skip = False
+                continue
+            lam = lams[j]
+            pair = isreal_t and lam.imag != 0
+            jc = None
+            if pair:
+                jc = j + 1 if j + 1 < kk and \
+                    abs(np.conj(lams[j + 1]) - lam) <= 1e-8 * abs(lam) \
+                    else j - 1
+                skip = True
+            rt = _residual_trial(PS, foot, j, jc, kk)
+            if pair:
+                assert rt / np.sqrt(2) - 1e-10 <= rs[j] <= \
+                    rt * np.sqrt(2) + 1e-10, (j, rs[j], rt)
+            else:
+                assert abs(rs[j] - rt) <= 1e-8 * max(1.0, rt), (
+                    j, rs[j], rt)
