@@ -391,8 +391,8 @@ def pqr_real_core_ff(
 
         # =============================================================
         # bulge-chase branch: shift + one fused Pallas sweep
-        def do_chase(HZ):
-            H, ZT = HZ
+        def do_chase(HZwrwi):
+            H, ZT, wr, wi = HZwrwi
 
             def el(v, idx):
                 idx = jnp.clip(jnp.asarray(idx, jnp.int32), 0, n - 1)
@@ -463,8 +463,8 @@ def pqr_real_core_ff(
                 H, ZT = chase_sweep_ff(H, ZT if want_z else None, m, i, v0,
                                        want_z=want_z, interpret=interpret)
                 if not want_z:
-                    ZT = HZ[1]
-                return H, ZT
+                    ZT = HZwrwi[1]
+                return H, ZT, wr, wi
 
             # ---- multi-bulge sweep: NB Francis pairs per pass --------
             # Shift quality decides whether extra bulges reduce the sweep
@@ -584,10 +584,8 @@ def pqr_real_core_ff(
                 H, ZT if want_z else None, m, i, v0, sig, bscs, nbact,
                 NB=NBs, GAP=GAPs, want_z=want_z, interpret=interpret)
             if not want_z:
-                ZT = HZ[1]
-            return H, ZT
-
-        H, ZT = lax.cond(splitting, lambda x: x, do_chase, (H, ZT))
+                ZT = HZwrwi[1]
+            return H, ZT, wr, wi
 
         # =============================================================
         # deflation branch (reference :895-1054)
@@ -800,8 +798,12 @@ def pqr_real_core_ff(
 
             return lax.cond(one_only, defl1, defl2, (H, ZT, wr, wi))
 
+        # ONE cond for the two exclusive branches: the chase/deflate pair
+        # used to be two identity-carrying conds, each round-tripping the
+        # full padded (H, ZT) state (~70 MB at the N=512 headline) through
+        # the cond boundary — a pure fixed cost on every iteration.
         H, ZT, wr, wi = lax.cond(
-            splitting, do_deflate, lambda x: x, (H, ZT, wr, wi))
+            splitting, do_deflate, do_chase, (H, ZT, wr, wi))
 
         itleft = jnp.where(splitting, itleft - its, itleft)
         i = jnp.where(splitting, i - ndefl, i)
