@@ -64,6 +64,20 @@ class AlgoConfig:
     # reference's scheme, src/PeriodicSchurDecompositions.jl:806-886).
     nbulges: int = 1
     bulge_gap: int = 3
+    # Periodic aggressive early deflation (chunked ds real core only):
+    # every ``aed_interval`` iterations the host takes the trailing
+    # ``aed_window`` window of the cycle, computes its (small, f64)
+    # periodic Schur form, tests the spike column beta * Zw[0][0, :], and
+    # deflates every trailing eigenvalue whose spike entries are
+    # negligible — converged eigenvalues are harvested WITHOUT the sweeps
+    # the subdiagonal-decay test would still need (the standard
+    # Braman-Byers-Mathias accelerator, periodic form after Kressner;
+    # beyond the reference, which has no AED).  Runs between device
+    # chunks: window analysis is host f64, the writeback transforms apply
+    # on-device in ds.  All failures degrade to "no deflation".
+    aed: bool = True
+    aed_window: int = 24
+    aed_interval: int = 96
 
     def ulp_x(self, ulp: float) -> float:
         """Tightened Ahues-Tisseur relative threshold ``eps^(1+at_pwr16/16)``."""

@@ -1,0 +1,265 @@
+"""Periodic aggressive early deflation (AED) for the chunked ds real core.
+
+The classic QR accelerator (Braman-Byers-Mathias; LAPACK xLAQR3), in its
+periodic form (after Kressner's multishift/AED work on the periodic QR
+algorithm): take the trailing ``w``-window of the active cycle, compute its
+(small) periodic Schur form, and examine the *spike* — the window's coupling
+column ``beta * Zw[0][0, :]`` that materializes when the window transforms
+are applied to the Hessenberg factor.  Every trailing eigenvalue block whose
+spike entries are negligible is CONVERGED even though the subdiagonal decay
+test cannot see it yet; zeroing those entries (a backward-stable
+perturbation) deflates it without any further sweeps.  Non-deflatable blocks
+are reordered out of the way and the remaining window is returned to
+periodic Hessenberg form around the compressed spike.
+
+The reference has no AED (SURVEY §2: its cores are straight SLICOT
+translations); this is a beyond-reference convergence accelerator.  It runs
+HOST-side between device chunks of `ops/pqr_ff.pqr_real_core_ff_chunked`:
+the window analysis is small dense f64 (numpy + the exact CPU cores), and
+only the final orthogonal window transforms touch the device state, applied
+in ds arithmetic (f64 transforms carry ~1e-15 orthogonality defect, far
+inside the ds contract).  Every failure path degrades to "no deflation".
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ff
+from .ff import FF
+
+
+# running tallies (host-side observability, in the spirit of the library's
+# with_info counters; tests also read these)
+stats = {"passes": 0, "deflated": 0}
+
+
+def _cpu_device():
+    return jax.devices("cpu")[0]
+
+
+def _window_schur(Hwin: np.ndarray):
+    """Exact-f64 periodic Schur of the window cycle (CPU core)."""
+    from .pqr_real import pqr_real_core
+    with jax.default_device(_cpu_device()):
+        T, Z, wr, wi, ok = pqr_real_core(jnp.asarray(Hwin), want_z=True)
+    if not bool(ok):
+        return None
+    return (np.asarray(T), np.asarray(Z), np.asarray(wr), np.asarray(wi))
+
+
+def _phess_window(Awin: np.ndarray):
+    """Exact-f64 periodic Hessenberg reduction of the window cycle."""
+    from .hessenberg import phessenberg_core
+    with jax.default_device(_cpu_device()):
+        H, Q = phessenberg_core(jnp.asarray(Awin), want_q=True)
+    return np.asarray(H), np.asarray(Q)
+
+
+def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
+                ) -> Optional[Tuple[int, np.ndarray, np.ndarray,
+                                    np.ndarray, np.ndarray]]:
+    """Analyze a trailing window for early deflations (host, f64).
+
+    Args:
+      Hwin: (p, w, w) float64 window; Hwin[0] upper Hessenberg (the window
+        of the active Hessenberg factor), Hwin[1:] upper triangular.
+      beta: the coupling entry H0[s, s-1] (0 at the window head).
+      tol: absolute spike-negligibility threshold (the caller passes the
+        core's H0 deflation scale, ulp * n * opnorm1(H0)); zeroing a spike
+        entry perturbs H0 by exactly that entry.
+
+    Returns None when nothing deflates, else
+      (d, Wfinal, Ztot, values, spike_head):
+      d: number of deflated eigenvalues (trailing d window slots);
+      Wfinal: (p, w, w) new window stack — leading (w-d) back in periodic
+        Hessenberg form, trailing d standardized quasi-triangular;
+      Ztot: (p, w, w) orthogonal window transforms (Z_l <- Z_l @ Ztot_l);
+      values: (w,) complex eigenvalues (trailing d slots are the deflated,
+        now-final eigenvalues);
+      spike_head: (w,) new H0[s:s+w, s-1] column (alpha e1 pattern).
+    """
+    from ..models.ordschur import ordschur
+    from ..types import IllConditionedException, PeriodicSchur
+
+    p, w, _ = Hwin.shape
+    out = _window_schur(Hwin)
+    if out is None:
+        return None
+    Tw, Zw, wr, wi = out
+    vals = wr + 1j * wi
+    PS = PeriodicSchur(Ts=jnp.asarray(Tw), Zs=jnp.asarray(Zw),
+                       values=jnp.asarray(vals), orientation="R",
+                       schurindex=0)
+
+    def spike_of(PSx):
+        return beta * np.asarray(PSx.Zs)[0][0, :]
+
+    spike = spike_of(PS)
+    lams = np.asarray(PS.values)
+    kbot = w
+    kept = 0
+    while kbot > kept:
+        bs = 2 if lams[kbot - 1].imag != 0 else 1
+        if bs == 2 and kbot - 2 < kept:
+            break  # half a pair at the boundary: stop
+        if np.abs(spike[kbot - bs:kbot]).max() <= tol:
+            kbot -= bs  # deflate in place
+            continue
+        if kept == kbot - bs:
+            kept += bs  # already at the top of the undecided region
+            continue
+        # move the failed block out of the way (to position `kept`)
+        select = np.zeros(w, bool)
+        select[:kept] = True
+        select[kbot - bs:kbot] = True
+        try:
+            PS = ordschur(PS, list(select))
+        except IllConditionedException:
+            break  # stop reordering; keep what is already deflated
+        spike = spike_of(PS)
+        lams = np.asarray(PS.values)
+        kept += bs
+    d = w - kbot
+    stats["passes"] += 1
+    if d == 0:
+        return None
+    stats["deflated"] += d
+    u = kbot
+    Tw = np.asarray(PS.Ts)
+    Zw = np.asarray(PS.Zs)
+    lams = np.asarray(PS.values)
+
+    # ---- compress the live spike + re-Hessenberg the leading window -----
+    V = np.broadcast_to(np.eye(w), (p, w, w)).copy()
+    spike_head = np.zeros(w)
+    if u > 0:
+        sp = spike[:u].copy()
+        nrm = np.linalg.norm(sp)
+        if nrm > 0.0:
+            # Householder P (symmetric orthogonal): P @ sp = alpha e1
+            alpha = -nrm if sp[0] >= 0 else nrm
+            v = sp.copy()
+            v[0] -= alpha
+            vn2 = v @ v
+            P = np.eye(u)
+            if vn2 > 0.0:
+                P -= 2.0 * np.outer(v, v) / vn2
+            spike_head[0] = alpha
+            # V_0 = P @ W_0 appears on BOTH factor 0's left and factor
+            # p-1's right: reduce the cycle (P T_0, T_1, .., T_{p-1} P)
+            # with the standard periodic Hessenberg reduction, whose W_0
+            # is a product of e1-preserving reflectors — the compressed
+            # spike direction survives exactly
+            if p == 1:
+                Aw = (P @ Tw[0][:u, :u] @ P)[None]
+            else:
+                Aw = np.stack([P @ Tw[0][:u, :u]] +
+                              [Tw[l][:u, :u] for l in range(1, p - 1)] +
+                              [Tw[p - 1][:u, :u] @ P])
+            Hw, Qw = _phess_window(Aw)
+            e1err = np.abs(Qw[0][:, 0] - np.eye(u)[:, 0]).max()
+            if not np.isfinite(e1err) or e1err > 1e-12:
+                return None  # defensive: never corrupt the spike direction
+            for l in range(p):
+                lead = (P @ Qw[l]) if l == 0 else Qw[l]
+                V[l][:u, :u] = lead
+        # nrm == 0: spike already compressed; leading Schur block is
+        # triangular, hence Hessenberg — nothing to do
+
+    Wfinal = np.empty_like(Tw)
+    for l in range(p):
+        Wfinal[l] = V[l].T @ Tw[l] @ V[(l + 1) % p]
+    # exact structural zeros (the matmuls leave rounding junk)
+    for l in range(p):
+        Wfinal[l][u:, :u] = 0.0
+        if l == 0:
+            Wfinal[l][:u, :u] = np.triu(Wfinal[l][:u, :u], -1)
+            # trailing block: quasi-triangular from the window Schur
+            Wfinal[l][u:, u:] = np.triu(Wfinal[l][u:, u:], -1)
+            keep = np.abs(np.diag(Tw[0][u:, u:], -1)) > 0
+            sub = np.diag(Wfinal[l][u:, u:], -1) * keep
+            Wfinal[l][u:, u:] = np.triu(Wfinal[l][u:, u:]) + np.diag(sub, -1)
+        else:
+            Wfinal[l] = np.triu(Wfinal[l])
+    Ztot = np.empty_like(Zw)
+    for l in range(p):
+        Ztot[l] = Zw[l] @ V[l]
+    return d, Wfinal, Ztot, lams, spike_head
+
+
+def _mm_left_ff(V: FF, rows: FF) -> FF:
+    """rows (w, N) <- V^T @ rows in ds (V an FF (w, w))."""
+    w = V.hi.shape[0]
+    prod = ff.mul(FF(jnp.swapaxes(V.hi, 0, 1)[:, :, None],
+                     jnp.swapaxes(V.lo, 0, 1)[:, :, None]),
+                  FF(rows.hi[None, :, :], rows.lo[None, :, :]))
+    return ff.sum_(prod, 1)
+
+
+def _mm_right_ff(cols: FF, V: FF) -> FF:
+    """cols (N, w) <- cols @ V in ds."""
+    prod = ff.mul(FF(cols.hi[:, :, None], cols.lo[:, :, None]),
+                  FF(V.hi[None, :, :], V.lo[None, :, :]))
+    return ff.sum_(prod, 1)
+
+
+@partial(jax.jit, static_argnames=("want_z",))
+def aed_apply_ff(Hhi, Hlo, ZThi, ZTlo, Zt64, Wf64, sp64, s,
+                 want_z: bool = True):
+    """Apply AED window transforms to the padded ds device state.
+
+    Args:
+      Hhi, Hlo / ZThi, ZTlo: (p, N, N) padded state (ZT transposed).
+      Zt64: (p, w, w) f64 orthogonal window transforms.
+      Wf64: (p, w, w) f64 new window block (written verbatim — computed in
+        f64 on the host, more accurate than transforming in ds).
+      sp64: (w,) f64 new H0[s:s+w, s-1] spike column.
+      s: traced int32 window start (the window is rows/cols [s, s+w)).
+
+    Returns updated (Hhi, Hlo, ZThi, ZTlo).
+    """
+    p, N, _ = Hhi.shape
+    w = Zt64.shape[-1]
+    s = jnp.asarray(s, jnp.int32)
+    Zt = ff.from_f64(Zt64.astype(jnp.float64))
+    Wf = ff.from_f64(Wf64.astype(jnp.float64))
+    sp = ff.from_f64(sp64.astype(jnp.float64))
+    H = FF(Hhi, Hlo)
+    ZT = FF(ZThi, ZTlo)
+    zero32 = jnp.int32(0)
+
+    def upd(M: FF, l: int, new: FF, r0, c0) -> FF:
+        hi = jax.lax.dynamic_update_slice(M.hi[l], new.hi, (r0, c0))
+        lo = jax.lax.dynamic_update_slice(M.lo[l], new.lo, (r0, c0))
+        return FF(M.hi.at[l].set(hi), M.lo.at[l].set(lo))
+
+    for l in range(p):
+        Vl = ff.index(Zt, l)
+        Vn = ff.index(Zt, (l + 1) % p)
+        rows = FF(jax.lax.dynamic_slice(H.hi[l], (s, zero32), (w, N)),
+                  jax.lax.dynamic_slice(H.lo[l], (s, zero32), (w, N)))
+        H = upd(H, l, _mm_left_ff(Vl, rows), s, zero32)
+        cols = FF(jax.lax.dynamic_slice(H.hi[l], (zero32, s), (N, w)),
+                  jax.lax.dynamic_slice(H.lo[l], (zero32, s), (N, w)))
+        H = upd(H, l, _mm_right_ff(cols, Vn), zero32, s)
+        # the (doubly ds-transformed) window block is replaced by the
+        # f64-exact host result
+        H = upd(H, l, ff.index(Wf, l), s, s)
+        if want_z:
+            zrows = FF(jax.lax.dynamic_slice(ZT.hi[l], (s, zero32), (w, N)),
+                       jax.lax.dynamic_slice(ZT.lo[l], (s, zero32), (w, N)))
+            ZT = upd(ZT, l, _mm_left_ff(Vl, zrows), s, zero32)
+    # spike column of the Hessenberg factor (guard s == 0: no coupling)
+    sc = jnp.maximum(s - 1, 0)
+    spc = FF(sp.hi[:, None], sp.lo[:, None])
+    live = s >= 1
+    old = FF(jax.lax.dynamic_slice(H.hi[0], (s, sc), (w, 1)),
+             jax.lax.dynamic_slice(H.lo[0], (s, sc), (w, 1)))
+    spc = ff.where(live, spc, old)
+    H = upd(H, 0, spc, s, sc)
+    return H.hi, H.lo, ZT.hi, ZT.lo

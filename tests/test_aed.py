@@ -1,0 +1,181 @@
+"""Tests for periodic aggressive early deflation (ops/aed.py).
+
+AED is a beyond-reference convergence accelerator; correctness oracles are
+the usual ones (orthogonal transforms, reconstruction, eigenvalues vs the
+explicit product) plus equivalence of the accelerated chunked driver with
+the plain core.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from periodicschurdecompositions_jl_tpu.config import AlgoConfig
+from periodicschurdecompositions_jl_tpu.ops import ff
+from periodicschurdecompositions_jl_tpu.ops.aed import (aed_analyze,
+                                                        aed_apply_ff)
+from periodicschurdecompositions_jl_tpu.ops.hessenberg import \
+    phessenberg_core
+from periodicschurdecompositions_jl_tpu.ops.pqr_ff import (
+    pqr_real_core_ff, pqr_real_core_ff_chunked)
+
+EPS = np.finfo(np.float64).eps
+
+
+def _window(rng, p, w):
+    H = np.stack([np.triu(rng.standard_normal((w, w)), -1 if l == 0 else 0)
+                  for l in range(p)])
+    return H
+
+
+def test_aed_analyze_tiny_coupling_deflates_all(rng):
+    """beta ~ 0: the whole window is converged; AED must adopt its Schur
+    form wholesale (d == w) with orthogonal transforms and exact
+    eigenvalues."""
+    p, w = 3, 10
+    Hwin = _window(rng, p, w)
+    beta = 1e-25
+    tol = EPS * w * np.abs(Hwin[0]).sum(axis=0).max()
+    res = aed_analyze(Hwin, beta, tol)
+    assert res is not None
+    d, Wf, Zt, vals, sph = res
+    assert d == w
+    # transforms orthogonal
+    for l in range(p):
+        assert np.abs(Zt[l] @ Zt[l].T - np.eye(w)).max() < 100 * EPS * w
+    # reconstruction: Zt[l]^T Hwin[l] Zt[l+1] = Wf[l]
+    for l in range(p):
+        R = Zt[l].T @ Hwin[l] @ Zt[(l + 1) % p]
+        assert np.abs(R - Wf[l]).max() < 1e3 * EPS * np.abs(Hwin[l]).max()
+    # eigenvalues match the window product
+    wprod = np.linalg.multi_dot(list(Hwin)) if p > 1 else Hwin[0]
+    w_ref = np.linalg.eigvals(wprod)
+    vs = sorted(vals, key=lambda z: (abs(z), z.imag))
+    ws = sorted(w_ref, key=lambda z: (abs(z), z.imag))
+    scale = max(np.abs(w_ref).max(), 1.0)
+    assert max(abs(a - b) for a, b in zip(vs, ws)) < 1e4 * EPS * scale
+
+
+def test_aed_analyze_generic_window_mostly_none(rng):
+    """O(1) coupling on a random (unconverged) window: spikes are O(beta),
+    nothing deflates."""
+    p, w = 2, 12
+    Hwin = _window(rng, p, w)
+    tol = EPS * w * np.abs(Hwin[0]).sum(axis=0).max()
+    res = aed_analyze(Hwin, 1.7, tol)
+    assert res is None
+
+
+def test_aed_partial_deflation_structure(rng):
+    """Plant a decoupled converged trailing block inside the window plus a
+    live leading part: AED must deflate the trailing eigenvalues, keep the
+    leading ones, and return a leading part in periodic Hessenberg form
+    with the spike compressed to alpha e1."""
+    p, w, conv = 3, 12, 5
+    Hwin = _window(rng, p, w)
+    u0 = w - conv
+    # decouple the trailing block and make it already-quasi-triangular by
+    # construction (a tiny converged subproblem's Schur form)
+    sub = _window(rng, p, conv)
+    from periodicschurdecompositions_jl_tpu.ops.pqr_real import pqr_real_core
+    T, Z, wr, wi, ok = pqr_real_core(jnp.asarray(sub), want_z=False)
+    assert bool(ok)
+    Hwin[:, u0:, u0:] = np.asarray(T)
+    Hwin[0][u0, u0 - 1] = 0.0
+    beta = 0.9
+    tol = EPS * w * np.abs(Hwin[0]).sum(axis=0).max()
+    res = aed_analyze(Hwin, beta, tol)
+    assert res is not None
+    d, Wf, Zt, vals, sph = res
+    assert d >= conv
+    u = w - d
+    # leading window back in periodic Hessenberg form
+    assert np.abs(np.tril(Wf[0][:u, :u], -2)).max() == 0.0
+    for l in range(1, p):
+        assert np.abs(np.tril(Wf[l][:u, :u], -1)).max() == 0.0
+    # spike compressed: alpha at slot 0, zeros elsewhere
+    assert np.all(sph[1:] == 0.0)
+    # deflated eigenvalues are (a subset of) the planted block's
+    w_ref = np.linalg.eigvals(np.linalg.multi_dot(list(np.asarray(T))))
+    for v in vals[u:]:
+        assert min(abs(v - z) for z in w_ref) < 1e5 * EPS * max(
+            1.0, np.abs(w_ref).max())
+    # transforms orthogonal + reconstruction
+    for l in range(p):
+        assert np.abs(Zt[l] @ Zt[l].T - np.eye(w)).max() < 100 * EPS * w
+        R = Zt[l].T @ Hwin[l] @ Zt[(l + 1) % p]
+        # spike-zeroing perturbs H0 only at negligible entries; compare
+        # away from the first column of the deflated rows
+        assert np.abs(R - Wf[l]).max() < 1e3 * EPS * max(
+            1.0, np.abs(Hwin[l]).max()) + 2 * tol
+
+
+def test_aed_apply_ff_matches_host(rng):
+    """The ds device application must agree with the f64 host transform."""
+    p, n, w, s = 2, 16, 6, 7
+    N = n + 1
+    H = np.zeros((p, N, N))
+    H[:, :n, :n] = _window(rng, p, n)
+    ZT = np.zeros((p, N, N))
+    ZT[:, :n, :n] = np.broadcast_to(np.eye(n), (p, n, n))
+    q = [np.linalg.qr(rng.standard_normal((w, w)))[0] for _ in range(p)]
+    Zt = np.stack(q)
+    Wf = np.stack([rng.standard_normal((w, w)) for _ in range(p)])
+    sp = rng.standard_normal(w)
+    Hf = ff.from_f64(jnp.asarray(H))
+    Zf = ff.from_f64(jnp.asarray(ZT))
+    Hh, Hl, Zh, Zl = aed_apply_ff(Hf.hi, Hf.lo, Zf.hi, Zf.lo,
+                                  jnp.asarray(Zt), jnp.asarray(Wf),
+                                  jnp.asarray(sp), jnp.int32(s),
+                                  want_z=True)
+    got = np.asarray(Hh, np.float64) + np.asarray(Hl, np.float64)
+    gzt = np.asarray(Zh, np.float64) + np.asarray(Zl, np.float64)
+    for l in range(p):
+        ref = H[l].copy()
+        ref[s:s + w, :] = Zt[l].T @ ref[s:s + w, :]
+        ref[:, s:s + w] = ref[:, s:s + w] @ Zt[(l + 1) % p]
+        ref[s:s + w, s:s + w] = Wf[l]
+        if l == 0:
+            ref[s:s + w, s - 1] = sp
+        assert np.abs(got[l] - ref).max() < 1e-13 * max(
+            1.0, np.abs(ref).max()), l
+        zref = ZT[l].copy()
+        zref[s:s + w, :] = Zt[l].T @ zref[s:s + w, :]
+        assert np.abs(gzt[l] - zref).max() < 1e-13
+
+
+def test_chunked_aed_end_to_end(rng):
+    """Chunked driver with AED: same eigenvalues and contract-grade
+    backward error as the plain core, and AED actually fires."""
+    p, n = 3, 48
+    A = rng.standard_normal((p, n, n))
+    H64, Q64 = phessenberg_core(jnp.asarray(A), want_q=True)
+    Hff = ff.from_f64(jnp.asarray(np.asarray(H64)))
+    QTff = ff.from_f64(jnp.asarray(np.swapaxes(np.asarray(Q64), 1, 2)))
+    cfg = AlgoConfig(aed=True, aed_window=12, aed_interval=8)
+    import periodicschurdecompositions_jl_tpu.ops.aed as aed_mod
+    defl0 = aed_mod.stats["deflated"]
+    out = pqr_real_core_ff_chunked(Hff.hi, Hff.lo, QTff.hi, QTff.lo,
+                                   want_z=True, interpret=True, cfg=cfg,
+                                   chunk_iters=8)
+    assert aed_mod.stats["deflated"] > defl0, "AED never fired"
+    T = np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)
+    Z = np.swapaxes(np.asarray(out[2], np.float64) +
+                    np.asarray(out[3], np.float64), 1, 2)
+    wr = np.asarray(out[4], np.float64) + np.asarray(out[5], np.float64)
+    wi = np.asarray(out[6], np.float64) + np.asarray(out[7], np.float64)
+    assert bool(out[8])
+    # backward error (ds contract)
+    scale = np.abs(A).max()
+    for l in range(p):
+        Ax = Z[l] @ T[l] @ Z[(l + 1) % p].T
+        assert np.abs(Ax - A[l]).max() < 1e-12 * scale, l
+    # Z orthogonality
+    for l in range(p):
+        assert np.abs(Z[l] @ Z[l].T - np.eye(n)).max() < 1e-12
+    # eigenvalues vs the plain (non-AED) core
+    out0 = pqr_real_core_ff(Hff.hi, Hff.lo, QTff.hi, QTff.lo,
+                            want_z=False, interpret=True)
+    wr0 = np.asarray(out0[4], np.float64) + np.asarray(out0[5], np.float64)
+    wi0 = np.asarray(out0[6], np.float64) + np.asarray(out0[7], np.float64)
+    w1 = np.sort_complex(wr + 1j * wi)
+    w0 = np.sort_complex(wr0 + 1j * wi0)
+    assert np.abs(w1 - w0).max() < 1e-9 * max(1.0, np.abs(w0).max())
