@@ -121,6 +121,7 @@ def pqr_real_core_ff_chunked(
     cfg: AlgoConfig = default_config,
     interpret: bool = False,
     chunk_iters: Optional[int] = None,
+    with_info: bool = False,
 ):
     """Host-chunked ds real periodic QR: the axon TPU worker kills any
     single device execute after ~60 s (measured: a slow-converging
@@ -130,9 +131,11 @@ def pqr_real_core_ff_chunked(
     import numpy as _np
     p, n, _ = Hhi.shape
     if n == 1:
-        return pqr_real_core_ff(Hhi, Hlo, ZThi, ZTlo, want_z=want_z,
+        out1 = pqr_real_core_ff(Hhi, Hlo, ZThi, ZTlo, want_z=want_z,
                                 maxitfac=maxitfac, cfg=cfg,
                                 interpret=interpret)
+        return out1 + ({"niter": 0, "aed_deflated": 0},) if with_info \
+            else out1
     maxit = maxitfac * n
     if chunk_iters is None:
         # ~10 ns per (p*n^2) state element per iteration (measured 40 ms/
@@ -193,9 +196,10 @@ def pqr_real_core_ff_chunked(
         misses = 0
     else:
         seg = chunk_iters
+    aed_total = 0
 
     def _try_aed(state):
-        nonlocal misses, seg
+        nonlocal misses, seg, aed_total
         i_cur = int(state[4])
         w = cfg.aed_window
         if i_cur + 1 < w + 2:
@@ -221,6 +225,7 @@ def pqr_real_core_ff_chunked(
         misses = 0
         seg = min(chunk_iters, cfg.aed_interval)
         d, Wf, Zt, lams, sph = res
+        aed_total += d
         u = w - d
         ZT = state[1]
         Hh, Hl, Zh, Zl = aed_apply_ff(
@@ -249,6 +254,11 @@ def pqr_real_core_ff_chunked(
             print(f"[pqr_ff chunk] jiter={int(state[-1])} "
                   f"i={int(state[4])} done={bool(done)}")
         if bool(done) or cap >= maxit:
+            if with_info:
+                # `with_info` mirrors the other cores' iteration counters
+                # (reference prints niter tallies at verbosity > 0)
+                return tuple(outs) + ({"niter": int(state[-1]),
+                                       "aed_deflated": aed_total},)
             return tuple(outs)
         if aed_on:
             state = _try_aed(state)
