@@ -76,8 +76,8 @@ class AlgoConfig:
     # chunks: window analysis is host f64, the writeback transforms apply
     # on-device in ds.  All failures degrade to "no deflation".
     aed: bool = True
-    aed_window: int = 24
-    aed_interval: int = 96
+    aed_window: int = 0   # 0 = auto: min(48, max(16, n // 10))
+    aed_interval: int = 0  # 0 = auto: max(24, n // 6)
 
     def ulp_x(self, ulp: float) -> float:
         """Tightened Ahues-Tisseur relative threshold ``eps^(1+at_pwr16/16)``."""

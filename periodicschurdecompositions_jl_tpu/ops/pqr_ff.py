@@ -181,8 +181,9 @@ def pqr_real_core_ff_chunked(
     # the subdiagonal test would still need.  Segment length shrinks to
     # the AED interval (adaptively backed off on misses) so the analysis
     # sees fresh windows often enough to pay.
-    aed_on = bool(cfg.aed) and cfg.aed_window >= 4 and \
-        n >= cfg.aed_window + 4
+    aed_w = cfg.aed_window if cfg.aed_window else min(48, max(16, n // 10))
+    aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 6)
+    aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4
     if aed_on:
         from .aed import aed_analyze, aed_apply_ff
         ulp = float(ff.EPS)
@@ -192,7 +193,7 @@ def pqr_real_core_ff_chunked(
         h0 = _np.asarray(Hhi[0], _np.float64) + _np.asarray(Hlo[0],
                                                             _np.float64)
         aed_tol = ulp * n * float(_np.abs(h0).sum(axis=0).max())
-        seg = min(chunk_iters, cfg.aed_interval)
+        seg = min(chunk_iters, aed_itv)
         misses = 0
     else:
         seg = chunk_iters
@@ -201,7 +202,7 @@ def pqr_real_core_ff_chunked(
     def _try_aed(state):
         nonlocal misses, seg, aed_total
         i_cur = int(state[4])
-        w = cfg.aed_window
+        w = aed_w
         if i_cur + 1 < w + 2:
             return state
         s = i_cur - w + 1
@@ -223,7 +224,7 @@ def pqr_real_core_ff_chunked(
                 seg = min(seg * 2, chunk_iters)
             return state
         misses = 0
-        seg = min(chunk_iters, cfg.aed_interval)
+        seg = min(chunk_iters, aed_itv)
         d, Wf, Zt, lams, sph = res
         aed_total += d
         u = w - d
