@@ -154,19 +154,35 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
             # p-1's right: reduce the cycle (P T_0, T_1, .., T_{p-1} P)
             # with the standard periodic Hessenberg reduction, whose W_0
             # is a product of e1-preserving reflectors — the compressed
-            # spike direction survives exactly
+            # spike direction survives exactly.  The leading-u problem is
+            # embedded block-diagonally at the FULL window size so every
+            # AED pass reuses ONE compiled (p, w) reduction (a fresh
+            # compile per distinct u costs ~a minute each at p=16).
+            Pw = np.eye(w)
+            Pw[:u, :u] = P
             if p == 1:
-                Aw = (P @ Tw[0][:u, :u] @ P)[None]
+                Aw = (Pw @ Tw[0] @ Pw)[None]
             else:
-                Aw = np.stack([P @ Tw[0][:u, :u]] +
-                              [Tw[l][:u, :u] for l in range(1, p - 1)] +
-                              [Tw[p - 1][:u, :u] @ P])
+                Aw = np.stack([Pw @ Tw[0]] +
+                              [Tw[l] for l in range(1, p - 1)] +
+                              [Tw[p - 1] @ Pw])
+            # decouple the deflated trailing block: the reduction must not
+            # mix it with the live window (blockdiag inputs stay blockdiag
+            # through QR/Hessenberg stages; zeroing makes that exact)
+            Aw[:, u:, :u] = 0.0
+            Aw[:, :u, u:] = 0.0
+            Aw[0, u:, u:] = np.eye(d)
+            for l in range(1, p):
+                Aw[l, u:, u:] = np.eye(d)
             Hw, Qw = _phess_window(Aw)
-            e1err = np.abs(Qw[0][:, 0] - np.eye(u)[:, 0]).max()
-            if not np.isfinite(e1err) or e1err > 1e-12:
+            e1err = np.abs(Qw[0][:, 0] - np.eye(w)[:, 0]).max()
+            offd = max(np.abs(Qw[l][:u, u:]).max() if d else 0.0
+                       for l in range(p))
+            if not (np.isfinite(e1err) and e1err <= 1e-12 and
+                    offd <= 1e-12):
                 return None  # defensive: never corrupt the spike direction
             for l in range(p):
-                lead = (P @ Qw[l]) if l == 0 else Qw[l]
+                lead = (P @ Qw[l][:u, :u]) if l == 0 else Qw[l][:u, :u]
                 V[l][:u, :u] = lead
         # nrm == 0: spike already compressed; leading Schur block is
         # triangular, hence Hessenberg — nothing to do
@@ -190,6 +206,239 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
     for l in range(p):
         Ztot[l] = Zw[l] @ V[l]
     return d, Wfinal, Ztot, lams, spike_head
+
+
+# ===========================================================================
+# complex / generalized variant (the ds split-complex QZ chunked driver)
+
+
+def _window_gpsd(Hwin: np.ndarray, S):
+    """Exact-f64 complex periodic QZ of the window cycle (CPU core)."""
+    from .pqz_complex import pqz_complex_core
+    with jax.default_device(_cpu_device()):
+        T, Z, al, be, sc, ok = pqz_complex_core(jnp.asarray(Hwin), S,
+                                                want_z=True)
+    if not bool(ok):
+        return None
+    return (np.asarray(T), np.asarray(Z), np.asarray(al), np.asarray(be),
+            np.asarray(sc))
+
+
+def _phess_window_signed(Awin: np.ndarray, S):
+    from .hessenberg import phessenberg_signed_core
+    with jax.default_device(_cpu_device()):
+        H, Q = phessenberg_signed_core(jnp.asarray(Awin), S, want_q=True)
+    return np.asarray(H), np.asarray(Q)
+
+
+def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float):
+    """Complex/generalized AED window analysis (host, complex128 f64).
+
+    Mirror of :func:`aed_analyze` for the signed complex QZ: the window
+    periodic Schur form comes from the complex GPSD core, deflation moves
+    through the generalized ``ordschur``, and the spike-compression
+    reduction is the SIGNED Hessenberg-triangular reduction — the
+    compression Householder P enters factor 0's left side and factor
+    p-1's right (direct) or left (inverted) side.
+
+    Returns None or (d, Wfinal, Ztot, alpha, beta_e, scale, spike_head):
+    eigenvalues in the decomposed (alpha, beta, 2^scale) form of the core's
+    state; trailing d slots are final.
+    """
+    from ..models.ordschur import ordschur
+    from ..types import GeneralizedPeriodicSchur, IllConditionedException
+
+    p, w, _ = Hwin.shape
+    out = _window_gpsd(Hwin, S)
+    if out is None:
+        return None
+    Tw, Zw, al, be, sc = out
+    GPS = GeneralizedPeriodicSchur(
+        S=tuple(bool(x) for x in S), schurindex=0, Ts=jnp.asarray(Tw),
+        Zs=jnp.asarray(Zw), alpha=jnp.asarray(al), beta=jnp.asarray(be),
+        alphascale=jnp.asarray(sc), orientation="R")
+
+    def spike_of(PSx):
+        return beta * np.conj(np.asarray(PSx.Zs)[0][0, :])
+
+    spike = spike_of(GPS)
+    kbot = w
+    kept = 0
+    while kbot > kept:
+        if abs(spike[kbot - 1]) <= tol:
+            kbot -= 1
+            continue
+        if kept == kbot - 1:
+            kept += 1
+            continue
+        select = np.zeros(w, bool)
+        select[:kept] = True
+        select[kbot - 1] = True
+        try:
+            GPS = ordschur(GPS, list(select))
+        except IllConditionedException:
+            break
+        spike = spike_of(GPS)
+        kept += 1
+    d = w - kbot
+    stats["passes"] += 1
+    if d == 0:
+        return None
+    stats["deflated"] += d
+    u = kbot
+    Tw = np.asarray(GPS.Ts)
+    Zw = np.asarray(GPS.Zs)
+    al = np.asarray(GPS.alpha)
+    be = np.asarray(GPS.beta)
+    sc = np.asarray(GPS.alphascale)
+
+    V = np.broadcast_to(np.eye(w, dtype=complex), (p, w, w)).copy()
+    spike_head = np.zeros(w, dtype=complex)
+    if u > 0:
+        sp = spike[:u].copy()
+        nrm = np.linalg.norm(sp)
+        if nrm > 0.0:
+            phase = sp[0] / abs(sp[0]) if sp[0] != 0 else 1.0
+            alpha = -phase * nrm
+            v = sp.copy()
+            v[0] -= alpha
+            vn2 = float(np.real(np.conj(v) @ v))
+            P = np.eye(u, dtype=complex)
+            if vn2 > 0.0:
+                P -= 2.0 * np.outer(v, np.conj(v)) / vn2
+            spike_head[0] = alpha
+            Pw = np.eye(w, dtype=complex)
+            Pw[:u, :u] = P
+            if p == 1:
+                Aw = (Pw @ Tw[0] @ Pw)[None]
+            else:
+                mids = [Tw[l] for l in range(1, p - 1)]
+                last = (Tw[p - 1] @ Pw) if S[p - 1] else (Pw @ Tw[p - 1])
+                Aw = np.stack([Pw @ Tw[0]] + mids + [last])
+            Aw[:, u:, :u] = 0.0
+            Aw[:, :u, u:] = 0.0
+            for l in range(p):
+                Aw[l, u:, u:] = np.eye(d)
+            Hw, Qw = _phess_window_signed(Aw, tuple(bool(x) for x in S))
+            e1err = np.abs(Qw[0][:, 0] - np.eye(w, dtype=complex)[:, 0]).max()
+            offd = max(np.abs(Qw[l][:u, u:]).max() if d else 0.0
+                       for l in range(p))
+            if not (np.isfinite(e1err) and e1err <= 1e-12 and
+                    offd <= 1e-12):
+                return None
+            for l in range(p):
+                lead = (P @ Qw[l][:u, :u]) if l == 0 else Qw[l][:u, :u]
+                V[l][:u, :u] = lead
+
+    Wfinal = np.empty_like(Tw)
+    for l in range(p):
+        ln = (l + 1) % p
+        if S[l]:
+            Wfinal[l] = V[l].conj().T @ Tw[l] @ V[ln]
+        else:
+            Wfinal[l] = V[ln].conj().T @ Tw[l] @ V[l]
+        Wfinal[l][u:, :u] = 0.0
+        Wfinal[l] = np.triu(Wfinal[l], -1 if l == 0 else 0)
+    Ztot = np.empty_like(Zw)
+    for l in range(p):
+        Ztot[l] = Zw[l] @ V[l]
+    return d, Wfinal, Ztot, al, be, sc, spike_head
+
+
+def _sum_cx(x, axis):
+    from . import cxff
+    from .cxff import CXF
+    return CXF(ff.sum_(x.re, axis), ff.sum_(x.im, axis))
+
+
+def _mm_left_cx(V, rows):
+    """rows (w, N) <- V^H @ rows (CXF)."""
+    from . import cxff
+    from .cxff import CXF
+
+    def tr(X: FF):
+        return FF(jnp.swapaxes(X.hi, 0, 1)[:, :, None],
+                  jnp.swapaxes(X.lo, 0, 1)[:, :, None])
+
+    # V^H: transpose + conjugate (FF negation is exact)
+    Vt = CXF(tr(V.re), tr(FF(-V.im.hi, -V.im.lo)))
+    rws = CXF(FF(rows.re.hi[None], rows.re.lo[None]),
+              FF(rows.im.hi[None], rows.im.lo[None]))
+    return _sum_cx(cxff.mul(Vt, rws), 1)
+
+
+def _mm_right_cx(cols, V):
+    """cols (N, w) <- cols @ V (CXF)."""
+    from . import cxff
+    from .cxff import CXF
+    cl = CXF(FF(cols.re.hi[:, :, None], cols.re.lo[:, :, None]),
+             FF(cols.im.hi[:, :, None], cols.im.lo[:, :, None]))
+    Vb = CXF(FF(V.re.hi[None], V.re.lo[None]),
+             FF(V.im.hi[None], V.im.lo[None]))
+    return _sum_cx(cxff.mul(cl, Vb), 1)
+
+
+@partial(jax.jit, static_argnames=("S", "want_z"))
+def aed_apply_cxff(Hrehi, Hrelo, Himhi, Himlo, Zrehi, Zrelo, Zimhi, Zimlo,
+                   Ztre, Ztim, Wfre, Wfim, spre, spim, s, S,
+                   want_z: bool = True):
+    """Apply complex AED window transforms to the CXF device state.
+
+    ``H`` relations follow the signature (H_l = Z_l^H A_l Z_{l+1} direct /
+    Z_{l+1}^H A_l Z_l inverted), so factor l's left transform is V_l
+    (direct) or V_{l+1} (inverted) and vice versa on the right; Z_l always
+    takes V_l on its columns (Z stored PLAIN in the complex core).
+    """
+    from . import cxff
+    from .cxff import CXF
+    p, N, _ = Hrehi.shape
+    w = Ztre.shape[-1]
+    s = jnp.asarray(s, jnp.int32)
+    Zt = cxff.from_f64_split(Ztre.astype(jnp.float64),
+                             Ztim.astype(jnp.float64))
+    Wf = cxff.from_f64_split(Wfre.astype(jnp.float64),
+                             Wfim.astype(jnp.float64))
+    sp = cxff.from_f64_split(spre.astype(jnp.float64),
+                             spim.astype(jnp.float64))
+    H = CXF(FF(Hrehi, Hrelo), FF(Himhi, Himlo))
+    Z = CXF(FF(Zrehi, Zrelo), FF(Zimhi, Zimlo))
+    zero32 = jnp.int32(0)
+
+    def _dsl(M: CXF, l, r0, c0, sh):
+        def g(x):
+            return jax.lax.dynamic_slice(x[l], (r0, c0), sh)
+        return CXF(FF(g(M.re.hi), g(M.re.lo)), FF(g(M.im.hi), g(M.im.lo)))
+
+    def _dup(M: CXF, l, new: CXF, r0, c0) -> CXF:
+        def u(x, v):
+            return x.at[l].set(jax.lax.dynamic_update_slice(x[l], v,
+                                                            (r0, c0)))
+        return CXF(FF(u(M.re.hi, new.re.hi), u(M.re.lo, new.re.lo)),
+                   FF(u(M.im.hi, new.im.hi), u(M.im.lo, new.im.lo)))
+
+    def _idx(M: CXF, l):
+        return CXF(FF(M.re.hi[l], M.re.lo[l]), FF(M.im.hi[l], M.im.lo[l]))
+
+    for l in range(p):
+        ln = (l + 1) % p
+        Vleft = _idx(Zt, l if S[l] else ln)
+        Vright = _idx(Zt, ln if S[l] else l)
+        rows = _dsl(H, l, s, zero32, (w, N))
+        H = _dup(H, l, _mm_left_cx(Vleft, rows), s, zero32)
+        cols = _dsl(H, l, zero32, s, (N, w))
+        H = _dup(H, l, _mm_right_cx(cols, Vright), zero32, s)
+        H = _dup(H, l, _idx(Wf, l), s, s)
+        if want_z:
+            zc = _dsl(Z, l, zero32, s, (N, w))
+            Z = _dup(Z, l, _mm_right_cx(zc, _idx(Zt, l)), zero32, s)
+    sc_ = jnp.maximum(s - 1, 0)
+    spc = CXF(FF(sp.re.hi[:, None], sp.re.lo[:, None]),
+              FF(sp.im.hi[:, None], sp.im.lo[:, None]))
+    old = _dsl(H, 0, s, sc_, (w, 1))
+    spc = cxff.where(s >= 1, spc, old)
+    H = _dup(H, 0, spc, s, sc_)
+    return (H.re.hi, H.re.lo, H.im.hi, H.im.lo,
+            Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo)
 
 
 def _mm_left_ff(V: FF, rows: FF) -> FF:
