@@ -345,6 +345,182 @@ def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float):
     return d, Wfinal, Ztot, al, be, sc, spike_head
 
 
+# ===========================================================================
+# real generalized variant (the emulated-f64 real QZ chunked driver)
+
+
+def _window_rgpsd(Hwin: np.ndarray, S):
+    from .pqz_real import pqz_real_gen_core
+    with jax.default_device(_cpu_device()):
+        T, Z, ar, ai, be, sc, ok = pqz_real_gen_core(jnp.asarray(Hwin), S,
+                                                     want_z=True)
+    if not bool(ok):
+        return None
+    return (np.asarray(T), np.asarray(Z), np.asarray(ar), np.asarray(ai),
+            np.asarray(be), np.asarray(sc))
+
+
+def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float):
+    """Real generalized AED window analysis (host, f64).
+
+    Real quasi-triangular blocks (2x2 pairs) + signatures: the window
+    Schur comes from the real GPSD core, deflation moves through the real
+    generalized ``ordschur``, spike compression mirrors
+    :func:`aed_analyze_cx`'s signed placement.  Returns None or
+    (d, Wfinal, Ztot, alpha_r, alpha_i, beta_e, scale, spike_head).
+    """
+    from ..models.ordschur import ordschur
+    from ..types import GeneralizedPeriodicSchur, IllConditionedException
+
+    p, w, _ = Hwin.shape
+    out = _window_rgpsd(Hwin, S)
+    if out is None:
+        return None
+    Tw, Zw, ar, ai, be, sc = out
+    GPS = GeneralizedPeriodicSchur(
+        S=tuple(bool(x) for x in S), schurindex=0, Ts=jnp.asarray(Tw),
+        Zs=jnp.asarray(Zw), alpha=jnp.asarray(ar + 1j * ai),
+        beta=jnp.asarray(be), alphascale=jnp.asarray(sc), orientation="R")
+
+    def spike_of(PSx):
+        return beta * np.asarray(PSx.Zs)[0][0, :]
+
+    def pairs_of(PSx):
+        return np.asarray(PSx.alpha).imag
+
+    spike = spike_of(GPS)
+    aimag = pairs_of(GPS)
+    kbot = w
+    kept = 0
+    while kbot > kept:
+        bs = 2 if aimag[kbot - 1] != 0 else 1
+        if bs == 2 and kbot - 2 < kept:
+            break
+        if np.abs(spike[kbot - bs:kbot]).max() <= tol:
+            kbot -= bs
+            continue
+        if kept == kbot - bs:
+            kept += bs
+            continue
+        select = np.zeros(w, bool)
+        select[:kept] = True
+        select[kbot - bs:kbot] = True
+        try:
+            GPS = ordschur(GPS, list(select))
+        except IllConditionedException:
+            break
+        spike = spike_of(GPS)
+        aimag = pairs_of(GPS)
+        kept += bs
+    d = w - kbot
+    stats["passes"] += 1
+    if d == 0:
+        return None
+    stats["deflated"] += d
+    u = kbot
+    Tw = np.asarray(GPS.Ts)
+    Zw = np.asarray(GPS.Zs)
+    alc = np.asarray(GPS.alpha)
+    be = np.asarray(GPS.beta)
+    sc = np.asarray(GPS.alphascale)
+
+    V = np.broadcast_to(np.eye(w), (p, w, w)).copy()
+    spike_head = np.zeros(w)
+    if u > 0:
+        sp = spike[:u].copy()
+        nrm = np.linalg.norm(sp)
+        if nrm > 0.0:
+            alpha = -nrm if sp[0] >= 0 else nrm
+            v = sp.copy()
+            v[0] -= alpha
+            vn2 = v @ v
+            P = np.eye(u)
+            if vn2 > 0.0:
+                P -= 2.0 * np.outer(v, v) / vn2
+            spike_head[0] = alpha
+            Pw = np.eye(w)
+            Pw[:u, :u] = P
+            if p == 1:
+                Aw = (Pw @ Tw[0] @ Pw)[None]
+            else:
+                mids = [Tw[l] for l in range(1, p - 1)]
+                last = (Tw[p - 1] @ Pw) if S[p - 1] else (Pw @ Tw[p - 1])
+                Aw = np.stack([Pw @ Tw[0]] + mids + [last])
+            Aw[:, u:, :u] = 0.0
+            Aw[:, :u, u:] = 0.0
+            for l in range(p):
+                Aw[l, u:, u:] = np.eye(d)
+            Hw, Qw = _phess_window_signed(Aw, tuple(bool(x) for x in S))
+            Qw = np.asarray(Qw).real
+            e1err = np.abs(Qw[0][:, 0] - np.eye(w)[:, 0]).max()
+            offd = max(np.abs(Qw[l][:u, u:]).max() if d else 0.0
+                       for l in range(p))
+            if not (np.isfinite(e1err) and e1err <= 1e-12 and
+                    offd <= 1e-12):
+                return None
+            for l in range(p):
+                lead = (P @ Qw[l][:u, :u]) if l == 0 else Qw[l][:u, :u]
+                V[l][:u, :u] = lead
+
+    Wfinal = np.empty_like(Tw)
+    for l in range(p):
+        ln = (l + 1) % p
+        if S[l]:
+            Wfinal[l] = V[l].T @ Tw[l] @ V[ln]
+        else:
+            Wfinal[l] = V[ln].T @ Tw[l] @ V[l]
+        Wfinal[l][u:, :u] = 0.0
+        if l == 0:
+            Wfinal[l][:u, :u] = np.triu(Wfinal[l][:u, :u], -1)
+            Wfinal[l][u:, u:] = np.triu(Wfinal[l][u:, u:], -1)
+            keep = np.abs(np.diag(Tw[0][u:, u:], -1)) > 0
+            sub = np.diag(Wfinal[l][u:, u:], -1) * keep
+            Wfinal[l][u:, u:] = np.triu(Wfinal[l][u:, u:]) + np.diag(sub, -1)
+        else:
+            Wfinal[l] = np.triu(Wfinal[l])
+    Ztot = np.empty_like(Zw)
+    for l in range(p):
+        Ztot[l] = Zw[l] @ V[l]
+    return d, Wfinal, Ztot, alc.real, alc.imag, be, sc, spike_head
+
+
+@partial(jax.jit, static_argnames=("S", "want_z"))
+def aed_apply_rg(H, Z, Zt, Wf, sp, s, S, want_z: bool = True):
+    """Apply real-generalized AED transforms to the plain f64 state.
+
+    The real GPSD core runs in (emulated) f64 — the apply is plain jnp
+    matmuls at the core's own accuracy grade; signature sides as in
+    :func:`aed_apply_cxff`.
+    """
+    p, N, _ = H.shape
+    w = Zt.shape[-1]
+    s = jnp.asarray(s, jnp.int32)
+    zero32 = jnp.int32(0)
+    Zt = Zt.astype(H.dtype)
+    Wf = Wf.astype(H.dtype)
+    sp = sp.astype(H.dtype)
+    for l in range(p):
+        ln = (l + 1) % p
+        Vleft = Zt[l] if S[l] else Zt[ln]
+        Vright = Zt[ln] if S[l] else Zt[l]
+        rows = jax.lax.dynamic_slice(H[l], (s, zero32), (w, N))
+        H = H.at[l].set(jax.lax.dynamic_update_slice(
+            H[l], Vleft.T @ rows, (s, zero32)))
+        cols = jax.lax.dynamic_slice(H[l], (zero32, s), (N, w))
+        H = H.at[l].set(jax.lax.dynamic_update_slice(
+            H[l], cols @ Vright, (zero32, s)))
+        H = H.at[l].set(jax.lax.dynamic_update_slice(H[l], Wf[l], (s, s)))
+        if want_z:
+            zc = jax.lax.dynamic_slice(Z[l], (zero32, s), (N, w))
+            Z = Z.at[l].set(jax.lax.dynamic_update_slice(
+                Z[l], zc @ Zt[l], (zero32, s)))
+    sc_ = jnp.maximum(s - 1, 0)
+    old = jax.lax.dynamic_slice(H[0], (s, sc_), (w, 1))
+    spc = jnp.where(s >= 1, sp[:, None], old)
+    H = H.at[0].set(jax.lax.dynamic_update_slice(H[0], spc, (s, sc_)))
+    return H, Z
+
+
 def _sum_cx(x, axis):
     from . import cxff
     from .cxff import CXF

@@ -578,14 +578,20 @@ def pqz_complex_core_ff(
 
 def pqz_complex_core_ff_chunked(
     Hrehi, Hrelo, Himhi, Himlo, S, Z4=None, want_z=True, want_t=True,
-    maxitfac=30, seed=1234, chunk_iters=None,
+    maxitfac=30, seed=1234, chunk_iters=None, cfg=None,
 ):
     """Host-chunked ds split-complex QZ (axon ~60 s execute kill timer).
 
     Same returns as :func:`pqz_complex_core_ff`; the loop state stays
     on-device between chunk calls and every chunk reuses the ONE resume
-    trace of the core.
+    trace of the core.  Between chunks the host runs aggressive early
+    deflation (ops/aed.py complex/generalized variant, ``cfg.aed``):
+    converged trailing eigenvalues are harvested from the window spike
+    without further single-shift sweeps.
     """
+    from ..config import default_config
+    if cfg is None:
+        cfg = default_config
     p, n, _ = Hrehi.shape
     if n == 1:
         return pqz_complex_core_ff(Hrehi, Hrelo, Himhi, Himlo, S, Z4,
@@ -626,10 +632,95 @@ def pqz_complex_core_ff_chunked(
                jnp.int32(ziter0), jax.random.PRNGKey(seed))
         return (st0, jnp.int32(0))
 
+    # ---- aggressive early deflation plumbing (ops/aed.py, cx variant) ---
+    import numpy as _np
+    aed_w = cfg.aed_window if cfg.aed_window else min(48, max(16, n // 10))
+    aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 6)
+    aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4
+    if aed_on:
+        from .aed import aed_analyze_cx, aed_apply_cxff
+        from . import ff as _ff
+        ulp = float(_ff.EPS)
+        h0 = (_np.asarray(Hrehi[0], _np.float64) +
+              _np.asarray(Hrelo[0], _np.float64)) + 1j * (
+            _np.asarray(Himhi[0], _np.float64) +
+            _np.asarray(Himlo[0], _np.float64))
+        aed_tol = ulp * n * float(_np.abs(h0).sum(axis=0).max())
+        seg = min(chunk_iters, aed_itv)
+        misses = 0
+    else:
+        seg = chunk_iters
+
+    def _try_aed(full):
+        nonlocal misses, seg
+        st, jiter = full
+        (H, Z, alre, alim, be, sc, ilast, iiter, ziter, key) = st
+        i_cur = int(ilast)
+        w = aed_w
+        if i_cur + 1 < w + 2:
+            return full
+        s = i_cur - w + 1
+        from ..config import verbosity
+
+        def f64(X):
+            return (_np.asarray(X.hi[:, s:s + w, s:s + w], _np.float64) +
+                    _np.asarray(X.lo[:, s:s + w, s:s + w], _np.float64))
+
+        Hwin = f64(H.re) + 1j * f64(H.im)
+        if s >= 1:
+            beta = complex(
+                float(_np.asarray(H.re.hi[0, s, s - 1])) +
+                float(_np.asarray(H.re.lo[0, s, s - 1])),
+                float(_np.asarray(H.im.hi[0, s, s - 1])) +
+                float(_np.asarray(H.im.lo[0, s, s - 1])))
+        else:
+            beta = 0.0
+        try:
+            res = aed_analyze_cx(Hwin, S, beta, aed_tol)
+        except Exception as e:  # pragma: no cover - defensive host path
+            if verbosity("main") >= 1:
+                print(f"[pqz_ff aed] analysis failed ({e!r}); skipping")
+            res = None
+        if res is None:
+            misses += 1
+            if misses >= 2:
+                seg = min(seg * 2, chunk_iters)
+            return full
+        misses = 0
+        seg = min(chunk_iters, aed_itv)
+        d, Wf, Zt, alw, bew, scw, sph = res
+        u = w - d
+        Hn = aed_apply_cxff(
+            H.re.hi, H.re.lo, H.im.hi, H.im.lo,
+            Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo,
+            jnp.asarray(Zt.real), jnp.asarray(Zt.imag),
+            jnp.asarray(Wf.real), jnp.asarray(Wf.imag),
+            jnp.asarray(sph.real), jnp.asarray(sph.imag),
+            jnp.int32(s), S, want_z=want_z)
+        Hq = CXF(FF(Hn[0], Hn[1]), FF(Hn[2], Hn[3]))
+        Zq = CXF(FF(Hn[4], Hn[5]), FF(Hn[6], Hn[7]))
+        alre_n = _np.asarray(alre).copy()
+        alim_n = _np.asarray(alim).copy()
+        be_n = _np.asarray(be).copy()
+        sc_n = _np.asarray(sc).copy()
+        alre_n[s + u:s + w] = alw[u:].real
+        alim_n[s + u:s + w] = alw[u:].imag
+        be_n[s + u:s + w] = bew[u:]
+        sc_n[s + u:s + w] = scw[u:]
+        if verbosity("main") >= 1:
+            print(f"[pqz_ff aed] deflated {d} at ilast={i_cur} "
+                  f"(window {w})")
+        ziter_n = jnp.where(jnp.int32(ziter) != -1, jnp.int32(0),
+                            jnp.int32(ziter))
+        st = (Hq, Zq, jnp.asarray(alre_n), jnp.asarray(alim_n),
+              jnp.asarray(be_n, jnp.float32), jnp.asarray(sc_n, jnp.int32),
+              jnp.int32(i_cur - d), jnp.int32(0), ziter_n, key)
+        return (st, jiter)
+
     state = _init(Hrehi, Hrelo, Himhi, Himlo, Z4)
     cap = 0
     while True:
-        cap = min(cap + chunk_iters, maxit)
+        cap = min(cap + seg, maxit)
         out = pqz_complex_core_ff(
             Hrehi, Hrelo, Himhi, Himlo, S, Z4, want_z=want_z,
             want_t=want_t, maxitfac=maxitfac, seed=seed,
@@ -637,6 +728,8 @@ def pqz_complex_core_ff_chunked(
         *outs, state, done = out
         if bool(done) or cap >= maxit:
             return tuple(outs)
+        if aed_on:
+            state = _try_aed(state)
 
 
 # ---------------------------------------------------------------------------

@@ -697,15 +697,20 @@ def pqz_real_gen_core(
 
 def pqz_real_gen_core_chunked(
     H, S, Z=None, want_z=True, want_t=True, maxitfac=120, seed=1234,
-    aggressive=False, chunk_iters=None,
+    aggressive=False, chunk_iters=None, cfg=None,
 ):
     """Host-chunked real generalized QZ (axon ~60 s execute kill timer).
 
     Runs the while_loop in resumable it_cap segments with the state left
     on-device between calls (same device as pqr_real_core_ff_chunked);
     every chunk reuses the ONE resume trace of the core.  Same returns as
-    :func:`pqz_real_gen_core` (without with_info).
+    :func:`pqz_real_gen_core` (without with_info).  Between chunks the
+    host runs aggressive early deflation (ops/aed.py real-generalized
+    variant, ``cfg.aed``).
     """
+    from ..config import default_config
+    if cfg is None:
+        cfg = default_config
     p, n, _ = H.shape
     dt = H.dtype
     if n == 1:
@@ -734,10 +739,72 @@ def pqz_real_gen_core_chunked(
                jax.random.PRNGKey(seed))
         return (st0, jnp.int32(0))
 
+    # ---- aggressive early deflation plumbing (ops/aed.py, rg variant) ---
+    import numpy as _np
+    aed_w = cfg.aed_window if cfg.aed_window else min(48, max(16, n // 10))
+    aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 6)
+    aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4
+    if aed_on:
+        from .aed import aed_analyze_rg, aed_apply_rg
+        h0 = _np.asarray(H[0], _np.float64)
+        aed_tol = float(fi.eps) * n * float(_np.abs(h0).sum(axis=0).max())
+        seg = min(chunk_iters, aed_itv)
+        misses = 0
+    else:
+        seg = chunk_iters
+
+    def _try_aed(full):
+        nonlocal misses, seg
+        st, jiter = full
+        (Hs, Zs, alre, alim, be, sc, ilast, iiter, ziter, key) = st
+        i_cur = int(ilast)
+        w = aed_w
+        if i_cur + 1 < w + 2:
+            return full
+        s = i_cur - w + 1
+        from ..config import verbosity
+        Hwin = _np.asarray(Hs[:, s:s + w, s:s + w], _np.float64)
+        bcp = float(_np.asarray(Hs[0, s, s - 1])) if s >= 1 else 0.0
+        try:
+            res = aed_analyze_rg(Hwin, S, bcp, aed_tol)
+        except Exception as e:  # pragma: no cover - defensive host path
+            if verbosity("main") >= 1:
+                print(f"[pqz_rg aed] analysis failed ({e!r}); skipping")
+            res = None
+        if res is None:
+            misses += 1
+            if misses >= 2:
+                seg = min(seg * 2, chunk_iters)
+            return full
+        misses = 0
+        seg = min(chunk_iters, aed_itv)
+        d, Wf, Zt, arw, aiw, bew, scw, sph = res
+        u = w - d
+        Hs, Zs = aed_apply_rg(Hs, Zs, jnp.asarray(Zt), jnp.asarray(Wf),
+                              jnp.asarray(sph), jnp.int32(s), S,
+                              want_z=want_z)
+        arr = _np.asarray(alre).copy()
+        aii = _np.asarray(alim).copy()
+        ben = _np.asarray(be).copy()
+        scn = _np.asarray(sc).copy()
+        arr[s + u:s + w] = arw[u:]
+        aii[s + u:s + w] = aiw[u:]
+        ben[s + u:s + w] = bew[u:]
+        scn[s + u:s + w] = scw[u:]
+        if verbosity("main") >= 1:
+            print(f"[pqz_rg aed] deflated {d} at ilast={i_cur} "
+                  f"(window {w})")
+        ziter_n = jnp.where(jnp.int32(ziter) != -1, jnp.int32(0),
+                            jnp.int32(ziter))
+        st = (Hs, Zs, jnp.asarray(arr, dt), jnp.asarray(aii, dt),
+              jnp.asarray(ben, dt), jnp.asarray(scn, jnp.int32),
+              jnp.int32(i_cur - d), jnp.int32(0), ziter_n, key)
+        return (st, jiter)
+
     state = _init(H, Z)
     cap = 0
     while True:
-        cap = min(cap + chunk_iters, maxit)
+        cap = min(cap + seg, maxit)
         out = pqz_real_gen_core(
             H, S, Z=Z, want_z=want_z, want_t=want_t, maxitfac=maxitfac,
             seed=seed, aggressive=aggressive, it_cap=jnp.int32(cap),
@@ -745,6 +812,8 @@ def pqz_real_gen_core_chunked(
         *outs, state, done = out
         if bool(done) or cap >= maxit:
             return tuple(outs)
+        if aed_on:
+            state = _try_aed(state)
 
 
 def pschur_real_gen_pipeline(A, S, orient, want_t=True, want_z=True,

@@ -179,3 +179,143 @@ def test_chunked_aed_end_to_end(rng):
     w1 = np.sort_complex(wr + 1j * wi)
     w0 = np.sort_complex(wr0 + 1j * wi0)
     assert np.abs(w1 - w0).max() < 1e-9 * max(1.0, np.abs(w0).max())
+
+
+# ---------------------------------------------------------------------------
+# complex / generalized variant
+
+
+def _cwindow(rng, p, w):
+    H = np.stack([np.triu(rng.standard_normal((w, w)) +
+                          1j * rng.standard_normal((w, w)),
+                          -1 if l == 0 else 0) for l in range(p)])
+    return H
+
+
+def test_aed_analyze_cx_tiny_coupling(rng):
+    """Complex/generalized window with ~zero coupling: everything
+    deflates; reconstruction respects the signature sides."""
+    from periodicschurdecompositions_jl_tpu.ops.aed import aed_analyze_cx
+    p, w = 3, 8
+    S = (True, False, True)
+    Hwin = _cwindow(rng, p, w)
+    tol = EPS * w * np.abs(Hwin[0]).sum(axis=0).max()
+    res = aed_analyze_cx(Hwin, S, 1e-25 + 0j, tol)
+    assert res is not None
+    d, Wf, Zt, al, be, sc, sph = res
+    assert d == w
+    for l in range(p):
+        assert np.abs(Zt[l] @ Zt[l].conj().T - np.eye(w)).max() < 1e3 * EPS
+        ln = (l + 1) % p
+        if S[l]:
+            R = Zt[l].conj().T @ Hwin[l] @ Zt[ln]
+        else:
+            R = Zt[ln].conj().T @ Hwin[l] @ Zt[l]
+        assert np.abs(R - Wf[l]).max() < 1e4 * EPS * np.abs(Hwin[l]).max()
+    # eigenvalues vs the explicit signed product
+    M = np.eye(w, dtype=complex)
+    for l in range(p):
+        M = M @ (Hwin[l] if S[l] else np.linalg.inv(Hwin[l]))
+    w_ref = np.linalg.eigvals(M)
+    vals = al / be * np.exp2(sc.astype(np.float64))
+    rest = list(w_ref)
+    for v in vals:
+        j = min(range(len(rest)), key=lambda q: abs(v - rest[q]))
+        assert abs(v - rest[j]) < 1e4 * EPS * max(1.0, np.abs(w_ref).max())
+        rest.pop(j)
+
+
+def test_chunked_aed_cx_end_to_end(rng):
+    """ds complex chunked driver with AED: contract-grade residual and
+    eigenvalue agreement with the exact complex128 core; AED fires."""
+    from periodicschurdecompositions_jl_tpu.ops.pqz_complex_ff import (
+        phessenberg_signed_core_cxff, pqz_complex_core_ff_chunked)
+    from periodicschurdecompositions_jl_tpu.ops.pqz_complex import (
+        pqz_complex_core)
+    from periodicschurdecompositions_jl_tpu.ops.hessenberg import (
+        phessenberg_signed_core)
+    import periodicschurdecompositions_jl_tpu.ops.aed as aed_mod
+    p, n = 2, 36
+    S = (True, False)
+    A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+
+    def _split(x):
+        x = jnp.asarray(x)
+        hi = x.astype(jnp.float32)
+        lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+        return hi, lo
+
+    rhi, rlo = _split(A.real)
+    ihi, ilo = _split(A.imag)
+    out = phessenberg_signed_core_cxff(rhi, rlo, ihi, ilo, S, want_q=True)
+    Hrehi, Hrelo, Himhi, Himlo = out[:4]
+    Z4 = out[4:]
+    cfg = AlgoConfig(aed=True, aed_window=10, aed_interval=8)
+    defl0 = aed_mod.stats["deflated"]
+    res = pqz_complex_core_ff_chunked(
+        Hrehi, Hrelo, Himhi, Himlo, S, Z4, want_z=True, maxitfac=40,
+        chunk_iters=8, cfg=cfg)
+    assert aed_mod.stats["deflated"] > defl0, "complex AED never fired"
+    (Trehi, Trelo, Timhi, Timlo, Zrehi, Zrelo, Zimhi, Zimlo,
+     alre, alim, be, sc, ok) = res[:13]
+    assert bool(ok)
+    T = (np.asarray(Trehi, np.float64) + np.asarray(Trelo, np.float64)) + \
+        1j * (np.asarray(Timhi, np.float64) + np.asarray(Timlo, np.float64))
+    Z = (np.asarray(Zrehi, np.float64) + np.asarray(Zrelo, np.float64)) + \
+        1j * (np.asarray(Zimhi, np.float64) + np.asarray(Zimlo, np.float64))
+    scale = np.abs(A).max()
+    for l in range(p):
+        ln = (l + 1) % p
+        if S[l]:
+            Ax = Z[l] @ T[l] @ Z[ln].conj().T
+        else:
+            Ax = Z[ln] @ T[l] @ Z[l].conj().T
+        assert np.abs(Ax - A[l]).max() < 1e-12 * scale, l
+    # eigenvalues vs the exact complex128 pipeline
+    H64, Q64 = phessenberg_signed_core(jnp.asarray(A), S, want_q=False)
+    _, _, al0, be0, sc0, ok0 = pqz_complex_core(H64, S, want_z=False)
+    assert bool(ok0)
+    v0 = np.sort_complex(np.asarray(al0) / np.asarray(be0) *
+                         np.exp2(np.asarray(sc0).astype(np.float64)))
+    al = np.asarray(alre, np.float64) + 1j * np.asarray(alim, np.float64)
+    v1 = np.sort_complex(al / np.asarray(be, np.float64) *
+                         np.exp2(np.asarray(sc).astype(np.float64)))
+    assert np.abs(v1 - v0).max() < 1e-9 * max(1.0, np.abs(v0).max())
+
+
+def test_chunked_aed_rg_end_to_end(rng):
+    """Real generalized chunked driver with AED: residual + eigenvalue
+    agreement with the plain core; AED fires."""
+    from periodicschurdecompositions_jl_tpu.ops.hessenberg import (
+        phessenberg_signed_core)
+    from periodicschurdecompositions_jl_tpu.ops.pqz_real import (
+        pqz_real_gen_core, pqz_real_gen_core_chunked)
+    import periodicschurdecompositions_jl_tpu.ops.aed as aed_mod
+    p, n = 3, 36
+    S = (True, False, True)
+    A = rng.standard_normal((p, n, n))
+    H64, Q64 = phessenberg_signed_core(jnp.asarray(A), S, want_q=True)
+    cfg = AlgoConfig(aed=True, aed_window=10, aed_interval=8)
+    defl0 = aed_mod.stats["deflated"]
+    T, Z, ar, ai, be, sc, ok = pqz_real_gen_core_chunked(
+        H64, S, Z=Q64, want_z=True, chunk_iters=8, cfg=cfg)
+    assert aed_mod.stats["deflated"] > defl0, "rg AED never fired"
+    assert bool(ok)
+    T = np.asarray(T)
+    Z = np.asarray(Z)
+    scale = np.abs(A).max()
+    for l in range(p):
+        ln = (l + 1) % p
+        Ax = (Z[l] @ T[l] @ Z[ln].T) if S[l] else (Z[ln] @ T[l] @ Z[l].T)
+        assert np.abs(Ax - A[l]).max() < 1e-11 * n * scale, l
+    # eigenvalues vs the plain (non-AED) core
+    _, _, ar0, ai0, be0, sc0, ok0 = pqz_real_gen_core(
+        H64, S, Z=None, want_z=False)
+    assert bool(ok0)
+    v0 = np.sort_complex((np.asarray(ar0) + 1j * np.asarray(ai0)) /
+                         np.asarray(be0) *
+                         np.exp2(np.asarray(sc0).astype(np.float64)))
+    v1 = np.sort_complex((np.asarray(ar) + 1j * np.asarray(ai)) /
+                         np.asarray(be) *
+                         np.exp2(np.asarray(sc).astype(np.float64)))
+    assert np.abs(v1 - v0).max() < 1e-8 * max(1.0, np.abs(v0).max())
