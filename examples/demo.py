@@ -101,3 +101,16 @@ if native.available():
 psd.setverbosity(1)
 _ = psd.pschur(A, "R", want_t=False, want_z=False)
 psd.setverbosity(0)
+
+# --- round-4 features --------------------------------------------------------
+# arbitrary-precision host path (the reference's BigFloat analogue)
+from mpmath import mp
+Pm = psd.pschur_mp(np.asarray(A)[:2, :6, :6], dps=40)
+with mp.workdps(40):
+    An6 = np.asarray(A)[:2, :6, :6]
+    worst = max(
+        abs(sum(Pm.Zs[l][i, k] * Pm.Ts[l][k, q] *
+                Pm.Zs[(l + 1) % 2][j, q].conjugate()
+                for k in range(6) for q in range(6)) - An6[l, i, j])
+        for l in range(2) for i in range(6) for j in range(6))
+print(f"pschur_mp (dps=40): residual {mp.nstr(worst, 3)}")
