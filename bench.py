@@ -124,7 +124,7 @@ def _throughput_run(n_problems: int = 8, p: int = 8, n: int = 128):
     return n_problems / (dt / 60.0), dt
 
 
-def _chip_available(timeout_s: int = 600) -> bool:
+def _chip_available(timeout_s: int = 420) -> bool:
     """Probe the axon chip in a SUBPROCESS: backend init blocks forever
     when the tunnel is down, which would leave the bench without even a
     JSON line.  (Chip state this round: the tunnel died ~19:30 r3 and has
