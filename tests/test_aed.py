@@ -319,3 +319,45 @@ def test_chunked_aed_rg_end_to_end(rng):
                          np.asarray(be) *
                          np.exp2(np.asarray(sc).astype(np.float64)))
     assert np.abs(v1 - v0).max() < 1e-8 * max(1.0, np.abs(v0).max())
+
+
+def test_aed_analyze_randomized_invariants():
+    """Randomized stress: whatever AED decides, the invariants must hold —
+    orthogonal transforms, reconstruction up to the spike tolerance, and
+    deflated eigenvalues drawn from the window product's spectrum."""
+    for seed in range(5):
+        rng = np.random.default_rng(1000 + seed)
+        p, w = 3, 10
+        Hwin = _window(rng, p, w)
+        # plant a converged trailing block half the time
+        if seed % 2 == 0:
+            conv = 4
+            from periodicschurdecompositions_jl_tpu.ops.pqr_real import (
+                pqr_real_core)
+            sub = _window(rng, p, conv)
+            T, _, _, _, ok = pqr_real_core(jnp.asarray(sub), want_z=False)
+            assert bool(ok)
+            Hwin[:, w - conv:, w - conv:] = np.asarray(T)
+            Hwin[0][w - conv, w - conv - 1] = 0.0
+        beta = float(rng.standard_normal())
+        tol = EPS * w * np.abs(Hwin[0]).sum(axis=0).max()
+        res = aed_analyze(Hwin, beta, tol)
+        if res is None:
+            continue
+        d, Wf, Zt, vals, sph = res
+        u = w - d
+        w_ref = np.linalg.eigvals(np.linalg.multi_dot(list(Hwin)))
+        scale = max(np.abs(w_ref).max(), 1.0)
+        for l in range(p):
+            assert np.abs(Zt[l] @ Zt[l].T - np.eye(w)).max() < 1e3 * EPS
+            R = Zt[l].T @ Hwin[l] @ Zt[(l + 1) % p]
+            assert np.abs(R - Wf[l]).max() < 1e3 * EPS * max(
+                1.0, np.abs(Hwin[l]).max()) + 2 * tol
+        for v in vals[u:]:
+            assert min(abs(v - z) for z in w_ref) < 1e6 * EPS * scale
+        assert np.all(sph[1:] == 0.0)
+        # leading part back in periodic Hessenberg form
+        if u > 0:
+            assert np.abs(np.tril(Wf[0][:u, :u], -2)).max() == 0.0
+            for l in range(1, p):
+                assert np.abs(np.tril(Wf[l][:u, :u], -1)).max() == 0.0
