@@ -188,11 +188,15 @@ def pqr_real_core_ff_chunked(
         from .aed import aed_analyze, aed_apply_ff
         ulp = float(ff.EPS)
         # spike-negligibility scale: zeroing a spike entry perturbs H0 by
-        # that entry, so use the core's triangular-factor deflation scale
-        # (ulp * n * opnorm1) applied to the Hessenberg factor
+        # exactly that entry, and the library's contract is a MAX-norm
+        # relative backward error <= 1e-12 — the classical opnorm1-based
+        # scale (ulp * n * ||H0||_1 ~ 4e-10 relative at n=512) would breach
+        # it.  Converged spike entries sit at ~u_ds * |entry| ~ 1e-14, so
+        # ulp * sqrt(n) * max|H0| (~1.6e-13 relative at the headline)
+        # both preserves the contract and harvests everything converged.
         h0 = _np.asarray(Hhi[0], _np.float64) + _np.asarray(Hlo[0],
                                                             _np.float64)
-        aed_tol = ulp * n * float(_np.abs(h0).sum(axis=0).max())
+        aed_tol = ulp * float(n) ** 0.5 * float(_np.abs(h0).max())
         seg = min(chunk_iters, aed_itv)
         misses = 0
     else:

@@ -645,7 +645,8 @@ def pqz_complex_core_ff_chunked(
               _np.asarray(Hrelo[0], _np.float64)) + 1j * (
             _np.asarray(Himhi[0], _np.float64) +
             _np.asarray(Himlo[0], _np.float64))
-        aed_tol = ulp * n * float(_np.abs(h0).sum(axis=0).max())
+        # max-norm contract scale (see ops/pqr_ff.py note)
+        aed_tol = ulp * float(n) ** 0.5 * float(_np.abs(h0).max())
         seg = min(chunk_iters, aed_itv)
         misses = 0
     else:

@@ -747,7 +747,8 @@ def pqz_real_gen_core_chunked(
     if aed_on:
         from .aed import aed_analyze_rg, aed_apply_rg
         h0 = _np.asarray(H[0], _np.float64)
-        aed_tol = float(fi.eps) * n * float(_np.abs(h0).sum(axis=0).max())
+        # max-norm contract scale (see ops/pqr_ff.py note)
+        aed_tol = float(fi.eps) * float(n) ** 0.5 * float(_np.abs(h0).max())
         seg = min(chunk_iters, aed_itv)
         misses = 0
     else:
