@@ -228,8 +228,10 @@ def pschur(A, lr="R", S: Optional[Sequence[bool]] = None, *,
         float split-complex core, TPU-executable at <=1e-12-grade accuracy,
         host-chunked for the axon execute kill timer), "split" ((re, im)
         emulated-f64 pair core, TPU-executable at the emulated-f64 floor),
-        "auto" ("ff" unless the default backend is the CPU).  Ignored for
-        real inputs.
+        "auto" ("ff" unless the default backend is the CPU).  Real plain
+        input routes analogously: "f64" (exact-f64 core) vs "ff" (the
+        float-float production pipeline: ds reduction + fused Pallas
+        sweeps, chunked, AED), "auto" = "ff" off-CPU.
 
     Returns:
       PeriodicSchur (S is None) or GeneralizedPeriodicSchur (S given).
@@ -256,8 +258,9 @@ def pschur(A, lr="R", S: Optional[Sequence[bool]] = None, *,
     # real dtypes
     if S is None:
         from ..ops.pqr_real import pschur_real_pipeline
+        rb = backend if backend in ("auto", "ff", "f64") else "f64"
         return pschur_real_pipeline(A, orient, want_t=want_t, want_z=want_z,
-                                    maxitfac=mif)
+                                    maxitfac=mif, backend=rb)
     from ..ops.pqz_real import pschur_real_gen_pipeline
     return pschur_real_gen_pipeline(A, tuple(bool(x) for x in S), orient,
                                     want_t=want_t, want_z=want_z,

@@ -597,12 +597,28 @@ def pqr_real_core(
 
 
 def pschur_real_pipeline(A, orient, want_t=True, want_z=True, maxitfac=30,
-                         cfg: AlgoConfig = default_config):
-    """Full real PSD: reduction + iteration + packaging (reference :120-152)."""
+                         cfg: AlgoConfig = default_config, backend="auto"):
+    """Full real PSD: reduction + iteration + packaging (reference :120-152).
+
+    backend: "f64" runs the exact-f64 core (CPU; on the axon chip f64 is
+    emulated with a weak add AND single executes die at ~60 s), "ff" runs
+    the PRODUCTION float-float pipeline (ds reduction + fused Pallas
+    sweeps, host-chunked, AED) — the path that meets the <=1e-12 contract
+    ON the chip; "auto" picks "ff" whenever the default DEVICE is not the
+    CPU (same routing rule as the complex driver).  The ff backend keeps T
+    regardless of ``want_t`` (no windowed variant there).
+    """
     from .hessenberg import phessenberg_core
     p = A.shape[0]
     if orient == "L":
         A = A[::-1]
+    if backend == "auto":
+        dev = jax.config.jax_default_device
+        plat = dev.platform if dev is not None else jax.default_backend()
+        backend = "f64" if plat == "cpu" else "ff"
+    if backend == "ff":
+        return _pschur_real_ff_pipeline(A, orient, want_z=want_z,
+                                        maxitfac=maxitfac, cfg=cfg)
     from ..config import verbosity
     H, Q = phessenberg_core(A, want_q=want_z)
     verb = verbosity("main")
@@ -626,4 +642,45 @@ def pschur_real_pipeline(A, orient, want_t=True, want_z=True, maxitfac=30,
     if orient == "L":
         P = rev_alias(P)
         # rev_alias reverses eigenvalue-free data only; values unchanged
+    return P
+
+
+def _pschur_real_ff_pipeline(A, orient, want_z=True, maxitfac=30,
+                             cfg: AlgoConfig = default_config):
+    """Production ds real pipeline behind the public ``pschur`` (off-CPU):
+    float-float reduction + fused-Pallas chunked iteration + AED; results
+    packaged host-side as f64 (the (hi, lo) sum is exact)."""
+    import numpy as _np
+    from . import ff as _ffm
+    from .hessenberg_ff import phessenberg_core_ff
+    from .pqr_ff import pqr_real_core_ff_chunked
+    Af = _ffm.from_f64(jnp.asarray(A, jnp.float64))
+    out = phessenberg_core_ff(Af.hi, Af.lo, want_q=want_z)
+    Hh, Hl = out[0], out[1]
+    Qh, Ql = (out[2], out[3]) if want_z else (None, None)
+    # explicit backend="ff" on a CPU default device runs the Pallas
+    # kernels through the interpreter (tests; the EFT XLA flags apply)
+    dev = jax.config.jax_default_device
+    plat = dev.platform if dev is not None else jax.default_backend()
+    res = pqr_real_core_ff_chunked(Hh, Hl, Qh, Ql, want_z=want_z,
+                                   maxitfac=maxitfac, cfg=cfg,
+                                   interpret=(plat == "cpu"))
+    Thi, Tlo, ZThi, ZTlo, wrh, wrl, wih, wil, ok = res
+    if not bool(ok):
+        raise ConvergenceFailure(-1)
+    cpu = jax.devices("cpu")[0]
+    T = jnp.asarray(_np.asarray(Thi, _np.float64) +
+                    _np.asarray(Tlo, _np.float64), device=cpu)
+    Z = None
+    if want_z:
+        Z = jnp.asarray(_np.swapaxes(
+            _np.asarray(ZThi, _np.float64) + _np.asarray(ZTlo, _np.float64),
+            1, 2), device=cpu)
+    wr = _np.asarray(wrh, _np.float64) + _np.asarray(wrl, _np.float64)
+    wi = _np.asarray(wih, _np.float64) + _np.asarray(wil, _np.float64)
+    values = jnp.asarray(wr + 1j * wi, device=cpu)
+    P = PeriodicSchur(Ts=T, Zs=Z, values=values, orientation="R",
+                      schurindex=0)
+    if orient == "L":
+        P = rev_alias(P)
     return P
