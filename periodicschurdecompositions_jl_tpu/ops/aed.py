@@ -69,9 +69,11 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
       Hwin: (p, w, w) float64 window; Hwin[0] upper Hessenberg (the window
         of the active Hessenberg factor), Hwin[1:] upper triangular.
       beta: the coupling entry H0[s, s-1] (0 at the window head).
-      tol: absolute spike-negligibility threshold (the caller passes the
-        core's H0 deflation scale, ulp * n * opnorm1(H0)); zeroing a spike
-        entry perturbs H0 by exactly that entry.
+      tol: absolute spike-negligibility threshold.  Zeroing a spike entry
+        perturbs H0 by exactly that entry, and the library's contract is a
+        MAX-norm relative backward error <= 1e-12, so the callers pass
+        ulp * sqrt(n) * max|H0| (the classical ulp * n * opnorm1 scale
+        reaches ~4e-10 relative at n=512 and would breach the contract).
 
     Returns None when nothing deflates, else
       (d, Wfinal, Ztot, values, spike_head):
@@ -100,11 +102,15 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
         return beta * np.asarray(PSx.Zs)[0][0, :]
 
     spike = spike_of(PS)
-    lams = np.asarray(PS.values)
+    T0 = np.asarray(PS.Ts)[0]
     kbot = w
     kept = 0
     while kbot > kept:
-        bs = 2 if lams[kbot - 1].imag != 0 else 1
+        # block size from T[0]'s ACTUAL subdiagonal, NOT the eigenvalue
+        # imaginary parts: ordschur's 2x2 re-solve can round a tiny pair
+        # to exactly-real eigenvalues while the block stays 2x2 — a
+        # bs=1 decision there would zero a genuine O(1) subdiagonal
+        bs = 2 if (kbot >= 2 and T0[kbot - 1, kbot - 2] != 0) else 1
         if bs == 2 and kbot - 2 < kept:
             break  # half a pair at the boundary: stop
         if np.abs(spike[kbot - bs:kbot]).max() <= tol:
@@ -122,13 +128,12 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
         except IllConditionedException:
             break  # stop reordering; keep what is already deflated
         spike = spike_of(PS)
-        lams = np.asarray(PS.values)
+        T0 = np.asarray(PS.Ts)[0]
         kept += bs
     d = w - kbot
     stats["passes"] += 1
     if d == 0:
         return None
-    stats["deflated"] += d
     u = kbot
     Tw = np.asarray(PS.Ts)
     Zw = np.asarray(PS.Zs)
@@ -171,12 +176,11 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
             # through QR/Hessenberg stages; zeroing makes that exact)
             Aw[:, u:, :u] = 0.0
             Aw[:, :u, u:] = 0.0
-            Aw[0, u:, u:] = np.eye(d)
-            for l in range(1, p):
+            for l in range(p):
                 Aw[l, u:, u:] = np.eye(d)
             Hw, Qw = _phess_window(Aw)
             e1err = np.abs(Qw[0][:, 0] - np.eye(w)[:, 0]).max()
-            offd = max(np.abs(Qw[l][:u, u:]).max() if d else 0.0
+            offd = max(np.abs(Qw[l][:u, u:]).max()
                        for l in range(p))
             if not (np.isfinite(e1err) and e1err <= 1e-12 and
                     offd <= 1e-12):
@@ -205,6 +209,7 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
     Ztot = np.empty_like(Zw)
     for l in range(p):
         Ztot[l] = Zw[l] @ V[l]
+    stats["deflated"] += d  # only deflations that will actually be applied
     return d, Wfinal, Ztot, lams, spike_head
 
 
@@ -284,7 +289,6 @@ def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float):
     stats["passes"] += 1
     if d == 0:
         return None
-    stats["deflated"] += d
     u = kbot
     Tw = np.asarray(GPS.Ts)
     Zw = np.asarray(GPS.Zs)
@@ -321,7 +325,7 @@ def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float):
                 Aw[l, u:, u:] = np.eye(d)
             Hw, Qw = _phess_window_signed(Aw, tuple(bool(x) for x in S))
             e1err = np.abs(Qw[0][:, 0] - np.eye(w, dtype=complex)[:, 0]).max()
-            offd = max(np.abs(Qw[l][:u, u:]).max() if d else 0.0
+            offd = max(np.abs(Qw[l][:u, u:]).max()
                        for l in range(p))
             if not (np.isfinite(e1err) and e1err <= 1e-12 and
                     offd <= 1e-12):
@@ -342,6 +346,7 @@ def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float):
     Ztot = np.empty_like(Zw)
     for l in range(p):
         Ztot[l] = Zw[l] @ V[l]
+    stats["deflated"] += d
     return d, Wfinal, Ztot, al, be, sc, spike_head
 
 
@@ -385,15 +390,13 @@ def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float):
     def spike_of(PSx):
         return beta * np.asarray(PSx.Zs)[0][0, :]
 
-    def pairs_of(PSx):
-        return np.asarray(PSx.alpha).imag
-
     spike = spike_of(GPS)
-    aimag = pairs_of(GPS)
+    T0 = np.asarray(GPS.Ts)[0]
     kbot = w
     kept = 0
     while kbot > kept:
-        bs = 2 if aimag[kbot - 1] != 0 else 1
+        # block size from T[0]'s subdiagonal (see aed_analyze note)
+        bs = 2 if (kbot >= 2 and T0[kbot - 1, kbot - 2] != 0) else 1
         if bs == 2 and kbot - 2 < kept:
             break
         if np.abs(spike[kbot - bs:kbot]).max() <= tol:
@@ -410,13 +413,12 @@ def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float):
         except IllConditionedException:
             break
         spike = spike_of(GPS)
-        aimag = pairs_of(GPS)
+        T0 = np.asarray(GPS.Ts)[0]
         kept += bs
     d = w - kbot
     stats["passes"] += 1
     if d == 0:
         return None
-    stats["deflated"] += d
     u = kbot
     Tw = np.asarray(GPS.Ts)
     Zw = np.asarray(GPS.Zs)
@@ -453,7 +455,7 @@ def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float):
             Hw, Qw = _phess_window_signed(Aw, tuple(bool(x) for x in S))
             Qw = np.asarray(Qw).real
             e1err = np.abs(Qw[0][:, 0] - np.eye(w)[:, 0]).max()
-            offd = max(np.abs(Qw[l][:u, u:]).max() if d else 0.0
+            offd = max(np.abs(Qw[l][:u, u:]).max()
                        for l in range(p))
             if not (np.isfinite(e1err) and e1err <= 1e-12 and
                     offd <= 1e-12):
@@ -481,6 +483,7 @@ def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float):
     Ztot = np.empty_like(Zw)
     for l in range(p):
         Ztot[l] = Zw[l] @ V[l]
+    stats["deflated"] += d
     return d, Wfinal, Ztot, alc.real, alc.imag, be, sc, spike_head
 
 
@@ -522,7 +525,6 @@ def aed_apply_rg(H, Z, Zt, Wf, sp, s, S, want_z: bool = True):
 
 
 def _sum_cx(x, axis):
-    from . import cxff
     from .cxff import CXF
     return CXF(ff.sum_(x.re, axis), ff.sum_(x.im, axis))
 
@@ -619,7 +621,6 @@ def aed_apply_cxff(Hrehi, Hrelo, Himhi, Himlo, Zrehi, Zrelo, Zimhi, Zimlo,
 
 def _mm_left_ff(V: FF, rows: FF) -> FF:
     """rows (w, N) <- V^T @ rows in ds (V an FF (w, w))."""
-    w = V.hi.shape[0]
     prod = ff.mul(FF(jnp.swapaxes(V.hi, 0, 1)[:, :, None],
                      jnp.swapaxes(V.lo, 0, 1)[:, :, None]),
                   FF(rows.hi[None, :, :], rows.lo[None, :, :]))

@@ -747,8 +747,15 @@ def pqz_real_gen_core_chunked(
     if aed_on:
         from .aed import aed_analyze_rg, aed_apply_rg
         h0 = _np.asarray(H[0], _np.float64)
-        # max-norm contract scale (see ops/pqr_ff.py note)
-        aed_tol = float(fi.eps) * float(n) ** 0.5 * float(_np.abs(h0).max())
+        # max-norm contract scale (see ops/pqr_ff.py note).  Off-CPU this
+        # driver runs in EMULATED f64 (f32 pairs, ~2^-47 ulp): converged
+        # spike entries bottom out at the emulated floor, so the nominal
+        # f64 eps would never accept one — use the emulated ulp there.
+        dev = jax.config.jax_default_device
+        plat = dev.platform if dev is not None else jax.default_backend()
+        from . import ff as _ffm
+        ulp_eff = float(fi.eps) if plat == "cpu" else float(_ffm.EPS)
+        aed_tol = ulp_eff * float(n) ** 0.5 * float(_np.abs(h0).max())
         seg = min(chunk_iters, aed_itv)
         misses = 0
     else:
