@@ -209,7 +209,14 @@ def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
                 else:
                     PK.V[l + 1][:, j] = v / w
         if null1:
-            _reinitialize(PK, 0, 0, eta)
+            # the reference's 5-strike singularity budget applies here too:
+            # an operator whose image of EVERY restart vector stays below
+            # tol1 must fail instead of retrying forever
+            singularities += 1
+            if singularities > 5:
+                return False
+            if not _reinitialize(PK, 0, 0, eta):
+                raise PKSFailure("Arnoldi reinitialization failed")
             if devops:
                 ops.load_basis(PK.V)
             continue
@@ -223,15 +230,14 @@ def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
             PK.B[p - 1][:j + 1, j] = h
         if inspan:
             PK.B[p - 1][j + 1, j] = 0.0
-            if ldef < 0:
-                # trivial deflation: restart the next column randomly
-                if not _reinitialize(PK, 0, j + 1, eta):
-                    raise PKSFailure("Arnoldi reinitialization failed")
-                if devops:
-                    ops.load_basis(PK.V)
-                ldef = -1
-            else:
-                pass
+            # restart the next column randomly; when an in-cycle
+            # deflation is also pending (ldef >= 0) the column STILL needs
+            # fresh data — leaving it unset fed stale/zero basis vectors
+            # into the next step
+            if not _reinitialize(PK, 0, j + 1, eta):
+                raise PKSFailure("Arnoldi reinitialization failed")
+            if devops:
+                ops.load_basis(PK.V)
         else:
             PK.B[p - 1][j + 1, j] = w
             if devops:
@@ -263,7 +269,6 @@ def _deflate_krylov(PK: _PKrylov, ldef: int, jdef: int):
     (reference `_deflate!`, src/krylov.jl:184-226)."""
     from ..ops.reorder_np import _givens_np, _gmat
     p = PK.p
-    j1 = PK.k if PK.k > 0 else jdef
     nwid = jdef + 1
     Bp = PK.B[p - 1]
     G = []
@@ -274,20 +279,20 @@ def _deflate_krylov(PK: _PKrylov, ldef: int, jdef: int):
         Bp[j + 1, j] = 0.0
         G.append(M)
     Z = [np.eye(nwid, dtype=PK.dtype) for _ in range(p)]
-    for j in range(jdef - 1):
+    for j in range(jdef):
         Z[0][:, j:j + 2] = Z[0][:, j:j + 2] @ G[j].conj().T
     for l in range(p - 1):
         Bl = PK.B[l]
-        for j in range(jdef - 1):
+        for j in range(jdef):
             Bl[:, j:j + 2] = Bl[:, j:j + 2] @ G[j].conj().T
             c, s, _ = _givens_np(Bl[j, j], Bl[j + 1, j])
             M = _gmat(c, s)
             Bl[j:j + 2, :] = M @ Bl[j:j + 2, :]
             Bl[j + 1, j] = 0.0
             G[j] = M
-        for j in range(jdef - 1):
+        for j in range(jdef):
             Z[l + 1][:, j:j + 2] = Z[l + 1][:, j:j + 2] @ G[j].conj().T
-    for j in range(jdef - 2):
+    for j in range(jdef - 1):
         Bp[:, j:j + 2] = Bp[:, j:j + 2] @ G[j].conj().T
     for l in range(p):
         w = PK.V[l][:, :nwid] @ Z[l][:nwid, :nwid]
@@ -351,11 +356,12 @@ def _restore_hessenberg(PK: _PKrylov, active: int, k: int):
         W = _unitary_row_annihilator(u)
         apply_w(p - 1, i, W)
         Bp[a + i, a:a + i - 1] = 0.0
-    # apply accumulated Q to the bases and the locked coupling rows
+    # apply accumulated Q to the bases; the locked coupling rows were
+    # already transformed inside apply_w (its column updates span ALL rows
+    # of B) — a second application here double-transformed them and broke
+    # the Krylov relations on the first restart after any lock
     for l in range(p):
         PK.V[l][:, a:k] = PK.V[l][:, a:k] @ Q[l]
-        if a > 0:
-            PK.B[l][:a, a:k] = PK.B[l][:a, a:k] @ Q[l]
 
 
 # ---------------------------------------------------------------------------
@@ -465,7 +471,7 @@ def _invariant_basis_at1(Ts: np.ndarray, bstart: int, bsize: int,
     return q
 
 
-def _residuals(PS, foot, ritz_ord, lams, active, isreal_t):
+def _residuals(PS, foot, ritz_ord, lams, isreal_t):
     """Ritz residuals per candidate (reference `_compute_ritz_resids!`,
     src/krylov.jl:833-919).
 
@@ -596,15 +602,23 @@ def partial_pschur(
         mindim = min(max(10, nev), n)
     if maxdim is None:
         maxdim = min(max(20, 2 * nev), n)
-    if not (nev <= mindim <= maxdim <= p * n):
-        raise ValueError(f"need nev <= mindim <= maxdim <= p*n, got "
-                         f"{nev} <= {mindim} <= {maxdim} <= {p * n}")
+    if not (nev <= mindim <= maxdim <= n):
+        raise ValueError(f"need nev <= mindim <= maxdim <= n, got "
+                         f"{nev} <= {mindim} <= {maxdim} <= {n}")
     if eta_orth is None:
         from ..config import default_config
         eta_orth = float(default_config.eta_orth)
     rng = np.random.default_rng(seed)
     PK = _PKrylov(p, n, maxdim, dtype, rng, vrand=vrand)
-    key = _order_key(which)
+    key0 = _order_key(which)
+    if isreal_t:
+        # real spectra come in conjugate pairs stored adjacently; an
+        # imag-signed key (LI/SI) would sort the partners to opposite
+        # ends and break every pair-adjacency assumption downstream
+        def key(lam):
+            return key0(lam if lam.imag >= 0 else np.conj(lam))
+    else:
+        key = key0
     eps23 = eps ** (2.0 / 3.0)
 
     tol1 = 100 * eps
@@ -645,6 +659,10 @@ def partial_pschur(
         v = v / np.linalg.norm(v)
         pa_ok = periodic_arnoldi(ops, PK, 0, mindim, v, tol1, eta_orth)
         nprods = p * mindim
+        if not pa_ok:
+            # singularity budget exhausted during the initial build: the
+            # basis beyond the failure point was never constructed
+            restarts = 0
         nlock = 0
         active = 0
         k = mindim
@@ -674,13 +692,13 @@ def partial_pschur(
         eff_nev = nev
         if isreal_t and eff_nev < maxdim:
             lj = lams_all[order[eff_nev - 1]]
-            ln = lams_all[order[eff_nev]] if eff_nev < maxdim else 0
+            ln = lams_all[order[eff_nev]]
             if lj.imag != 0 and abs(np.conj(lj) - ln) <= 1e-8 * max(
                     abs(lj), 1e-300):
                 eff_nev += 1
 
         rs = _residuals(PS, foot, list(range(nwrk)),
-                        lams, active, isreal_t)
+                        lams, isreal_t)
         rs_all[active:maxdim] = rs
 
         # locking: leading wanted candidates that have converged
@@ -699,11 +717,21 @@ def partial_pschur(
                 j = order[i]
                 if active <= j < maxdim:
                     select[j - active] = True
+            # block-align: ordschur silently widens a half-selected 2x2
+            # pair, so the perm bookkeeping must see the SAME widened
+            # select or lams_all/rs_all desynchronize from the columns
+            nlock += _widen_pairs(select, np.asarray(PS.Ts)[0])
             if select.any():
-                PS = ordschur(PS, list(select))
-                perm = _perm_from_select(select)
-                lams_all[active:maxdim] = lams_all[active:maxdim][perm]
-                rs_all[active:maxdim] = rs_all[active:maxdim][perm]
+                try:
+                    PS = ordschur(PS, list(select))
+                except IllConditionedException:
+                    # the move failed: nothing is at the top; claim no new
+                    # locks this restart (verify_locks re-checks anyway)
+                    nlock = active
+                else:
+                    perm = _perm_from_select(select)
+                    lams_all[active:maxdim] = lams_all[active:maxdim][perm]
+                    rs_all[active:maxdim] = rs_all[active:maxdim][perm]
 
         # truncation length (conjugate-pair safe)
         k = min(nlock + mindim, (mindim + maxdim) // 2)
@@ -734,6 +762,18 @@ def partial_pschur(
             if active <= j < maxdim and nsel < k - active:
                 select[j - active] = True
                 nsel += 1
+        # block-align the retention select (see the locking move): a
+        # preference cut through a 2x2 block would discard its O(1)
+        # subdiagonal and desynchronize the perm bookkeeping
+        k += _widen_pairs(select, np.asarray(PS.Ts)[0])
+        if k > maxdim - 1:
+            # widening overflowed the window: drop the straddling pair
+            T0w = np.asarray(PS.Ts)[0]
+            for i in range(nwrk - 2, -1, -1):
+                if select[i] and T0w[i + 1, i] != 0 and select[i + 1]:
+                    select[i] = select[i + 1] = False
+                    k -= 2
+                    break
         try:
             PS2 = ordschur(PS, list(select))
             perm = _perm_from_select(select)
@@ -768,9 +808,12 @@ def partial_pschur(
 
         # verify locks against the actual foot (reference `_verify_locks!`)
         nlock = _verify_locks(PK, lams_all, rs_all, nlock, conv, isreal_t)
-        if not pa_ok:
-            break
         active = nlock
+        if not pa_ok:
+            # singularity budget exhausted while extending: keep the locks
+            # verified THIS restart (an exactly-deflating rank-deficient
+            # operator ends here with its converged eigenvalues in hand)
+            break
         if checkpoint is not None and (it + 1) % max(checkpoint_every, 1) == 0:
             from ..utils.io import save_krylov_state
             save_krylov_state(checkpoint, PK.V, PK.B, {
@@ -803,6 +846,28 @@ def _perm_from_select(select):
     sel = [i for i, s in enumerate(select) if s]
     uns = [i for i, s in enumerate(select) if not s]
     return np.array(sel + uns)
+
+
+def _widen_pairs(select, T0w):
+    """Widen a selection over the quasi factor's 2x2 blocks IN PLACE.
+
+    ``ordschur`` silently widens a half-selected conjugate pair; every
+    caller that permutes its own bookkeeping with ``_perm_from_select``
+    must therefore widen the select identically first.  Returns the
+    number of entries added.
+    """
+    added = 0
+    i = 0
+    m = len(select)
+    while i < m - 1:
+        if T0w[i + 1, i] != 0:
+            if bool(select[i]) != bool(select[i + 1]):
+                select[i] = select[i + 1] = True
+                added += 1
+            i += 2
+        else:
+            i += 1
+    return added
 
 
 def _verify_locks(PK, lams, rs, nlock, conv, isreal_t):

@@ -197,7 +197,7 @@ def test_direct_residuals_match_trial_probe(rng):
         foot = rng.standard_normal(kk).astype(dtype)
         lams = np.asarray(PS.values)
         isreal_t = not np.issubdtype(dtype, np.complexfloating)
-        rs = _residuals(PS, foot, list(range(kk)), lams, 0, isreal_t)
+        rs = _residuals(PS, foot, list(range(kk)), lams, isreal_t)
         # recompute every candidate via the trial probe and compare
         skip = False
         for j in range(kk):
@@ -219,3 +219,83 @@ def test_direct_residuals_match_trial_probe(rng):
             else:
                 assert abs(rs[j] - rt) <= 1e-8 * max(1.0, rt), (
                     j, rs[j], rt)
+
+
+# ---------------------------------------------------------------------------
+# regression tests from the adversarial review of the restart machinery
+
+
+def _true_spectrum(A):
+    p = A.shape[0]
+    M = np.eye(A.shape[1])
+    for l in range(p):
+        M = A[l] @ M
+    return np.linalg.eigvals(M)
+
+
+def test_restarts_with_locking_random_sweep():
+    """Generic real cycles that need several restarts + locking: the
+    restore/truncation path used to double-transform locked coupling rows
+    and split 2x2 blocks at the preference cut (26/30 failures)."""
+    bad = 0
+    for trial in range(8):
+        rng = np.random.default_rng(5000 + trial)
+        p, n = 3, 26
+        A = rng.standard_normal((p, n, n))
+        PS, hist = partial_pschur(A, nev=4, which="LM", mindim=6, maxdim=12,
+                                  seed=trial)
+        w = _true_spectrum(A)
+        got = np.asarray(PS.values)[:hist.nconverged]
+        for g in got:
+            err = min(abs(g - z) for z in w)
+            if err > 1e-5 * max(1.0, abs(g)):
+                bad += 1
+                break
+    assert bad == 0, f"{bad}/8 random locking runs returned wrong values"
+
+
+@pytest.mark.parametrize("which", ["LI", "SI"])
+def test_krylov_real_li_si(which):
+    """Real dtype LI/SI: conjugate partners must stay adjacent in the
+    preference order (the raw imag-signed key sorted them to opposite
+    ends and produced half-pair locks)."""
+    rng = np.random.default_rng(77)
+    p, n = 2, 24
+    A = rng.standard_normal((p, n, n))
+    PS, hist = partial_pschur(A, nev=3, which=which, seed=3)
+    assert hist.nconverged >= 2
+    w = _true_spectrum(A)
+    got = np.asarray(PS.values)[:hist.nconverged]
+    for g in got:
+        assert min(abs(g - z) for z in w) < 1e-6 * max(1.0, abs(g)), g
+
+
+def test_maxdim_validation():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((3, 8, 8))
+    with pytest.raises(ValueError):
+        partial_pschur(A, 2, "LM", mindim=10, maxdim=16)
+
+
+def test_zero_factor_terminates():
+    """A zero factor must terminate (budget) instead of retrying forever."""
+    n = 8
+    A = np.stack([np.zeros((n, n)), np.eye(n)])
+    PS, hist = partial_pschur(A, nev=2, which="LM", restarts=3)
+    assert hist.nconverged == 0 and not hist.converged
+
+
+def test_rank_deficient_in_cycle_deflation():
+    """Exact in-cycle deflation (rank-deficient factor): the half-sweep's
+    rotation chains must keep the Krylov relations consistent."""
+    rng = np.random.default_rng(11)
+    n, r = 30, 8
+    A0 = rng.standard_normal((n, r)) @ rng.standard_normal((r, n))
+    A1 = rng.standard_normal((n, n))
+    A = np.stack([A0, A1])
+    PS, hist = partial_pschur(A, nev=4, which="LM", seed=2)
+    assert hist.nconverged >= 1
+    w = _true_spectrum(A)
+    got = np.asarray(PS.values)[:hist.nconverged]
+    for g in got:
+        assert min(abs(g - z) for z in w) < 1e-5 * max(1.0, abs(g)), g
