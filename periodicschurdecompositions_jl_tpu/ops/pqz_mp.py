@@ -103,6 +103,12 @@ def _to_mp(A) -> List[List[List[mpc]]]:
     A = np.asarray(A)
     if A.ndim != 3 or A.shape[1] != A.shape[2]:
         raise ValueError(f"expected a (p, n, n) cycle, got shape {A.shape}")
+    if A.dtype == object:
+        # arbitrary-precision input (mpf/mpc entries): convert exactly —
+        # a complex() round-trip would truncate to f64 and silently cap
+        # the achievable backward error at ~1e-16 regardless of dps
+        return [[[mpc(A[l, i, j]) for j in range(A.shape[2])]
+                 for i in range(A.shape[1])] for l in range(A.shape[0])]
     return [[[mpc(complex(A[l, i, j])) for j in range(A.shape[2])]
              for i in range(A.shape[1])] for l in range(A.shape[0])]
 
@@ -719,6 +725,7 @@ class MpGeneralizedPeriodicSchur:
     alphascale: list
     orientation: str = "R"
     schurindex: int = 0
+    dps: int = 15
 
     @property
     def period(self) -> int:
@@ -726,12 +733,17 @@ class MpGeneralizedPeriodicSchur:
 
     @property
     def values(self) -> list:
-        out = []
-        for a, b, sc in zip(self.alpha, self.beta, self.alphascale):
-            if b == 0:
-                out.append(mpc(mp.inf))
-            else:
-                out.append(a * mpf(2) ** sc)
+        # evaluate at the decomposition's own working precision (the
+        # ambient mp.dps would silently round 40-digit eigenvalues to it)
+        with mp.workdps(max(self.dps, mp.dps)):
+            out = []
+            for a, b, sc in zip(self.alpha, self.beta, self.alphascale):
+                if b == 0:
+                    # alpha = beta = 0 encodes 0/0 (indeterminate, like the
+                    # f64 path's NaN), distinct from a true infinity
+                    out.append(mpc(mp.nan) if a == 0 else mpc(mp.inf))
+                else:
+                    out.append(a * mpf(2) ** sc)
         return out
 
 
@@ -756,6 +768,12 @@ def pschur_mp(A, S: Optional[Sequence[bool]] = None, lr: str = "R",
                            "path but is not importable")
     A = np.asarray(A)
     p = A.shape[0]
+    if isinstance(S, str):
+        # guard the pschur(A, lr, S=...) muscle-memory call shape:
+        # a string in the S slot is an orientation
+        S, lr = None, S
+    if S is not None and len(S) != p:
+        raise ValueError(f"signature length {len(S)} != cycle length {p}")
     S = (True,) * p if S is None else tuple(bool(x) for x in S)
     lr = str(lr).lstrip(":").upper()
     if lr not in ("R", "L"):
@@ -783,9 +801,10 @@ def pschur_mp(A, S: Optional[Sequence[bool]] = None, lr: str = "R",
                           for i in range(len(M[0]))] for l in range(p)],
                         dtype=object)
 
+    used_dps = dps if dps is not None else mp.dps
     P = MpGeneralizedPeriodicSchur(
         S=S, Ts=_obj(Hm), Zs=_obj(Zm), alpha=alpha, beta=beta,
-        alphascale=scal, orientation="R", schurindex=0)
+        alphascale=scal, orientation="R", schurindex=0, dps=used_dps)
     if lr == "L":
         # same re-labeling as utils/circshift.rev_alias (reference
         # src/utils.jl:49-85): Z'[0] = Z[0]; Z'[l] = Z[p-l]
@@ -795,5 +814,5 @@ def pschur_mp(A, S: Optional[Sequence[bool]] = None, lr: str = "R",
         P = MpGeneralizedPeriodicSchur(
             S=tuple(reversed(P.S)), Ts=P.Ts[::-1], Zs=Zs, alpha=P.alpha,
             beta=P.beta, alphascale=P.alphascale, orientation="L",
-            schurindex=p - 1)
+            schurindex=p - 1, dps=used_dps)
     return P

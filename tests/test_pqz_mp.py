@@ -172,3 +172,43 @@ class TestMpPath:
         A[p - 1] = q.conj().T @ A[p - 1]
         P = pschur_mp(A, dps=DPS)
         _check(P, A, (True,) * p)
+
+
+def test_object_dtype_input_full_precision(rng):
+    """mpf/mpc object arrays decompose WITHOUT an f64 round-trip: the
+    residual w.r.t. the exact input tracks dps, not double precision."""
+    p, n, dps = 2, 4, 40
+    with mp.workdps(dps):
+        A = np.empty((p, n, n), dtype=object)
+        for l in range(p):
+            for i in range(n):
+                for j in range(n):
+                    # entries NOT representable in f64
+                    A[l, i, j] = mp.mpf(int(rng.integers(1, 100))) / 3 + \
+                        mp.mpf(int(rng.integers(1, 100))) / 7
+        P = pschur_mp(A, dps=dps)
+        T, Z = P.Ts, P.Zs
+        worst = mp.mpf(0)
+        for l in range(p):
+            ln = (l + 1) % p
+            for i in range(n):
+                for j in range(n):
+                    acc = sum(Z[l][i, k] * T[l][k, q] *
+                              Z[ln][j, q].conjugate()
+                              for k in range(n) for q in range(n))
+                    worst = max(worst, abs(acc - A[l, i, j]))
+        assert worst < mp.mpf("1e-33"), worst
+
+
+def test_values_precision_and_lr_string_guard(rng):
+    """P.values evaluates at the decomposition's own dps regardless of the
+    ambient precision, and a string in the S slot is taken as lr."""
+    A = rng.standard_normal((2, 4, 4))
+    P = pschur_mp(A, dps=40)
+    v_ambient = P.values[0]          # ambient mp.dps = 15
+    with mp.workdps(40):
+        v_40 = P.values[0]
+    assert abs(v_ambient - v_40) == 0 or \
+        abs(v_ambient - v_40) < mp.mpf("1e-35")
+    P2 = pschur_mp(A, "L", dps=25)   # pschur-style positional orientation
+    assert P2.orientation == "L"
