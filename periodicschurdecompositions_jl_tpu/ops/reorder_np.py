@@ -34,9 +34,13 @@ def babd_qr(Zd: List[np.ndarray], Zl: List[np.ndarray], y: np.ndarray):
     """QR factorization of a cyclic block-bidiagonal (BABD) matrix.
 
     Diagonal blocks Zd[0..K-1]; subdiagonal blocks Zl[0..K-2]; Zl[K-1] sits
-    in the upper-right corner.  Returns (R, Zu, Zr, Qty).
+    in the upper-right corner.  Returns (R, Zu, Zr, Qty).  Requires K >= 3
+    (smaller systems go through the dense cyclic assembly — the corner
+    block aliasing below silently degenerates for K <= 2).
     """
     K = len(Zl)
+    if K < 3:
+        raise ValueError("babd_qr requires K >= 3 blocks")
     m = Zl[0].shape[0]
     Zd = [np.array(d) for d in Zd]
     y = np.array(y)
@@ -142,8 +146,13 @@ def pgsylsolve(A, B, C, S) -> np.ndarray:
     Zd, Zl = _spkron_blocks(A, B, S)
     if K >= 3:
         R, Zu, Zr, yq = babd_qr(Zd, Zl, y)
+        scale = max(max(np.abs(r).max() for r in R), 1e-300)
         for r in R:
-            if np.any(np.abs(np.diag(r)) == 0):
+            # a singular system leaves eps-scale (not exact-zero) pivots
+            # after the QR rotations; an exact == 0 test lets them through
+            # into overflowing back-substitution
+            if np.any(np.abs(np.diag(r)) <=
+                      np.finfo(np.float64).eps * scale):
                 raise IllConditionedException()
         return babd_solve(R, Zu, Zr, yq)
     # dense cyclic Kronecker fallback for K <= 2
@@ -179,7 +188,9 @@ def _givens_np(f, g):
     if f == 0:
         ag = abs(g)
         return 0.0, np.conj(g) / ag, ag
-    d = np.sqrt(abs(f) ** 2 + abs(g) ** 2)
+    if not (np.isfinite(abs(f)) and np.isfinite(abs(g))):
+        raise IllConditionedException()
+    d = float(np.hypot(abs(f), abs(g)))  # overflow-safe (|x|^2 can raise)
     c = abs(f) / d
     fs = f / abs(f)
     return c, fs * np.conj(g) / d, fs * d
@@ -197,7 +208,7 @@ def phess2x2(As: List[np.ndarray], S: Optional[Sequence[bool]] = None):
     326-359): triangularize blocks 1..k-1 by 2x2 unitaries, propagating into
     the following block (slot 0 absorbs the wrap-around and stays full).
     Returns (As, Qs): Qs[l] is the accumulated left transform at slot l
-    (identity at slot 0 and 1).
+    (slot 1 stays identity; slot 0 receives the wrap-around transform).
     """
     k = len(As)
     dt = As[0].dtype
@@ -313,7 +324,10 @@ def swapadj1x1(T: List[np.ndarray], Z, S, i1, threshfac=20.0) -> bool:
         else:
             Txx[lp] = Txx[lp] @ Qm[l]
     ws = sum(abs(Txx[l][1, 0]) for l in range(k))
-    if ws > thresh:
+    # NOT (ws <= thresh): an overflowed Sylvester solution yields NaN
+    # rotations, and 'ws > thresh' is False for NaN — the corrupted swap
+    # would be ACCEPTED
+    if not (ws <= thresh):
         return False
     # strong test: reconstruct the original blocks
     ss = 0.0
@@ -325,7 +339,7 @@ def swapadj1x1(T: List[np.ndarray], Z, S, i1, threshfac=20.0) -> bool:
             Trec = Qm[l] @ Txx[l] @ Qm[l1].conj().T
         Torig = np.array([[T11[l], T12[l]], [0.0, T22[l]]], dtype=dt)
         ss = np.hypot(ss, np.linalg.norm(Trec - Torig))
-    if ss > thresh:
+    if not (ss <= thresh):
         return False
 
     for l in range(k):
@@ -396,13 +410,18 @@ def swapadjqr(T: List[np.ndarray], Z, S, i1, p1, p2, tol=100.0) -> bool:
         else:
             Txx[lp] = Txx[lp] @ Qs[l]
 
-    # weak test: block subdiagonal must vanish
+    # weak test: block subdiagonal must vanish (NOT 'ws > thresh': an
+    # overflowed Sylvester solution yields NaN transforms and the
+    # comparison would be False, ACCEPTING the corrupted swap)
     ws = max(np.linalg.norm(Txx[l][p2:m, 0:p2]) for l in range(k))
-    if ws > thresh:
+    if not (ws <= thresh):
         return False
 
     # fill-in detection + repair (2x2 blocks may come back non-triangular)
-    fill1 = p2 > 1 and any(abs(Txx[l][1, 0]) > thresh for l in range(k))
+    # slot 0 legitimately carries a nonzero [1,0] for a complex-pair
+    # block; only the triangular slots 1..k-1 signal fill-in
+    fill1 = p2 > 1 and k > 1 and any(
+        abs(Txx[l][1, 0]) > thresh for l in range(1, k))
     ii = p2
     fill2 = p1 > 1 and any(abs(Txx[l][ii + 1, ii]) > thresh
                            for l in range(k))
@@ -439,7 +458,7 @@ def swapadjqr(T: List[np.ndarray], Z, S, i1, p1, p2, tol=100.0) -> bool:
     # than roundoff would corrupt the decomposition, so reject instead)
     junk = max(np.abs(np.tril(Txx[l], -1)).max() for l in range(1, k)) \
         if k > 1 else 0.0
-    if junk > 10 * thresh:
+    if not (junk <= 10 * thresh):
         return False
 
     # strong test: reconstruct original window
@@ -457,7 +476,7 @@ def swapadjqr(T: List[np.ndarray], Z, S, i1, p1, p2, tol=100.0) -> bool:
         else:
             Trec = Qs[l] @ Tl @ Qs[l1].conj().T
         ss = max(ss, np.linalg.norm(Trec - T[l][i1:i3 + 1, i1:i3 + 1]))
-    if ss > thresh:
+    if not (ss <= thresh):
         return False
 
     # accepted: apply to the full matrices
@@ -516,7 +535,11 @@ def rpeigvals2x2_np(W, S, maxit: int = 80, seed: int = 1903):
             # RQ: M = R Q^H  via QR of the reversed-transposed matrix
             Jr = np.array([[0.0, 1.0], [1.0, 0.0]])
             Qt, Rt = np.linalg.qr((Jr @ M).conj().T)
-            Q = (Qt @ Jr).conj()
+            # M (Qt Jr) = Jr Rt^H Jr = upper triangular (NO extra conj:
+            # the spurious conjugation left B[l] @ Q non-triangular for
+            # complex inverted factors and the forced [1,0] = 0 then
+            # deleted an O(1) entry)
+            Q = Qt @ Jr
             B[l] = M @ Q
             Qnext = Q
         B[l][1, 0] = 0.0

@@ -369,3 +369,55 @@ class TestIterative2x2:
         v3 = np.sort_complex(np.asarray(P3.values))
         scale = np.abs(v3).max()
         assert np.abs(v2 - v3).max() < 1e-10 * scale
+
+
+def test_rpeigvals2x2_complex_inverted(rng):
+    """Iterative 2x2 eigensolver on COMPLEX cycles with inverted factors:
+    the RQ stage carried a spurious conjugation that silently corrupted
+    the eigenvalues (converged=True with O(1) errors)."""
+    from periodicschurdecompositions_jl_tpu.ops.reorder_np import (
+        rpeigvals2x2_np)
+    S = (True, False, True)
+    for trial in range(10):
+        W = rng.standard_normal((3, 2, 2)) + \
+            1j * rng.standard_normal((3, 2, 2))
+        (w1, s1), (w2, s2), beta, convd = rpeigvals2x2_np(W, S)
+        if not convd:
+            continue
+        M = np.eye(2, dtype=complex)
+        for l in range(3):
+            M = M @ (W[l] if S[l] else np.linalg.inv(W[l]))
+        w = list(np.linalg.eigvals(M))
+        scale = max(abs(z) for z in w)
+        for v in (w1 * 2.0 ** s1, w2 * 2.0 ** s2):
+            j = min(range(len(w)), key=lambda q: abs(v - w[q]))
+            assert abs(v - w[j]) < 1e-8 * scale, (trial, v, w[j])
+            w.pop(j)
+
+
+def test_ill_conditioned_swap_rejects_not_corrupts(rng):
+    """A swap whose Sylvester solution overflows must be REJECTED (False /
+    IllConditionedException), never accepted with NaN transforms and never
+    escape as a raw OverflowError."""
+    from periodicschurdecompositions_jl_tpu.ops.reorder_np import (
+        swapadj1x1)
+    from periodicschurdecompositions_jl_tpu.types import (
+        IllConditionedException)
+    k, n = 3, 4
+    T = [np.triu(rng.standard_normal((n, n))) for _ in range(k)]
+    for l in range(k):  # coincident eigenvalues + enormous coupling
+        T[l][1, 1] = 1.0
+        T[l][2, 2] = 1.0
+        T[l][1, 2] = 1e290
+    Z = [np.eye(n) for _ in range(k)]
+    T0 = [t.copy() for t in T]
+    try:
+        ok = swapadj1x1(T, Z, (True,) * k, 1)
+    except IllConditionedException:
+        ok = False
+    if ok:
+        for l in range(k):
+            assert np.all(np.isfinite(T[l])), "accepted swap wrote NaN/inf"
+    else:
+        for l in range(k):
+            assert np.array_equal(T[l], T0[l]), "rejected swap mutated T"
