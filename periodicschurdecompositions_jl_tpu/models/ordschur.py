@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..types import GeneralizedPeriodicSchur, IllConditionedException, PeriodicSchur
 from ..utils.circshift import circshift_psd, rev_alias
-from ..ops.reorder_np import swapadj1x1, swapadjqr
+from ..ops.reorder_np import (rpeigvals2x2_np, swapadj1x1,
+                              swapadjqr)
 
 
 def _safeprod_np(vals, S):
@@ -55,6 +56,45 @@ def _safeprod_np(vals, S):
     return alpha, beta, scale
 
 
+
+def _sanitize_pair(v1, t1, v2, t2):
+    """Standardize a 2x2 re-solve's eigenvalue pair (reference
+    `_sanitize_reigpair!`, src/rpschur2x2.jl:238-275).
+
+    Aligns the two decomposed values to a common power-of-two scale,
+    decides real-vs-conjugate by a RELATIVE tolerance (iterative solvers
+    return roundoff-nonzero imaginary parts even for genuinely real
+    eigenvalues — an exact-zero test would average two distinct reals
+    into a fake pair), and re-normalizes the mantissas into [1, 2).
+    Returns ((w1, s1), (w2, s2)).
+    """
+    def renorm(v, t):
+        a = abs(v)
+        if a == 0:
+            return 0.0 + 0.0j, 0
+        e = int(np.frexp(a)[1])
+        return v * 2.0 ** (1 - e), t + e - 1
+
+    v1, t1 = renorm(v1, t1)
+    v2, t2 = renorm(v2, t2)
+    tol = 1e-10  # relative: well above iterative roundoff, far below pairs
+    if abs(t1 - t2) <= 1 and (v1 != 0 or v2 != 0):
+        # align to a common exponent (safe: mantissas are in [1, 2))
+        v1a = v1 * 2.0 ** (t1 - t2) if t1 <= t2 else v1
+        v2a = v2 * 2.0 ** (t2 - t1) if t1 > t2 else v2
+        tbase = max(t1, t2)
+        m = max(abs(v1a), abs(v2a))
+        if abs(v1a.imag) <= tol * m and abs(v2a.imag) <= tol * m:
+            # real pair (possibly distinct) — do NOT average
+            return renorm(complex(v1a.real), tbase), \
+                renorm(complex(v2a.real), tbase)
+        wr = (v1a.real + v2a.real) / 2
+        wi = (abs(v1a.imag) + abs(v2a.imag)) / 2
+        return renorm(wr + 1j * wi, tbase), renorm(wr - 1j * wi, tbase)
+    # magnitudes differ by >2x: cannot be conjugates — treat as reals
+    return renorm(complex(v1.real), t1), renorm(complex(v2.real), t2)
+
+
 def _eig2x2_prod_np(W, S):
     """Eigenvalues of the signed 2x2 window-block product, scaled
     (numpy mirror of ops.pqz_real.eig2x2_product)."""
@@ -67,9 +107,14 @@ def _eig2x2_prod_np(W, S):
         else:
             a, b, d = W[l][0, 0], W[l][0, 1], W[l][1, 1]
             if a == 0 or d == 0:
+                # substitute 1 for the zero diagonal entries only (the
+                # finite structure stays in the product), like the device
+                # kernel ops/pqz_real.eig2x2_product:168-176
                 beta = 0.0
-                continue
-            P = P @ np.array([[1 / a, -b / (a * d)], [0, 1 / d]])
+            asafe = a if a != 0 else 1.0
+            dsafe = d if d != 0 else 1.0
+            P = P @ np.array([[1 / asafe, -b / (asafe * dsafe)],
+                              [0, 1 / dsafe]])
         m = np.abs(P).max()
         if m > 0:
             ee = int(np.frexp(m)[1])
@@ -84,13 +129,9 @@ def _eig2x2_prod_np(W, S):
         else:
             ee = int(np.frexp(a)[1])
             out.append((wj * 2.0 ** (1 - ee), e + ee - 1))
-    # standardize conjugates
+    # standardize conjugates / reals (shared sanitizer)
     (w1, s1), (w2, s2) = out
-    if abs(w1.imag) > 0 or abs(w2.imag) > 0:
-        wr = (w1.real + w2.real) / 2
-        wi = abs(w1.imag - w2.imag) / 2
-        w1, w2 = wr + 1j * wi, wr - 1j * wi
-        s2 = s1
+    (w1, s1), (w2, s2) = _sanitize_pair(w1, s1, w2, s2)
     return (w1, s1), (w2, s2), beta
 
 
@@ -191,7 +232,7 @@ def _moveblock(T, Z, S, jsrc, jdest):
     return jsrc, here, True
 
 
-def _update_values(P, T, S, iterative: bool = False):
+def _update_values(T, S, iterative: bool = False):
     """Recompute eigenvalues from reordered diagonals (reference _updateλ!).
 
     Works in normalized (left, slot-0) space; the cyclic product rotation
@@ -216,16 +257,9 @@ def _update_values(P, T, S, iterative: bool = False):
             if iterative:
                 # optional MB03BB-style iterative re-solve (AlgoConfig.
                 # iterative_2x2); non-convergence keeps the one-shot value
-                from ..ops.reorder_np import rpeigvals2x2_np
                 (v1, t1), (v2, t2), bfl2, okc = rpeigvals2x2_np(W, Sx)
                 if okc:
-                    # standardize to an exact conjugate/real pair like the
-                    # one-shot path (reference _sanitize_reigpair!)
-                    if abs(v1.imag) > 0 or abs(v2.imag) > 0:
-                        wr = (v1.real + v2.real) / 2
-                        wi = abs(v1.imag - v2.imag) / 2
-                        v1, v2 = wr + 1j * wi, wr - 1j * wi
-                        t2 = t1
+                    (v1, t1), (v2, t2) = _sanitize_pair(v1, t1, v2, t2)
                     (w1, s1), (w2, s2), bflag = (v1, t1), (v2, t2), bfl2
             alpha[j], alpha[j + 1] = w1, w2
             beta[j] = beta[j + 1] = bflag
@@ -259,6 +293,13 @@ def ordschur(P, select: Sequence[bool], want_z: bool = True,
         raise ValueError("ordschur requires Schur vectors (want_z decompositions)")
     Pn, steps = _normalize(P)
     T, Z, S = _np_lists(Pn)
+    if not S[0]:
+        # the swap kernels and 2x2 re-solves assume a DIRECT (quasi-)
+        # triangular Schur factor, like the factorization drivers
+        # (models/drivers.py); an inverted one would silently produce
+        # wrong eigenvalues
+        raise ValueError("the Schur factor (schurindex) must carry a "
+                         "direct (+1) signature")
     n = T[0].shape[0]
     select = list(bool(x) for x in select)
     if len(select) != n:
@@ -297,7 +338,7 @@ def ordschur(P, select: Sequence[bool], want_z: bool = True,
                 jdest += 2 if pair else 1
             j += 2 if pair else 1
 
-    alpha, beta, scale = _update_values(Pn, T, S,
+    alpha, beta, scale = _update_values(T, S,
                                         iterative=cfg.iterative_2x2)
 
     Ts = jnp.asarray(np.stack(T))

@@ -66,57 +66,78 @@ def eigvecs(P, select: Sequence[bool], shifted: bool = True):
     Pw = rev_alias(P) if right else P   # work in left orientation
 
     select = list(bool(x) for x in select)
-    vals = np.asarray(Pw.values)
+    if len(select) != n:
+        raise ValueError(f"select length {len(select)} != decomposition "
+                         f"size {n}")
     isreal_t = not np.iscomplexobj(np.asarray(Pw.Ts))
     if isreal_t:
-        # widen over conjugate pairs
-        inpair = False
-        for j in range(n):
-            if inpair:
-                if select[j - 1] or select[j]:
-                    select[j - 1] = select[j] = True
-                inpair = False
-                continue
-            inpair = abs(vals[j].imag) > 0
+        # widen over 2x2 blocks of the quasi factor — STRUCTURALLY, not by
+        # eigenvalue imaginary parts: an unsplit block can carry two real
+        # (distinct) product eigenvalues and must still travel as a unit
+        T1 = np.asarray(Pw.Ts[Pw.schurindex])
+        j = 0
+        while j < n - 1:
+            if T1[j + 1, j] != 0:
+                if select[j] or select[j + 1]:
+                    select[j] = select[j + 1] = True
+                j += 2
+            else:
+                j += 1
     if not all(select):
         Pw = ordschur(Pw, select)
     nvec = int(np.sum(select))
     nmat = p if shifted else 1
     Vs = [np.zeros((n, nvec), complex) for _ in range(nmat)]
 
+    def _pair_solve(Tfac2, Zwin, lam, col):
+        """Row-replaced 2x2 cyclic solve for eigenvalue ``lam`` of the
+        leading block (ref :70-112); writes column ``col``."""
+        mu = lam ** (1.0 / p)
+        Zd = [(-mu * np.eye(2)).astype(complex) for _ in range(p)]
+        Zl = [Tfac2[l].astype(complex) for l in range(p)]
+        y = np.zeros(2 * p, complex)
+        y[0] = 1.0
+        Zd[0][0, :] = 0.0
+        Zl[p - 1][0, :] = 0.0
+        Zd[0][0, 0:2] = 1.0
+        x = _cyclic_block_solve(Zd, Zl, y)
+        t = 1.0 / np.linalg.norm(x[0:2])
+        for l in range(nmat):
+            i0 = 2 * l
+            Vs[l][:, col] = t * (Zwin[l] @ x[i0:i0 + 2])
+
     sel = np.zeros(n, bool)
     sel[:nvec] = True
     ilam = 0
     while ilam < nvec:
         vals = np.asarray(Pw.values)
-        T = [np.asarray(Pw.Ts[(Pw.schurindex + l) % p]) for l in range(p)]
-        # T[l] above is factor (schurindex + l) % p; build factor-indexed list
-        Tfac = [np.asarray(Pw.Ts[l]) for l in range(p)]
-        Z = [np.asarray(Pw.Zs[l]) for l in range(p)]
+        # only the leading 2x2 windows of T and the leading 2 Schur-vector
+        # columns are read — converting the full (p, n, n) stacks per
+        # eigenvalue was pure transfer waste
+        T1w = np.asarray(Pw.Ts[Pw.schurindex][0:2, 0:2])
+        Tfac2 = [np.asarray(Pw.Ts[l][0:2, 0:2]) for l in range(p)]
+        Zwin = [np.asarray(Pw.Zs[l][:, 0:2]) for l in range(nmat)]
         lam = complex(vals[0])
-        mu = lam ** (1.0 / p)
-        if isreal_t and abs(lam.imag) > 0:
-            # conjugate pair: row-replaced 2x2 cyclic system (ref :70-112)
-            Zd = [(-mu * np.eye(2)).astype(complex) for _ in range(p)]
-            Zl = [Tfac[l][0:2, 0:2].astype(complex) for l in range(p)]
-            y = np.zeros(2 * p, complex)
-            y[0] = 1.0
-            Zd[0][0, :] = 0.0
-            Zl[p - 1][0, :] = 0.0
-            Zd[0][0, 0:2] = 1.0
-            x = _cyclic_block_solve(Zd, Zl, y)
-            t = 1.0 / np.linalg.norm(x[0:2])
-            for l in range(nmat):
-                i0 = 2 * l
-                Vs[l][:, ilam] = t * (Z[l][:, 0:2] @ x[i0:i0 + 2])
-                if ilam + 1 < nvec:
-                    Vs[l][:, ilam + 1] = np.conj(Vs[l][:, ilam])
+        structural_pair = isreal_t and n >= 2 and T1w[1, 0] != 0
+        if structural_pair:
+            lam2 = complex(vals[1])
+            _pair_solve(Tfac2, Zwin, lam, ilam)
+            if ilam + 1 < nvec:
+                if abs(lam.imag) > 0:
+                    # conjugate pair: the partner is the conjugate
+                    for l in range(nmat):
+                        Vs[l][:, ilam + 1] = np.conj(Vs[l][:, ilam])
+                else:
+                    # unsplit block with two real eigenvalues: solve the
+                    # partner's system separately
+                    _pair_solve(Tfac2, Zwin, lam2, ilam + 1)
             nlam = 2
         else:
+            mu = lam ** (1.0 / p)
             fac = 1.0 + 0.0j
             for l in range(nmat):
-                Vs[l][:, ilam] = fac * Z[l][:, 0]
-                fac *= Tfac[l][0, 0] / mu
+                Vs[l][:, ilam] = fac * Zwin[l][:, 0]
+                fac *= Tfac2[l][0, 0] / mu
             nlam = 1
         sel[:nlam] = False
         ilam += nlam

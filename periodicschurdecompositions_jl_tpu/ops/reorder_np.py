@@ -423,8 +423,8 @@ def swapadjqr(T: List[np.ndarray], Z, S, i1, p1, p2, tol=100.0) -> bool:
     fill1 = p2 > 1 and k > 1 and any(
         abs(Txx[l][1, 0]) > thresh for l in range(1, k))
     ii = p2
-    fill2 = p1 > 1 and any(abs(Txx[l][ii + 1, ii]) > thresh
-                           for l in range(k))
+    fill2 = p1 > 1 and k > 1 and any(abs(Txx[l][ii + 1, ii]) > thresh
+                                     for l in range(1, k))
     Ws = None
     if fill1 or fill2:
         Ws = [np.eye(m, dtype=dt) for _ in range(k)]

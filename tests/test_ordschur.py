@@ -288,7 +288,7 @@ def mkrgps(rng, n, p, jcs, S, nnfac=1e-2):
             A[l] = Z[l] @ T[l] @ Z[ln].T
         else:
             A[l] = Z[ln] @ T[l] @ Z[l].T
-    alpha, beta, scale = _update_values(None, [T[l] for l in range(p)],
+    alpha, beta, scale = _update_values([T[l] for l in range(p)],
                                         tuple(S))
     P = GeneralizedPeriodicSchur(
         S=tuple(bool(s) for s in S), schurindex=0, Ts=jnp.asarray(T),

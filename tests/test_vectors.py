@@ -128,3 +128,67 @@ def test_graded_cycle_reorder_eigvecs(rng):
     sel_v = [i == idx for i in range(6)]
     Vs = eigvecs(P, sel_v, shifted=True)
     ev_check(A, Vs, np.asarray([lam[idx]]), left=True, tol=1e-6)
+
+
+def test_eigvecs_partial(rng):
+    """PartialPeriodicSchur dispatch + Ritz-basis lift (reference
+    src/krylov.jl:996-1022) — previously untested."""
+    from periodicschurdecompositions_jl_tpu.models.krylov import (
+        partial_pschur)
+    p, n = 2, 24
+    A = rng.standard_normal((p, n, n))
+    PS, hist = partial_pschur(A, nev=3, which="LM", seed=4)
+    assert hist.nconverged >= 2
+    nv = min(2, hist.nconverged)
+    select = [True] * nv + [False] * (len(np.asarray(PS.values)) - nv)
+    Vs = eigvecs(PS, select)
+    lams = np.asarray(PS.values)[:nv]
+    # left orientation (the Krylov driver's only mode)
+    ev_check(A, Vs, lams, left=True, tol=1e-5)
+
+
+def test_eigvecs_unsplit_real_block(rng):
+    """An UNSPLIT 2x2 block with two real (distinct) product eigenvalues:
+    structural widening + the separate per-eigenvalue 2x2 solves (the old
+    imag-based gate returned non-eigenvectors silently)."""
+    from periodicschurdecompositions_jl_tpu.types import PeriodicSchur
+    p, n = 2, 5
+    T = np.stack([np.triu(0.05 * rng.random((n, n))) + np.diag(
+        [1.0, 1.0, 3.0, 5.0, 7.0]) for _ in range(p)])
+    # leading 2x2 block with REAL distinct eigenvalues of the product:
+    # block product eigs of ([[1,b],[c,1]] @ [[1,b],[c,1]])-ish stay real
+    T[0][0:2, 0:2] = np.array([[1.0, 2.0], [0.4, 1.0]])
+    T[1][0:2, 0:2] = np.array([[1.0, 0.3], [0.0, 1.0]])
+    Z = np.stack([np.linalg.qr(rng.standard_normal((n, n)))[0]
+                  for _ in range(p)])
+    # left orientation: Z[(l+1)%p]^T A[l] Z[l] = T[l]
+    A = np.stack([Z[(l + 1) % p] @ T[l] @ Z[l].T for l in range(p)])
+    W = T[1][0:2, 0:2] @ T[0][0:2, 0:2]
+    wblk = np.linalg.eigvals(W)
+    assert np.abs(wblk.imag).max() == 0.0 and abs(wblk[0] - wblk[1]) > 0.1
+    lam_all = np.zeros(n, complex)
+    lam_all[0:2] = wblk
+    for j in range(2, n):
+        lam_all[j] = T[0][j, j] * T[1][j, j]
+    P = PeriodicSchur(Ts=jnp.asarray(T), Zs=jnp.asarray(Z),
+                      values=jnp.asarray(lam_all), orientation="L",
+                      schurindex=0)
+    select = [True, False] + [False] * (n - 2)   # widened structurally
+    Vs = eigvecs(P, select)
+    assert Vs[0].shape == (n, 2)
+    # the in-block order of the two real eigenvalues is solver-defined:
+    # match each returned column to whichever eigenvalue it satisfies,
+    # and require BOTH eigenvalues to be covered
+    matched = []
+    for col in range(2):
+        ok_lams = []
+        for lam in wblk:
+            try:
+                ev_check(A, [np.asarray(v)[:, col:col + 1] for v in Vs],
+                         [lam], left=True, tol=1e-8)
+                ok_lams.append(lam)
+            except AssertionError:
+                pass
+        assert ok_lams, f"column {col} matches neither eigenvalue"
+        matched.append(ok_lams[0])
+    assert abs(matched[0] - matched[1]) > 0.1, "both columns matched one"
