@@ -30,7 +30,7 @@ from . import ff
 from .ff import FF
 from .ffkern import givens_ff, refl_mat_ff, reflector_ff
 from .lanv2 import lanv2
-from .ffslab import (colsk_ff, fac_get, fac_set, getcol_ff, getel_ff,
+from .ffslab import (colsk_ff, fac_get, fac_set, getel_ff,
                      rowsk_ff, setel_ff)
 from .pallas_sweep import chase_sweep_ff, chase_sweep_ff_mb
 from .smallschur import hess_eigs_small
@@ -142,7 +142,11 @@ def pqr_real_core_ff_chunked(
         # iteration on full windows at p=16, n=512); target <= ~20 s per
         # execute, comfortably under the ~60 s worker kill
         per_iter = p * n * n * 1e-8
-        chunk_iters = max(256, int(20.0 / max(per_iter, 1e-9)))
+        # floor for dispatch amortization, but never past the ~60 s worker
+        # kill the chunking exists to dodge (256 iterations at p=32,
+        # n=1024 would be ~86 s)
+        floor = min(256, max(16, int(45.0 / max(per_iter, 1e-9))))
+        chunk_iters = max(floor, int(20.0 / max(per_iter, 1e-9)))
 
     # Build the initial loop state here (MUST mirror the core's setup: same
     # padding rule and state tuple) so every chunk call uses the ONE resume
@@ -327,11 +331,21 @@ def pqr_real_core_ff(
         lam = jnp.prod(Hhi[:, 0, 0].astype(f64) + Hlo[:, 0, 0].astype(f64))
         lhi = lam.astype(jnp.float32)
         llo = (lam - lhi.astype(f64)).astype(jnp.float32)
-        zt = (ZThi, ZTlo) if ZThi is not None else (
-            jnp.ones((p, 1, 1), jnp.float32), jnp.zeros((p, 1, 1), jnp.float32))
-        return (Hhi, Hlo, zt[0], zt[1], lhi[None], llo[None],
+        if want_z:
+            zt = (ZThi, ZTlo) if ZThi is not None else (
+                jnp.ones((p, 1, 1), jnp.float32),
+                jnp.zeros((p, 1, 1), jnp.float32))
+        else:
+            zt = (None, None)
+        out1 = (Hhi, Hlo, zt[0], zt[1], lhi[None], llo[None],
                 jnp.zeros((1,), jnp.float32), jnp.zeros((1,), jnp.float32),
                 jnp.asarray(True))
+        if debug_state or return_state:
+            # a resume-API caller unpacking '*outs, state, done' must not
+            # silently mis-bind on the early return
+            raise ValueError("n == 1 does not support return_state/"
+                             "debug_state (nothing to resume)")
+        return out1
 
     # deflation thresholds for triangular-factor diagonals (reference
     # :379-388): ulp * n * opnorm1 — hi-precision is unnecessary here
@@ -627,10 +641,14 @@ def pqr_real_core_ff(
                     j2 = Mwin - 2 - 2 * b
                     e1r, e1i = wrw[j1], wiw[j1]
                     e2r, e2i = wrw[j2], wiw[j2]
-                    # a mixed (real, half-a-pair) split across the pair
-                    # boundary cannot form a real first column: fall back
+                    # only a GENUINE conjugate pair (same block) forms a
+                    # real first column; two complex values from different
+                    # blocks (1x1s misaligning the pairing) must fall back
                     # to two real shifts from the real parts
-                    conj = (e1i != 0.0) & (e2i != 0.0)
+                    mag = jnp.abs(e1i) + jnp.abs(e1r) + 1e-300
+                    conj = (e1i != 0.0) & (e2i != 0.0) & \
+                        (jnp.abs(e1i + e2i) <= 1e-8 * mag) & \
+                        (jnp.abs(e1r - e2r) <= 1e-8 * mag)
                     return e1r, jnp.where(conj, jnp.abs(e1i), 0.0), e2r
 
                 # leading bulge: rebuild its first column from window
@@ -700,6 +718,19 @@ def pqr_real_core_ff(
                 lamv = hdiag * jnp.exp2(bexp.astype(f64))
                 wr = jnp.where(dmask, lamv, wr)
                 wi = jnp.where(dmask, 0.0, wi)
+                # zero ALL the run's (negligible) subdiagonals now: the
+                # final scrub keys on wi of the eigenvalue ABOVE each
+                # entry, so the run's top boundary would survive if that
+                # eigenvalue later resolves complex — leaving T[0] with
+                # two consecutive nonzero subdiagonals (not a valid real
+                # Schur form; structural consumers key pairs off it)
+                rr = lax.broadcasted_iota(jnp.int32, (N, N), 0)
+                cc = lax.broadcasted_iota(jnp.int32, (N, N), 1)
+                m0 = (rr == cc + 1) & (rr > i - ndefl1) & (rr <= i)
+                H0 = fac_get(H, 0)
+                H0 = FF(jnp.where(m0, 0.0, H0.hi),
+                        jnp.where(m0, 0.0, H0.lo))
+                H = fac_set(H, 0, H0)
                 return H, ZT, wr, wi
 
             def defl2(HZwrwi):
@@ -900,9 +931,11 @@ def pqr_real_core_ff(
             go = go & (jiter < it_cap)
         return go
 
-    def body_guarded(st):
-        return lax.cond(st[4] >= 0, body, lambda s: s, st)
-
+    # NOTE: no body guard — while_loop only invokes the body when cond
+    # holds, and cond already requires i >= 0, so a lax.cond(st[4] >= 0,
+    # body, identity) wrapper would round-trip the full padded (H, ZT)
+    # state through an always-true cond every iteration (the same fixed
+    # cost the chase/deflate cond merge removed)
     wr0 = jnp.zeros((n,), f64)
     wi0 = jnp.zeros((n,), f64)
     if resume_state is not None:
@@ -911,7 +944,7 @@ def pqr_real_core_ff(
         st = (H, ZT, wr0, wi0, jnp.int32(n - 1), jnp.int32(0), jnp.int32(1),
               jnp.int32(maxit), jnp.int32(0))
     H, ZT, wr, wi, i, l, its, itleft, jiter = lax.while_loop(
-        cond, body_guarded, st)
+        cond, body, st)
     ok = i < 0
     final_state = (H, ZT, wr, wi, i, l, its, itleft, jiter)
     done = (i < 0) | (jiter >= maxit)
