@@ -44,7 +44,7 @@ from jax import lax
 
 from ..types import ConvergenceFailure, GeneralizedPeriodicSchur
 from ..utils.circshift import rev_alias
-from ..utils.safeprod import safeprod_signed
+from ..utils.safeprod import frexp_exp, pow2_scale, safeprod_signed
 from .lanv2 import lanv2
 from .rotations import (colsk, getcol, getel, getrow, givens_real, lmat,
                         rmat_adj, rowsk, setcol, setel, setrow)
@@ -140,10 +140,10 @@ def rp2x2ssr(B, S2, maxit: int = 40):
 
 def _renorm2x2(P, e):
     m = jnp.max(jnp.abs(P))
-    _, ee = jnp.frexp(jnp.where(m == 0, jnp.ones_like(m), m))
-    k = (1 - ee).astype(jnp.int32)
-    P2 = jnp.ldexp(P, k)
-    e2 = e + (ee - 1).astype(jnp.int32)
+    ee = frexp_exp(jnp.where(m == 0, jnp.ones_like(m), m))
+    k = 1 - ee
+    P2 = pow2_scale(P, k)
+    e2 = e + ee - 1
     keep = m == 0
     return jnp.where(keep, P, P2), jnp.where(keep, e, e2)
 
@@ -180,12 +180,12 @@ def eig2x2_product(W, S):
 
     def norm_one(wr, wi):
         m = jnp.hypot(wr, wi)
-        _, ee = jnp.frexp(jnp.where(m == 0, jnp.ones_like(m), m))
-        k = (1 - ee).astype(jnp.int32)
+        ee = frexp_exp(jnp.where(m == 0, jnp.ones_like(m), m))
+        k = 1 - ee
         keep = m == 0
-        sc = jnp.where(keep, jnp.int32(0), (ee - 1).astype(jnp.int32))
-        return (jnp.where(keep, wr, jnp.ldexp(wr, k)),
-                jnp.where(keep, wi, jnp.ldexp(wi, k)), sc)
+        sc = jnp.where(keep, jnp.int32(0), ee - 1)
+        return (jnp.where(keep, wr, pow2_scale(wr, k)),
+                jnp.where(keep, wi, pow2_scale(wi, k)), sc)
 
     w1r, w1i, s1 = norm_one(w1r, w1i)
     w2r, w2i, s2 = norm_one(w2r, w2i)

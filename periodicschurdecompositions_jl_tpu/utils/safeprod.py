@@ -22,20 +22,83 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 
 
-def _ldexp_any(x, k):
-    if jnp.issubdtype(x.dtype, jnp.complexfloating):
-        return jnp.ldexp(x.real, k) + 1j * jnp.ldexp(x.imag, k)
-    return jnp.ldexp(x, k)
+def pow2_scale(x, k):
+    """Exact ``x * 2**k`` without bitcasts (TPU-safe ldexp).
+
+    ``jnp.ldexp``/``jnp.frexp`` lower through an s64 bitcast-convert on f64
+    inputs, which the TPU X64-rewrite pass cannot lower (the axon chip
+    emulates f64 on f32 pairs).  This variant multiplies by exact
+    power-of-two constants, one binary digit of ``|k|`` at a time in
+    DESCENDING order, so every intermediate lies between ``|x|`` and
+    ``|x * 2**k|`` — no transient overflow/underflow when both endpoints
+    are representable.  Valid for ``|k| <= 2047``.
+
+    ``k``: int32 array (broadcast-compatible with ``x``).  Complex ``x``
+    scales re/im parts independently (still exact).
+    """
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.complexfloating):
+        return pow2_scale(x.real, k) + 1j * pow2_scale(x.imag, k)
+    x = jnp.asarray(x)
+    dt = x.dtype
+    kk = jnp.asarray(k, jnp.int32)
+    neg = kk < 0
+    ka = jnp.where(neg, -kk, kk)
+    out = x
+    for j in range(10, -1, -1):
+        bv = 1 << j
+        # 2^1024 overflows f64: apply the 1024-bit as 2^512 twice.
+        reps, base = (2, 512) if bv > 512 else (1, bv)
+        cpos = jnp.asarray(float(2.0 ** base), dt)
+        cneg = jnp.asarray(float(2.0 ** -base), dt)
+        c = jnp.where(neg, cneg, cpos)
+        bit = ((ka >> j) & 1) == 1
+        for _ in range(reps):
+            out = jnp.where(bit, out * c, out)
+    return out
+
+
+def frexp_exp(mag):
+    """frexp-style exponent of ``mag > 0``: e with ``mag = m * 2^e``,
+    ``m ∈ [0.5, 1)`` — TPU-safe (no bitcasts).
+
+    ``floor(log2)`` candidate plus one exact-rescale correction step (the
+    log2 rounding error is far below 1, so the candidate is off by at most
+    one).  Non-finite / zero inputs return e = 0.
+
+    Subnormal inputs: XLA flushes subnormals to zero in arithmetic on both
+    XLA:CPU and TPU (DAZ/FTZ), so a subnormal ``mag`` compares ``== 0``
+    here and returns e = 0 — consistent with how every other arithmetic op
+    in the library sees it (the renorm-every-factor design keeps live
+    quantities out of that range; the pre-scale below only helps on
+    backends whose log2 flushes but whose mul does not).
+    """
+    mag = jnp.asarray(mag)
+    fi = jnp.finfo(mag.dtype)
+    # log2 flushes subnormals to -inf: pre-scale tiny inputs into the
+    # normal range by an exact power of two and subtract it back.
+    lift_k = int(fi.nmant) + 3
+    tiny = mag < jnp.asarray(fi.tiny)
+    lift = jnp.asarray(float(2.0 ** lift_k), mag.dtype)
+    mags = jnp.where(tiny, mag * lift, mag)
+    ef = jnp.floor(jnp.log2(jnp.where(mag > 0, mags, jnp.ones_like(mag)))) + 1.0
+    ef = jnp.where(jnp.isfinite(ef), ef, jnp.zeros_like(ef))
+    e0 = jnp.clip(ef, -1990.0, 1990.0).astype(jnp.int32) \
+        - jnp.where(tiny, jnp.int32(lift_k), jnp.int32(0))
+    m = pow2_scale(mag, -e0)
+    e = e0 + jnp.where(m >= 1.0, jnp.int32(1), jnp.int32(0)) \
+           - jnp.where(m < 0.5, jnp.int32(1), jnp.int32(0))
+    ok = jnp.isfinite(mag) & (mag > 0)
+    return jnp.where(ok, e, jnp.zeros_like(e))
 
 
 def _renorm(alpha, scale):
     """Rescale so |alpha| ∈ [1,2) (alpha == 0 resets scale, like the ref)."""
     mag = jnp.abs(alpha)
-    _, e = jnp.frexp(jnp.where(mag == 0, jnp.ones_like(mag), mag))
+    e = frexp_exp(jnp.where(mag == 0, jnp.ones_like(mag), mag))
     # |alpha| = m * 2^e with m in [0.5, 1)  ->  multiply by 2^(1-e)
-    k = (1 - e).astype(jnp.int32)
-    alpha2 = _ldexp_any(alpha, k)
-    scale2 = scale + (e - 1).astype(jnp.int32)
+    k = 1 - e
+    alpha2 = pow2_scale(alpha, k)
+    scale2 = scale + e - 1
     iszero = mag == 0
     alpha_out = jnp.where(iszero, jnp.zeros_like(alpha), alpha2)
     scale_out = jnp.where(iszero, jnp.zeros_like(scale), scale2)
@@ -102,10 +165,10 @@ def safeprod_signed_split(xre, xim, S) -> Tuple[jnp.ndarray, jnp.ndarray,
             ai = jnp.where(iszero, ai, ni)
         # renorm |alpha| into [1, 2)
         mag = jnp.hypot(ar, ai)
-        _, e = jnp.frexp(jnp.where(mag == 0, jnp.ones_like(mag), mag))
-        k = (1 - e).astype(jnp.int32)
-        ar2, ai2 = jnp.ldexp(ar, k), jnp.ldexp(ai, k)
-        scale2 = scale + (e - 1).astype(jnp.int32)
+        e = frexp_exp(jnp.where(mag == 0, jnp.ones_like(mag), mag))
+        k = 1 - e
+        ar2, ai2 = pow2_scale(ar, k), pow2_scale(ai, k)
+        scale2 = scale + e - 1
         iszero = mag == 0
         ar = jnp.where(iszero, jnp.zeros_like(ar), ar2)
         ai = jnp.where(iszero, jnp.zeros_like(ai), ai2)
