@@ -178,6 +178,112 @@ def reflector3b_ff(x0: FF, x1: FF, x2: FF):
     return v1, v2, tau, beta
 
 
+def _pow2_normalize(m):
+    """(s, inv): EXACT power-of-two pair with ``m * s`` in [2^-4, 2^4).
+
+    Branchless compare ladder (5 levels, ~25 cheap f32 ops) — no divides,
+    no transcendentals, Mosaic-safe.  Scaling hi/lo components by an exact
+    power of two preserves the ds invariant exactly.  ``m == 0`` (or
+    subnormal, which compares == 0 under DAZ) returns (1, 1).
+    """
+    one = jnp.ones_like(m)
+    s = one
+    inv = one
+    for j in (64, 32, 16, 8, 4):
+        up = jnp.float32(2.0 ** j)
+        dn = jnp.float32(2.0 ** -j)
+        ms = m * s
+        big = ms >= up
+        small = (ms < dn) & (m > 0)
+        s = jnp.where(big, s * dn, jnp.where(small, s * up, s))
+        inv = jnp.where(big, inv * up, jnp.where(small, inv * dn, inv))
+    return s, inv
+
+
+def refl3_fused_flat(x0: FF, x1: FF, x2: FF):
+    """Fused xLARFG + reflector matrix on 3-vectors, component layout.
+
+    Returns (M, beta): M the 9 row-major FF entries [m00..m22] of
+    P = I - s u u^T with u = [x0 - beta, x1, x2] and s = 2/||u||^2,
+    so P [x0, x1, x2]^T = [beta, 0, 0]^T.  Shape-polymorphic (scalars for
+    the sequential kernel-A chain, (B,) for the batched multi-bulge
+    chains).
+
+    Same reflection as reflector3s_ff + refl_mat_s_ff (xLARFG semantics,
+    reference src/householder.jl:66-108) and the same exact-reflection
+    orthogonality grade as the tau-refit form — s is computed directly
+    from ||u||^2 = 2 r (r + |x0|) (exact identity for beta = -sign(x0) r),
+    so P is an exact reflection for the computed u up to one ds rounding —
+    at roughly HALF the sequential ds chain: one sqrt + one reciprocal
+    replace the two max-scaled hypots and three reciprocals (the
+    generation chain is the issue-bound cost of the Pallas sweep).  The
+    max-scaling divides are replaced by an exact power-of-two prescale
+    that keeps every square in the normal f32 range.
+    """
+    m = jnp.maximum(jnp.abs(x0.hi), jnp.maximum(jnp.abs(x1.hi),
+                                                jnp.abs(x2.hi)))
+    s_, inv_ = _pow2_normalize(m)
+    x0 = FF(x0.hi * s_, x0.lo * s_)
+    x1 = FF(x1.hi * s_, x1.lo * s_)
+    x2 = FF(x2.hi * s_, x2.lo * s_)
+    t = ff.add(ff.sq(x1), ff.sq(x2))          # tail norm^2 (>= 0)
+    trivial = ff.eq0(t)
+    r = ff.sqrt(ff.add(ff.sq(x0), t))          # ||x||
+    beta = ff.neg(ff.copysign(r, x0.hi))
+    u0 = ff.sub(x0, beta)                      # |u0| = |x0| + r: no cancel
+    # ||u||^2 = u0^2 + t = 2 r (r + |x0|) exactly; s = 2/||u||^2
+    den = ff.mul(r, ff.add(r, ff.abs_(x0)))
+    sc = ff.recip(_safe(den))
+    zero = ff.zeros(x0.hi.shape)
+    sc = ff.where(trivial, zero, sc)
+    beta = ff.where(trivial, x0, beta)
+    beta = FF(beta.hi * inv_, beta.lo * inv_)
+    su0 = ff.mul(sc, u0)
+    su1 = ff.mul(sc, x1)
+    su2 = ff.mul(sc, x2)
+    one = jnp.float32(1.0)
+    m00 = ff.add_f(ff.neg(ff.mul(su0, u0)), one)
+    m01 = ff.neg(ff.mul(su0, x1))
+    m02 = ff.neg(ff.mul(su0, x2))
+    m11 = ff.add_f(ff.neg(ff.mul(su1, x1)), one)
+    m12 = ff.neg(ff.mul(su1, x2))
+    m22 = ff.add_f(ff.neg(ff.mul(su2, x2)), one)
+    # P is symmetric: m10 = m01, m20 = m02, m21 = m12
+    return [m00, m01, m02, m01, m11, m12, m02, m12, m22], beta
+
+
+def refl2_fused_flat(x0: FF, x1: FF, active=None):
+    """2-slot companion of :func:`refl3_fused_flat`.
+
+    Returns (M, beta): M the 4 row-major FF entries [e00, e01, e10, e11]
+    of the 2x2 reflection annihilating x1.  ``active`` (bool, same shape):
+    rows where False get the identity (the nr3 < 3 chase case).
+    """
+    m = jnp.maximum(jnp.abs(x0.hi), jnp.abs(x1.hi))
+    s_, inv_ = _pow2_normalize(m)
+    x0 = FF(x0.hi * s_, x0.lo * s_)
+    x1 = FF(x1.hi * s_, x1.lo * s_)
+    t = ff.sq(x1)
+    trivial = ff.eq0(t)
+    r = ff.sqrt(ff.add(ff.sq(x0), t))
+    beta = ff.neg(ff.copysign(r, x0.hi))
+    u0 = ff.sub(x0, beta)
+    den = ff.mul(r, ff.add(r, ff.abs_(x0)))
+    sc = ff.recip(_safe(den))
+    zero = ff.zeros(x0.hi.shape)
+    dead = trivial if active is None else (trivial | (~active))
+    sc = ff.where(dead, zero, sc)
+    beta = ff.where(trivial, x0, beta)
+    beta = FF(beta.hi * inv_, beta.lo * inv_)
+    su0 = ff.mul(sc, u0)
+    su1 = ff.mul(sc, x1)
+    one = jnp.float32(1.0)
+    e00 = ff.add_f(ff.neg(ff.mul(su0, u0)), one)
+    e01 = ff.neg(ff.mul(su0, x1))
+    e11 = ff.add_f(ff.neg(ff.mul(su1, x1)), one)
+    return [e00, e01, e01, e11], beta
+
+
 def refl_mat3b_flat(v1: FF, v2: FF, tau: FF):
     """I - tau w w^T for batched w = [1, v1, v2]: 9 row-major (B,) FF
     entries [m00..m22] (flat layout; Mosaic-safe — no tiny 2D arrays)."""

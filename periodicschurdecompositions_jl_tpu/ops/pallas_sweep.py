@@ -48,9 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import ff
 from .ff import FF
-from .ffkern import (fuse32b_flat, matmul3_ff, refl_mat2b_flat,
-                     refl_mat3b_flat, refl_mat_s_ff, reflector3b_ff,
-                     reflector3s_ff)
+from .ffkern import (fuse32b_flat, matmul3_ff, refl2_fused_flat,
+                     refl3_fused_flat)
 
 # the kernels trace deep expression chains (ds arithmetic per chase step
 # inside nested loops); CPython's default recursion limit aborts tracing
@@ -207,6 +206,20 @@ def _flat_mat(M: FF, n2: int):
     return jnp.stack(parts)
 
 
+def _mat_from_flat(M, k: int) -> FF:
+    """(k,k) FF matrix from k*k row-major scalar FF entries (stack-only:
+    Mosaic-safe, mirrors ffkern.refl_mat_s_ff's assembly)."""
+    hi = jnp.stack([jnp.stack([M[r * k + c].hi for c in range(k)])
+                    for r in range(k)])
+    lo = jnp.stack([jnp.stack([M[r * k + c].lo for c in range(k)])
+                    for r in range(k)])
+    return FF(hi, lo)
+
+
+def _ffel(v: FF, j: int) -> FF:
+    return FF(v.hi[j], v.lo[j])
+
+
 def _fuse32_ff(M3: FF, M2: FF) -> FF:
     """F = M3 @ E with E = diag-embed of M2 on rows/cols 1..2 (E[0,0]=1).
 
@@ -359,8 +372,9 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
             z3 = jnp.where(nr3, jnp.float32(1.0), jnp.float32(0.0))
             mask3 = jnp.stack([jnp.float32(1.0), jnp.float32(1.0), z3])
             vk = FF(vk.hi * mask3, vk.lo * mask3)
-            w, tau, beta = reflector3s_ff(vk)
-            M3 = refl_mat_s_ff(w, tau, 3)
+            M3f, beta = refl3_fused_flat(_ffel(vk, 0), _ffel(vk, 1),
+                                         _ffel(vk, 2))
+            M3 = _mat_from_flat(M3f, 3)
             # working copy: left update + forced bulge column (k > m)
             rowsC0 = matmul3_ff(M3, rowsC0)
             keep3 = ff.where(kk < i - 1, ff.zeros(()),
@@ -382,8 +396,10 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
                 rowsCf = _read_rows(Chi, Clo, f, kk, 3)
                 colv = _lane_extract(rowsCf, kk)
                 colv = FF(colv.hi * mask3, colv.lo * mask3)
-                w2, tau2, beta2 = reflector3s_ff(colv)
-                M3b = refl_mat_s_ff(w2, tau2, 3)
+                M3bf, beta2 = refl3_fused_flat(_ffel(colv, 0),
+                                               _ffel(colv, 1),
+                                               _ffel(colv, 2))
+                M3b = _mat_from_flat(M3bf, 3)
                 rows3 = matmul3_ff(M3b, rowsCf)
 
                 # second (2-element) re-triangularization when nr3; its
@@ -391,12 +407,9 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
                 # (identical values to the old write-then-reread)
                 r12 = FF(rows3.hi[1:], rows3.lo[1:])
                 xc = _lane_extract(r12, kk + 1)
-                xc3 = FF(jnp.stack([xc.hi[0], xc.hi[1], jnp.float32(0.0)]),
-                         jnp.stack([xc.lo[0], xc.lo[1], jnp.float32(0.0)]))
-                wb, taub, betab = reflector3s_ff(xc3)
-                M2 = refl_mat_s_ff(wb, taub, 2)
-                eye2 = ff.ff(_eye32(2))
-                M2 = ff.where(nr3, M2, eye2)
+                M2f, betab = refl2_fused_flat(_ffel(xc, 0), _ffel(xc, 1),
+                                              active=nr3)
+                M2 = _mat_from_flat(M2f, 2)
                 rows12 = matmul3_ff(M2, r12)
 
                 # ONE C write for the step: rows3 row 0 + M2-updated rows
@@ -593,8 +606,7 @@ def _make_sweep_kernel_mb(p: int, N: int, NB: int, GAP: int,
                     jnp.stack([vks[b].lo[1] for b in range(NB)]))
             x2 = FF(jnp.stack([vks[b].hi[2] for b in range(NB)]),
                     jnp.stack([vks[b].lo[2] for b in range(NB)]))
-            v1b, v2b, taub, betab = reflector3b_ff(x0, x1, x2)
-            M3 = refl_mat3b_flat(v1b, v2b, taub)
+            M3, betab = refl3_fused_flat(x0, x1, x2)
             for b in range(NB):
                 # re-read the rows: for p == 1 the leading bulges' band
                 # applies (earlier in this loop) target THIS factor and
@@ -638,8 +650,7 @@ def _make_sweep_kernel_mb(p: int, N: int, NB: int, GAP: int,
                         jnp.stack([colsf[b].lo[1] for b in range(NB)]))
                 x2 = FF(jnp.stack([colsf[b].hi[2] for b in range(NB)]) * z3v,
                         jnp.stack([colsf[b].lo[2] for b in range(NB)]) * z3v)
-                w1b, w2b, tau2b, beta2b = reflector3b_ff(x0, x1, x2)
-                M3b = refl_mat3b_flat(w1b, w2b, tau2b)
+                M3b, beta2b = refl3_fused_flat(x0, x1, x2)
                 rows3s, xcs = [], []
                 for b in range(NB):
                     rows3 = _matmul3_flat_b(M3b, b, rowsf[b])
@@ -651,9 +662,7 @@ def _make_sweep_kernel_mb(p: int, N: int, NB: int, GAP: int,
                         jnp.stack([xcs[b].lo[0] for b in range(NB)]))
                 y1 = FF(jnp.stack([xcs[b].hi[1] for b in range(NB)]),
                         jnp.stack([xcs[b].lo[1] for b in range(NB)]))
-                y2 = ff.zeros((NB,))
-                u1b, _u2b, taum2, betam2 = reflector3b_ff(y0, y1, y2)
-                M2 = refl_mat2b_flat(u1b, taum2, active=nr3v)
+                M2, betam2 = refl2_fused_flat(y0, y1, active=nr3v)
                 Fm = fuse32b_flat(M3b, M2)
                 for b in range(NB):
                     rows3 = rows3s[b]
