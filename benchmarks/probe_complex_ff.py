@@ -27,13 +27,16 @@ A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
 S = tuple(l % 2 == 0 for l in range(p))  # mixed signature, S[0] True
 print(f"[probe] ds complex QZ p={p} n={n} S={S}", flush=True)
 
-# warm-up / compile on scaled data
+# warm-up / compile on scaled data.  NOTE: the arrays stay numpy — the
+# driver splits (re, im) on the host; a jnp.asarray here would device_put
+# complex128 onto the axon chip, which has no complex dtype (the runtime
+# stalls and dies with UNAVAILABLE).
 t0 = time.time()
-P = _pschur_complex_ff(jnp.asarray(A * 0.5), S, "R", True, True, 30)
+P = _pschur_complex_ff(A * 0.5, S, "R", True, True, 30)
 print(f"[probe] compile+first run: {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
-P = _pschur_complex_ff(jnp.asarray(A), S, "R", True, True, 30)
+P = _pschur_complex_ff(A, S, "R", True, True, 30)
 t1 = time.time() - t0
 ok, rep = check_psd(P, A, qtol=1e6, tol=1e9)
 Z = np.asarray(P.Zs)
