@@ -41,6 +41,24 @@ _jax.config.update("jax_enable_x64", True)
 # LAPACK-grade accuracy, so demand full-precision matmuls everywhere.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the iteration cores are large while_loop
+# programs whose (remote) XLA:TPU compiles run minutes-to-hours at
+# production sizes; caching serialized executables across processes makes
+# every re-run (benchmarks, chunk resumes in fresh processes, test
+# modules) pay that once.  Respect an explicit user setting; ignore
+# backends that cannot serialize executables (JAX degrades gracefully).
+import os as _os  # noqa: E402
+
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        _cache_dir = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "psd_jax_cache")
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .types import (  # noqa: E402
     AbstractPeriodicSchur,
     GeneralizedPeriodicSchur,
