@@ -235,6 +235,17 @@ def periodic_arnoldi(ops, PK: _PKrylov, k1: int, k2: int, u: np.ndarray,
             # fresh data — leaving it unset fed stale/zero basis vectors
             # into the next step
             if not _reinitialize(PK, 0, j + 1, eta):
+                if j + 1 >= n and j == k2 - 1:
+                    # complete-basis lucky breakdown: V[0] spans the whole
+                    # space (maxdim == n requested), so the decomposition
+                    # closes EXACTLY with a zero foot entry and the ghost
+                    # head column stays zero (its every use multiplies the
+                    # zero foot).  The reference throws PKSFailure here
+                    # (src/krylov.jl:362 -> :181), but a full-space request
+                    # is legitimate and must terminate with the complete
+                    # decomposition instead.
+                    PK.k = j + 1
+                    return True
                 raise PKSFailure("Arnoldi reinitialization failed")
             if devops:
                 ops.load_basis(PK.V)

@@ -154,10 +154,14 @@ def givens_cxff(f: CXF, g: CXF):
     scale = ff.maximum(ff.maximum(ff.abs_(f.re), ff.abs_(f.im)),
                        ff.maximum(ff.abs_(g.re), ff.abs_(g.im)))
     sc = ff.where(ff.eq0(scale), one, scale)
-    fsr = ff.div(f.re, sc)
-    fsi = ff.div(f.im, sc)
-    gsr = ff.div(g.re, sc)
-    gsi = ff.div(g.im, sc)
+    # shared-denominator divides become one fast reciprocal + muls each:
+    # zlartg IS the sequential generation chain of the split-complex QZ
+    # sweep, where div's two extra dependent divides are pure latency
+    scinv = ff.recip_fast(sc)
+    fsr = ff.mul(f.re, scinv)
+    fsi = ff.mul(f.im, scinv)
+    gsr = ff.mul(g.re, scinv)
+    gsi = ff.mul(g.im, scinv)
     f2 = ff.add(ff.sq(fsr), ff.sq(fsi))
     g2 = ff.add(ff.sq(gsr), ff.sq(gsi))
     d2 = ff.add(f2, g2)
@@ -165,12 +169,14 @@ def givens_cxff(f: CXF, g: CXF):
     d = ff.sqrt(d2)
     dsafe = ff.where(ff.eq0(d), one, d)
     afsafe = ff.where(ff.eq0(af), one, af)
-    c_gen = ff.div(af, dsafe)
-    fsign = CXF(ff.div(fsr, afsafe), ff.div(fsi, afsafe))
+    dinv = ff.recip_fast(dsafe)
+    afinv = ff.recip_fast(afsafe)
+    c_gen = ff.mul(af, dinv)
+    fsign = CXF(ff.mul(fsr, afinv), ff.mul(fsi, afinv))
     dsc = ff.mul(d, sc)
     r_gen = CXF(ff.mul(fsign.re, dsc), ff.mul(fsign.im, dsc))
     sg_num = mul(fsign, CXF(gsr, ff.neg(gsi)))
-    s_gen = CXF(ff.div(sg_num.re, dsafe), ff.div(sg_num.im, dsafe))
+    s_gen = CXF(ff.mul(sg_num.re, dinv), ff.mul(sg_num.im, dinv))
 
     # orthogonality renorm (see ffkern.givens_ff): one Newton step of
     # 1/sqrt about h = c^2 + |s|^2 drops the rotation's unitarity defect

@@ -259,6 +259,43 @@ def recip(y: FF) -> FF:
     return div(one, y)
 
 
+def recip_fast(y: FF) -> FF:
+    """1/y via one ds Newton step from the f32 quotient (~1.5 ulp_ds).
+
+    ONE hardware divide instead of ``div``'s three: q = q1 (1 + r) with
+    q1 = fl(1/y.hi) and r = 1 - y q1 captured by EFT — ``1 - p`` is exact
+    by Sterbenz (p = fl(y.hi q1) lies in [0.5, 2]), so the residual is
+    accurate to ~2^-48 and the corrected quotient to ~1.5 ulp of ds.
+    The reciprocal sits on the sequential reflector/Givens generation
+    chain of the sweep kernels (the issue-bound cost of kernel A), where
+    ``div``'s two extra dependent divides are pure latency.  Caller
+    guards y != 0 (y.hi == 0 returns junk, like an unguarded divide).
+    """
+    yh = jnp.where(y.hi == 0, _f32(1.0), y.hi)
+    q1 = _bar(_f32(1.0) / yh)
+    p, e = two_prod(yh, q1)
+    r = (_f32(1.0) - p) - (e + y.lo * q1)
+    q, err = fast_two_sum(q1, q1 * r)
+    return FF(q, err)
+
+
+def div_fast(x: FF, y: FF) -> FF:
+    """x/y with two hardware divides (~1.5 ulp_ds) instead of ``div``'s
+    three: the dropped third refinement only upgrades ~1 ulp_ds accuracy
+    to near-correct rounding, which no generation-chain consumer needs.
+    Same zero-numerator exactness as ``div``; caller guards y != 0.
+    """
+    yh = jnp.where(y.hi == 0, _f32(1.0), y.hi)
+    q1 = _bar(x.hi / yh)
+    r = sub(x, mul_f(y, q1))
+    q2 = (r.hi + r.lo) / yh
+    q, e = fast_two_sum(q1, q2)
+    zero_num = x.hi == 0
+    q = jnp.where(zero_num, jnp.zeros_like(q), q)
+    e = jnp.where(zero_num, jnp.zeros_like(e), e)
+    return FF(q, e)
+
+
 def sqrt(x: FF) -> FF:
     """sqrt for x >= 0 (x < 0 is caller error; x == 0 handled exactly)."""
     s1 = jnp.sqrt(x.hi)

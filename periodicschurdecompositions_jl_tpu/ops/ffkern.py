@@ -79,7 +79,7 @@ def reflector_ff(x: FF):
 
     beta = ff.neg(ff.copysign(ff.hypot2(alpha, xnorm), alpha.hi))
     denom = _safe(ff.sub(alpha, beta))
-    dinv = ff.recip(denom)
+    dinv = ff.recip_fast(denom)
     vtail = ff.mul(tail, FF(jnp.broadcast_to(dinv.hi, tail.hi.shape),
                             jnp.broadcast_to(dinv.lo, tail.lo.shape)))
     # tau refit: 2 / ||w||^2 makes P = I - tau w w^T an EXACT reflection
@@ -90,7 +90,7 @@ def reflector_ff(x: FF):
     # orthogonality defect is what accumulates into Z drift / backward
     # error over the sweep chains.
     w2 = ff.add_f(ff.sum_(ff.sq(vtail), 0), jnp.float32(1.0))
-    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
+    tau = ff.mul_pow2(ff.recip_fast(w2), jnp.float32(2.0))
 
     tau = ff.where(trivial, ff.zeros(()), tau)
     vtail = ff.where(trivial, ff.zeros(vtail.hi.shape), vtail)
@@ -126,13 +126,13 @@ def reflector3s_ff(x: FF):
     xnorm = ff.hypot2(x1, x2)
     trivial = ff.eq0(xnorm)
     beta = ff.neg(ff.copysign(ff.hypot2(x0, xnorm), x0.hi))
-    dinv = ff.recip(_safe(ff.sub(x0, beta)))
+    dinv = ff.recip_fast(_safe(ff.sub(x0, beta)))
     v1 = ff.mul(x1, dinv)
     v2 = ff.mul(x2, dinv)
     # tau refit to 2/||w||^2: exact-reflection orthogonality (~1 ulp
     # defect) — see reflector_ff
     w2 = ff.add_f(ff.add(ff.sq(v1), ff.sq(v2)), jnp.float32(1.0))
-    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
+    tau = ff.mul_pow2(ff.recip_fast(w2), jnp.float32(2.0))
     tau = ff.where(trivial, ff.zeros(()), tau)
     beta = ff.where(trivial, x0, beta)
     beta = FF(beta.hi * inv_, beta.lo * inv_)
@@ -162,13 +162,13 @@ def reflector3b_ff(x0: FF, x1: FF, x2: FF):
     xnorm = ff.hypot2(x1, x2)
     trivial = ff.eq0(xnorm)
     beta = ff.neg(ff.copysign(ff.hypot2(x0, xnorm), x0.hi))
-    dinv = ff.recip(_safe(ff.sub(x0, beta)))
+    dinv = ff.recip_fast(_safe(ff.sub(x0, beta)))
     v1 = ff.mul(x1, dinv)
     v2 = ff.mul(x2, dinv)
     # tau refit to 2/||w||^2: exact-reflection orthogonality (~1 ulp
     # defect) — see reflector_ff
     w2 = ff.add_f(ff.add(ff.sq(v1), ff.sq(v2)), jnp.float32(1.0))
-    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
+    tau = ff.mul_pow2(ff.recip_fast(w2), jnp.float32(2.0))
     zero = ff.zeros(x0.hi.shape)
     tau = ff.where(trivial, zero, tau)
     beta = ff.where(trivial, x0, beta)
@@ -233,7 +233,7 @@ def refl3_fused_flat(x0: FF, x1: FF, x2: FF):
     u0 = ff.sub(x0, beta)                      # |u0| = |x0| + r: no cancel
     # ||u||^2 = u0^2 + t = 2 r (r + |x0|) exactly; s = 2/||u||^2
     den = ff.mul(r, ff.add(r, ff.abs_(x0)))
-    sc = ff.recip(_safe(den))
+    sc = ff.recip_fast(_safe(den))
     zero = ff.zeros(x0.hi.shape)
     sc = ff.where(trivial, zero, sc)
     beta = ff.where(trivial, x0, beta)
@@ -269,7 +269,7 @@ def refl2_fused_flat(x0: FF, x1: FF, active=None):
     beta = ff.neg(ff.copysign(r, x0.hi))
     u0 = ff.sub(x0, beta)
     den = ff.mul(r, ff.add(r, ff.abs_(x0)))
-    sc = ff.recip(_safe(den))
+    sc = ff.recip_fast(_safe(den))
     zero = ff.zeros(x0.hi.shape)
     dead = trivial if active is None else (trivial | (~active))
     sc = ff.where(dead, zero, sc)
@@ -410,12 +410,18 @@ def givens_ff(f: FF, g: FF):
     af, ag = ff.abs_(f), ff.abs_(g)
     scale = ff.maximum(af, ag)
     sc = _safe(scale)
-    fs, gs = ff.div(f, sc), ff.div(g, sc)
+    # shared-denominator divides become one fast reciprocal + muls: the
+    # Givens chain is sequential latency inside the repair/deflation
+    # fori loops (and the complex cores' sweeps via the cxff mirror)
+    scinv = ff.recip_fast(sc)
+    fs, gs = ff.mul(f, scinv), ff.mul(g, scinv)
     d = ff.mul(sc, ff.sqrt(ff.add(ff.sq(fs), ff.sq(gs))))
     dsafe = _safe(d)
     r_gen = ff.where(f.hi >= 0, d, ff.neg(d))
-    c_gen = ff.div(af, dsafe)
-    s_gen = ff.div(g, _safe(r_gen))
+    dinv = ff.recip_fast(dsafe)
+    c_gen = ff.mul(af, dinv)
+    # s = g / r with r = sign(f) d: fold the sign into the reciprocal
+    s_gen = ff.mul(g, ff.where(f.hi >= 0, dinv, ff.neg(dinv)))
     # orthogonality renorm: one Newton step of 1/sqrt about h = c^2+s^2
     # ((3-h)/2, exact to O(u^2)) drops the rotation's orthogonality defect
     # from the ~3-5 ulp of the div/sqrt chain to ~1 ulp — the per-transform

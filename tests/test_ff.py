@@ -134,3 +134,21 @@ def test_mul_pow2_exact(rng):
     fa = ff.from_f64(jnp.asarray(a))
     out = _to64(ff.mul_pow2(fa, 0.03125))
     assert np.all(out == _to64(fa) * 0.03125)
+
+
+def test_recip_div_fast(rng):
+    # +-20 decades: the ds lo-component of the RECIPROCAL must stay out of
+    # the f32-subnormal range (|1/y| >~ 2^-78), the same domain bound the
+    # 3-divide ff.div/recip have (verified identical failure at y=1e30)
+    y = rng.standard_normal(500) * 10.0 ** rng.uniform(-20, 20, 500)
+    x = rng.standard_normal(500) * 10.0 ** rng.uniform(-10, 10, 500)
+    yf = ff.from_f64(jnp.asarray(y))
+    xf = ff.from_f64(jnp.asarray(x))
+    r = _to64(ff.recip_fast(yf))
+    assert (np.abs(r - 1.0 / y) <= 16 * 2.0 ** -48 * np.abs(1.0 / y)).all()
+    q = _to64(ff.div_fast(xf, yf))
+    assert (np.abs(q - x / y) <= 16 * 2.0 ** -48 * np.abs(x / y)).all()
+    # measured worst case ~7 ulp_ds across +-20 decades (vs ~3 for
+    # the 3-divide ff.div); generation-grade per the recip_fast docstring
+    # zero-numerator exactness (div contract)
+    assert _to64(ff.div_fast(ff.zeros(()), ff.ff(jnp.float32(3.0)))) == 0.0

@@ -299,3 +299,21 @@ def test_rank_deficient_in_cycle_deflation():
     got = np.asarray(PS.values)[:hist.nconverged]
     for g in got:
         assert min(abs(g - z) for z in w) < 1e-5 * max(1.0, abs(g)), g
+
+
+def test_full_space_maxdim_lucky_breakdown():
+    """maxdim == n: the basis completes, the wrap closes with an EXACT
+    zero foot (complete-basis lucky breakdown), and the driver returns the
+    full spectrum instead of PKSFailure (the reference throws here,
+    src/krylov.jl:362 -> :181; a full-space request is legitimate)."""
+    rng = np.random.default_rng(5)
+    for p, n, cplx in [(4, 12, False), (3, 8, True)]:
+        A = rng.standard_normal((p, n, n))
+        if cplx:
+            A = A + 1j * rng.standard_normal((p, n, n))
+        PS, hist = partial_pschur(A, nev=3, which="LM", mindim=min(10, n),
+                                  maxdim=n)
+        assert hist.nconverged >= 3
+        w = np.sort(np.abs(_true_spectrum(A)))[::-1]
+        got = np.sort(np.abs(np.asarray(PS.values)))[::-1]
+        assert np.allclose(got[:3], w[:3], rtol=1e-7)
