@@ -142,6 +142,53 @@ def _chip_available(timeout_s: int = 420) -> bool:
         return False
 
 
+_WATCHDOG = {"deadline": None, "note": ""}
+
+
+def _arm_watchdog(seconds: float, note: str):
+    """Tunnel deaths HANG the client rather than raise; a tripped deadline
+    prints the fallback JSON line and hard-exits so the driver always gets
+    a record."""
+    import os
+    import threading
+    _WATCHDOG["deadline"] = time.time() + seconds
+    _WATCHDOG["note"] = note
+    if _WATCHDOG.get("armed"):
+        return
+    _WATCHDOG["armed"] = True
+
+    def _watch():
+        while True:
+            time.sleep(30)
+            dl = _WATCHDOG["deadline"]
+            if dl is not None and time.time() > dl:
+                print(f"[bench] watchdog tripped: {_WATCHDOG['note']}",
+                      file=sys.stderr, flush=True)
+                rec = _WATCHDOG.get("record")
+                if rec is not None:
+                    # a completed headline measurement beats the fallback
+                    print(json.dumps(rec))
+                else:
+                    _fallback_record("axon tunnel hung mid-run: " +
+                                     _WATCHDOG["note"])
+                sys.stdout.flush()
+                os._exit(0)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+
+def _fallback_record(note: str):
+    print(json.dumps({
+        "metric": (f"pschur_real wall-clock p={P_CYCLE} n={N} "
+                   f"float-float (one TPU chip, vs native C++ "
+                   f"single-core baseline)"),
+        "value": 0.0,
+        "unit": "s",
+        "vs_baseline": 0.0,
+        "note": note,
+    }))
+
+
 def main():
     rng = np.random.default_rng(12345)
     A_np = rng.standard_normal((P_CYCLE, N, N))
@@ -149,19 +196,17 @@ def main():
     if not _chip_available():
         print("[bench] TPU chip unavailable (axon tunnel down); "
               "emitting placeholder record", file=sys.stderr)
-        print(json.dumps({
-            "metric": (f"pschur_real wall-clock p={P_CYCLE} n={N} "
-                       f"float-float (one TPU chip, vs native C++ "
-                       f"single-core baseline)"),
-            "value": 0.0,
-            "unit": "s",
-            "vs_baseline": 0.0,
-            "note": "axon chip tunnel down for the whole round; "
-                    "no on-chip measurement possible",
-        }))
+        _fallback_record("axon chip tunnel down for the whole round; "
+                         "no on-chip measurement possible")
         return
 
-    t_tpu, T, Z, ok = _tpu_run(A_np)
+    try:
+        _arm_watchdog(80 * 60, "headline run (compile+2 runs) over 80 min")
+        t_tpu, T, Z, ok = _tpu_run(A_np)
+    except Exception as e:  # tunnel death mid-run must still emit JSON
+        print(f"[bench] TPU run failed mid-flight: {e!r}", file=sys.stderr)
+        _fallback_record(f"axon tunnel died mid-run: {type(e).__name__}")
+        return
     err = _backerr(A_np, T, Z)
     print(f"[bench] pschur_real ds p={P_CYCLE} n={N}: tpu {t_tpu:.2f}s "
           f"(ok={ok}, backerr {err:.2e})", file=sys.stderr)
@@ -176,6 +221,20 @@ def main():
               file=sys.stderr)
         vs = 0.0
 
+    # the headline is measured: from here the watchdog prints the REAL
+    # record (throughput 0) if the ensemble phase hangs on a dead tunnel
+    _WATCHDOG["record"] = {
+        "metric": (f"pschur_real wall-clock p={P_CYCLE} n={N} float-float "
+                   f"(one TPU chip, vs native C++ single-core baseline)"),
+        "value": round(t_tpu, 3),
+        "unit": "s",
+        "vs_baseline": round(vs, 4),
+        "backward_error": float(f"{err:.3e}"),
+        "throughput_problems_per_min_p8_n128": 0.0,
+        "note": "throughput phase hung (tunnel); headline is measured",
+    }
+    _arm_watchdog(30 * 60, "ensemble throughput phase over 30 min")
+
     try:
         tput, t_ens = _throughput_run()
         print(f"[bench] ensemble throughput: 8x (p=8, n=128) in "
@@ -184,6 +243,7 @@ def main():
         print(f"[bench] throughput run failed: {e}", file=sys.stderr)
         tput = 0.0
 
+    _WATCHDOG["deadline"] = None  # all phases done; disarm
     print(json.dumps({
         "metric": (f"pschur_real wall-clock p={P_CYCLE} n={N} float-float "
                    f"(one TPU chip, vs native C++ single-core baseline)"),
