@@ -79,6 +79,7 @@ from .models.ordschur import ordschur  # noqa: E402
 from .models.vectors import eigvecs  # noqa: E402
 from .models.krylov import partial_pschur, ArnoldiHistory  # noqa: E402
 from .utils.io import load_decomposition, save_decomposition  # noqa: E402
+from .utils.balance import balance_pcycle  # noqa: E402
 from .ops.pqz_mp import MpGeneralizedPeriodicSchur, pschur_mp  # noqa: E402
 
 __version__ = "0.1.0"
@@ -105,6 +106,7 @@ __all__ = [
     "check_psd",
     "FacChecker",
     "save_decomposition",
+    "balance_pcycle",
     "load_decomposition",
     "pschur_mp",
     "MpGeneralizedPeriodicSchur",
