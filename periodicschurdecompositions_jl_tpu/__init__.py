@@ -51,8 +51,24 @@ import os as _os  # noqa: E402
 
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     try:
+        # Key the cache dir by the HOST CPU feature set: XLA:CPU AOT
+        # executables embed machine features (avx512 variants, scatter/
+        # gather preferences), and sessions of this repo run in VMs whose
+        # host CPUs differ — a cache entry compiled elsewhere loads with
+        # "could lead to execution errors such as SIGILL" warnings and has
+        # hung real runs.  Distinct machines therefore get distinct dirs.
+        import hashlib as _hashlib
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _flags = [ln for ln in _f if ln.startswith("flags")][:1]
+            _fp = _hashlib.sha1(
+                ("".join(_flags)).encode()).hexdigest()[:10]
+        except Exception:
+            import platform as _platform
+            _fp = _hashlib.sha1(
+                _platform.processor().encode()).hexdigest()[:10]
         _cache_dir = _os.path.join(
-            _os.path.expanduser("~"), ".cache", "psd_jax_cache")
+            _os.path.expanduser("~"), ".cache", f"psd_jax_cache_{_fp}")
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
