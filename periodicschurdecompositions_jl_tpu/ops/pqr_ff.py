@@ -839,8 +839,8 @@ def pqr_real_core_ff(
                             [ff.stack([c, ff.neg(s)], 0),
                              ff.stack([s, c], 0)], 0)
 
-                    def iter20(t, carry):
-                        H, ZT, replaceG, done = carry
+                    def iter20(carry):
+                        H, ZT, replaceG, done, t = carry
                         act = ~done
                         H0 = fac_get(H, 0)
                         cg, sg, _ = givens_ff(getel_ff(H0, i - 1, i - 1),
@@ -879,10 +879,17 @@ def pqr_real_core_ff(
                         conv = (~replaceG) | (
                             subd < jnp.maximum(smlnum64, ulp * amx))
                         done = done | conv
-                        return H, ZT, jnp.asarray(True), done
+                        return H, ZT, jnp.asarray(True), done, t + 1
 
-                    H, ZT, _, _ = lax.fori_loop(
-                        0, 20, iter20, (H, ZT, replace0, jnp.asarray(False)))
+                    # retriangularization loop (reference :901-1054, <=20
+                    # rounds): a while_loop, NOT a masked fori — the common
+                    # complex-pair case (replace0 == False) converges after
+                    # ONE round, and the 19 masked rounds of p-factor
+                    # rotation chains were pure fixed cost on every 2x2
+                    # deflation (~n/2 of them per decomposition)
+                    H, ZT, _, _, _ = lax.while_loop(
+                        lambda c: (~c[3]) & (c[4] < 20), iter20,
+                        (H, ZT, replace0, jnp.asarray(False), jnp.int32(0)))
                     H = fac_set(H, 0, setel_ff(
                         fac_get(H, 0), i, i - 1, zero,
                         active=(jmax >= 0) | (bh21 == 0)))
