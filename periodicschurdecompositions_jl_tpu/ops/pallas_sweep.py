@@ -165,11 +165,27 @@ def _write_rows_raw(hi_ref, lo_ref, f, k, vals: FF):
     lo_ref[f, pl.ds(k, r), :] = vals.lo
 
 
-def _band_col_apply(hi_ref, lo_ref, g, k, M: FF, width: int, N: int):
+def _band_col_apply(hi_ref, lo_ref, g, k, M: FF, width: int, N: int,
+                    gen_row0=None, gen_c1=False):
     """C[g][k-2:k+6, k:k+width] <- C[g][.., k:k+width] @ M.
 
     Maintains the working copy's band under a right-side transform; only
     the 8 rows a later reflector generation can read need to be current.
+
+    ``gen_row0``: when given, ALSO return the fragment of the NEW column k
+    at rows gen_row0..gen_row0+2 — the next reflector generation's input
+    column, handed forward in registers so the generation chain (the
+    sweep's sequential latency) never waits on this slab's write/re-read.
+    The fragment is returned as a TUPLE OF 3 SCALAR FFs, not a (3,) array:
+    loop-carried rank-1 vectors feeding the scalar generation chain crash
+    the Mosaic layout pass ("Check failed: arr.size() >= layout_rank"),
+    while scalar carries lower to SREGs.  Each scalar is extracted from
+    the same ``acc`` values the slab write stores (single-nonzero masked
+    sum), so register-carried and re-read values are bitwise identical.
+    ``gen_c1``: also return the matching fragment of the new column k+1
+    (the second re-triangularization reflector's input lane); the return
+    becomes a (col_k, col_k1) tuple.  Rows outside the slab read all-False
+    masks and yield exact zeros (never dereferenced by consumers).
     """
     # NOT jnp.clip: its python-int bounds become int64 under x64, and any
     # int64 in a Mosaic kernel sends the convert lowering into infinite
@@ -187,14 +203,24 @@ def _band_col_apply(hi_ref, lo_ref, g, k, M: FF, width: int, N: int):
     cols = [_lane_extract(slab, k + c) for c in range(width)]
     it = _lane_iota(slab.hi.shape)
     new_hi, new_lo = slab.hi, slab.lo
+    gens = [None, None]
     for c in range(width):
         acc = ff.mul(cols[0], FF(M.hi[0, c], M.lo[0, c]))
         for s in range(1, width):
             acc = ff.add(acc, ff.mul(cols[s], FF(M.hi[s, c], M.lo[s, c])))
+        if gen_row0 is not None and (c == 0 or (gen_c1 and c == 1)):
+            sub = lax.broadcasted_iota(jnp.int32, acc.hi.shape, 0)
+            z = jnp.float32(0.0)
+            off = gen_row0 - rb
+            gens[c] = tuple(
+                FF(jnp.sum(jnp.where(sub == off + j, acc.hi, z)),
+                   jnp.sum(jnp.where(sub == off + j, acc.lo, z)))
+                for j in range(3))
         mask = it == (k + c)
         new_hi = jnp.where(mask, acc.hi[:, None], new_hi)
         new_lo = jnp.where(mask, acc.lo[:, None], new_lo)
     _write_rows_raw(hi_ref, lo_ref, g, rb, FF(new_hi, new_lo))
+    return tuple(gens) if gen_c1 else gens[0]
 
 
 def _flat_mat(M: FF, n2: int):
@@ -361,54 +387,79 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
         v0 = FF(jnp.stack([v0f[0], v0f[1], v0f[2]]),
                 jnp.stack([v0f[3], v0f[4], v0f[5]]))
 
-        def step(kk, _):
+        # Register-carried generation columns: every reflector generation's
+        # input column is column 0 (or 1) of the band apply that last wrote
+        # it, extracted from the apply's in-register accumulators (bitwise
+        # identical to a slab re-read) and threaded through the loop
+        # carries — the sweep's sequential chain never waits on a slab
+        # write/re-read/masked-lane-extract.  Carries are TUPLES OF 3
+        # SCALAR FFs (rank-1 loop carries feeding the scalar chain crash
+        # the Mosaic layout pass; scalars lower to SREGs).  Seed: the
+        # pre-sweep bulge column (factor 0, lane m-1, rows m..m+2).
+        seedv = _lane_extract(_read_rows(Chi, Clo, 0, m, 3), m - 1)
+        seed = tuple(_ffel(seedv, j) for j in range(3))
+
+        def step(kk, colC):
             nr3 = (i - kk + 1) >= 3
 
             # ---- H[0] bulge reflector --------------------------------
+            # colC (carried) = factor 0, lane kk-1, rows kk..kk+2
             rowsC0 = _read_rows(Chi, Clo, 0, kk, 3)
-            colC = _lane_extract(rowsC0, kk - 1)
             first = kk == m
-            vk = ff.where(first, v0, colC)
             z3 = jnp.where(nr3, jnp.float32(1.0), jnp.float32(0.0))
-            mask3 = jnp.stack([jnp.float32(1.0), jnp.float32(1.0), z3])
-            vk = FF(vk.hi * mask3, vk.lo * mask3)
-            M3f, beta = refl3_fused_flat(_ffel(vk, 0), _ffel(vk, 1),
-                                         _ffel(vk, 2))
+            # scalar generation inputs (element 2 zeroed in the nr3 tail)
+            vk0 = ff.where(first, _ffel(v0, 0), colC[0])
+            vk1 = ff.where(first, _ffel(v0, 1), colC[1])
+            vk2 = ff.where(first, _ffel(v0, 2), colC[2])
+            vk2 = FF(vk2.hi * z3, vk2.lo * z3)
+            M3f, beta = refl3_fused_flat(vk0, vk1, vk2)
             M3 = _mat_from_flat(M3f, 3)
             # working copy: left update + forced bulge column (k > m)
             rowsC0 = matmul3_ff(M3, rowsC0)
-            keep3 = ff.where(kk < i - 1, ff.zeros(()),
-                             FF(colC.hi[2], colC.lo[2]))
+            keep3 = ff.where(kk < i - 1, ff.zeros(()), colC[2])
             newc = FF(jnp.stack([beta.hi, jnp.float32(0.0), keep3.hi]),
                       jnp.stack([beta.lo, jnp.float32(0.0), keep3.lo]))
             rowsC0 = _lane_force(rowsC0, kk - 1, newc, ~first)
             _write_rows(Chi, Clo, 0, kk, rowsC0)
             # right-side effect: C[p-1] cols kk..kk+2 (band) + log
-            # (the bulge step has no second transform: F = M3)
-            _band_col_apply(Chi, Clo, p - 1, kk, M3, 3, N)
+            # (the bulge step has no second transform: F = M3); for p > 1
+            # this seeds the fac-loop carry (factor p-1's generation
+            # lanes kk, kk+1), for p == 1 it feeds the NEXT step's bulge
+            # column (lane kk, rows kk+1..kk+3)
+            if p > 1:
+                g0, g1 = _band_col_apply(Chi, Clo, p - 1, kk, M3, 3, N,
+                                         gen_row0=kk, gen_c1=True)
+            else:
+                nxt = _band_col_apply(Chi, Clo, 0, kk, M3, 3, N,
+                                      gen_row0=kk + 1)
             R0[0, kk, :] = _flat_mat(M3, 9)
 
             # ---- factor re-triangularization loop --------------------
-            def fac(t, _):
+            def fac(t, carry):
+                cv0, cv1 = carry
                 # int32-typed constant first: python-int OP tracer promotes
                 # through an int64 asarray under x64, which Mosaic rejects
                 f = jnp.int32(p - 1) - t
                 rowsCf = _read_rows(Chi, Clo, f, kk, 3)
-                colv = _lane_extract(rowsCf, kk)
-                colv = FF(colv.hi * mask3, colv.lo * mask3)
-                M3bf, beta2 = refl3_fused_flat(_ffel(colv, 0),
-                                               _ffel(colv, 1),
-                                               _ffel(colv, 2))
+                cv02 = FF(cv0[2].hi * z3, cv0[2].lo * z3)
+                M3bf, beta2 = refl3_fused_flat(cv0[0], cv0[1], cv02)
                 M3b = _mat_from_flat(M3bf, 3)
                 rows3 = matmul3_ff(M3b, rowsCf)
 
                 # second (2-element) re-triangularization when nr3; its
-                # generation column is read from the in-register rows3
-                # (identical values to the old write-then-reread)
-                r12 = FF(rows3.hi[1:], rows3.lo[1:])
-                xc = _lane_extract(r12, kk + 1)
-                M2f, betab = refl2_fused_flat(_ffel(xc, 0), _ffel(xc, 1),
+                # generation column = rows 1..2 of M3b @ (carried lane
+                # kk+1 fragment), as scalar ds dots with matmul3_ff's
+                # exact per-element expression tree — bitwise identical
+                # to extracting lane kk+1 of rows3
+                def _mrow(r):
+                    acc = ff.mul(FF(M3b.hi[r, 0], M3b.lo[r, 0]), cv1[0])
+                    acc = ff.add(acc, ff.mul(FF(M3b.hi[r, 1],
+                                                M3b.lo[r, 1]), cv1[1]))
+                    return ff.add(acc, ff.mul(FF(M3b.hi[r, 2],
+                                                 M3b.lo[r, 2]), cv1[2]))
+                M2f, betab = refl2_fused_flat(_mrow(1), _mrow(2),
                                               active=nr3)
+                r12 = FF(rows3.hi[1:], rows3.lo[1:])
                 M2 = _mat_from_flat(M2f, 2)
                 rows12 = matmul3_ff(M2, r12)
 
@@ -436,20 +487,27 @@ def _make_sweep_kernel(p: int, N: int, hbm_inputs: bool = False):
 
                 # fused per-step transform F = M3b @ M2e: ONE band apply,
                 # ONE log (see _fuse32_ff); the H applications happen in
-                # the batched kernels from this log
+                # the batched kernels from this log.  The apply's column
+                # fragments feed the next generation: the next fac
+                # iteration (factor f-1, lanes kk/kk+1, rows kk..) for
+                # f > 1, the next STEP's bulge (lane kk, rows kk+1..)
+                # when f == 1 — F's column 0 is M3b's, so the carried
+                # dataflow never includes the second reflector.
                 F = _fuse32_ff(M3b, M2)
-                _band_col_apply(Chi, Clo, f - 1, kk, F, 3, N)
+                grow0 = jnp.where(f == jnp.int32(1), kk + 1, kk)
+                n0, n1 = _band_col_apply(Chi, Clo, f - 1, kk, F, 3, N,
+                                         gen_row0=grow0, gen_c1=True)
                 R0[f, kk, :] = _flat_mat(F, 9)
-                return jnp.int32(0)
+                return (n0, n1)
 
             if p > 1:
                 # int32 bounds: python-int fori bounds make an int64 loop
                 # counter under x64, which Mosaic cannot lower
-                lax.fori_loop(jnp.int32(0), jnp.int32(p - 1), fac,
-                              jnp.int32(0))
-            return jnp.int32(0)
+                nxt, _ = lax.fori_loop(jnp.int32(0), jnp.int32(p - 1), fac,
+                                       (g0, g1))
+            return nxt
 
-        lax.fori_loop(m, i, step, jnp.int32(0))
+        lax.fori_loop(m, i, step, seed)
 
     return kernel
 
