@@ -1,0 +1,116 @@
+"""Resilient runner for queued on-chip measurements.
+
+The axon tunnel dies unpredictably and HANGS clients instead of raising
+(see bench.py's watchdog).  This runner probes the chip with a tiny
+subprocess matmul; while the tunnel answers it executes the queued
+measurement commands ONE AT A TIME, each in its own subprocess with a
+hard timeout, appending stdout/stderr to ``benchmarks/results_r2.log``.
+A hung/failed measurement is retried once the tunnel answers again
+(max ``RETRIES`` attempts each).
+
+Usage: python benchmarks/chip_queue.py  (run under nohup/timeout; safe to
+restart — finished items are recorded in the log and skipped via the
+state file /tmp/chip_queue_state.json).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "benchmarks", "results_r2.log")
+STATE = "/tmp/chip_queue_state.json"
+RETRIES = 3
+
+# (name, argv, timeout_s) — ordered by decision value
+QUEUE = [
+    ("sweeptime_p8_n256", [sys.executable, "benchmarks/probe_sweeptime.py",
+                           "8", "256", "4"], 2400),
+    ("mb_timing_p8_n128", [sys.executable, "benchmarks/mb_timing.py",
+                           "8", "128", "1,2,4"], 3600),
+    ("complex_ff_p6_n128", [sys.executable, "benchmarks/probe_complex_ff.py",
+                            "6", "128"], 3600),
+    ("real_gen_p6_n128", [sys.executable, "benchmarks/probe_real_gen.py",
+                          "6", "128"], 3600),
+    ("aed_timing_p8_n128", [sys.executable, "benchmarks/aed_timing.py",
+                            "8", "128"], 3600),
+]
+
+PROBE = ("import jax, jax.numpy as jnp;"
+         "d = jax.devices()[0];"
+         "x = jax.device_put(jnp.ones((128, 128)), d);"
+         "print(float((x @ x).sum()))")
+
+
+def log(msg: str):
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def chip_up(timeout_s: int = 180) -> bool:
+    try:
+        r = subprocess.run([sys.executable, "-c", PROBE],
+                           capture_output=True, timeout=timeout_s, cwd=REPO)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def load_state():
+    try:
+        with open(STATE) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def save_state(st):
+    with open(STATE, "w") as f:
+        json.dump(st, f)
+
+
+def main():
+    st = load_state()
+    pending = [q for q in QUEUE if st.get(q[0], {}).get("done") is not True
+               and st.get(q[0], {}).get("attempts", 0) < RETRIES]
+    log(f"chip_queue start: {len(pending)} pending of {len(QUEUE)}")
+    while pending:
+        if not chip_up():
+            log("tunnel down; sleeping 300 s")
+            time.sleep(300)
+            continue
+        name, argv, tmo = pending[0]
+        rec = st.setdefault(name, {"attempts": 0})
+        rec["attempts"] += 1
+        save_state(st)
+        log(f"running {name} (attempt {rec['attempts']}) ...")
+        t0 = time.time()
+        try:
+            r = subprocess.run(argv, capture_output=True, timeout=tmo,
+                               cwd=REPO, text=True)
+            out = (r.stdout or "") + (r.stderr or "")
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired as e:
+            out = ((e.stdout or b"").decode("utf-8", "replace") if
+                   isinstance(e.stdout, bytes) else (e.stdout or ""))
+            out += "\n<TIMEOUT>"
+            ok = False
+        dt = time.time() - t0
+        for ln in out.strip().splitlines():
+            log(f"  | {ln}")
+        log(f"{name}: {'OK' if ok else 'FAIL'} in {dt:.0f}s")
+        if ok:
+            rec["done"] = True
+        save_state(st)
+        pending = [q for q in QUEUE if st.get(q[0], {}).get("done") is not
+                   True and st.get(q[0], {}).get("attempts", 0) < RETRIES]
+    log("chip_queue: all done (or retries exhausted)")
+
+
+if __name__ == "__main__":
+    main()
