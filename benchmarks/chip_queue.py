@@ -29,12 +29,12 @@ RETRIES = 3
 QUEUE = [
     ("sweeptime_p8_n256", [sys.executable, "benchmarks/probe_sweeptime.py",
                            "8", "256", "4"], 2400),
+    ("complex_ff_p6_n128", [sys.executable, "benchmarks/probe_complex_ff.py",
+                            "6", "128"], 4500),
     ("phases_p16_n512", [sys.executable, "benchmarks/probe_phases.py",
                          "16", "512"], 5400),
     ("mb_timing_p8_n128", [sys.executable, "benchmarks/mb_timing.py",
                            "8", "128", "1,2,4"], 3600),
-    ("complex_ff_p6_n128", [sys.executable, "benchmarks/probe_complex_ff.py",
-                            "6", "128"], 3600),
     ("real_gen_p6_n128", [sys.executable, "benchmarks/probe_real_gen.py",
                           "6", "128"], 3600),
     ("aed_timing_p8_n128", [sys.executable, "benchmarks/aed_timing.py",
