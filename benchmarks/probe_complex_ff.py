@@ -19,6 +19,10 @@ import jax.numpy as jnp  # noqa: E402
 
 from periodicschurdecompositions_jl_tpu.models.drivers import \
     _pschur_complex_ff  # noqa: E402
+from periodicschurdecompositions_jl_tpu.config import \
+    setverbosity  # noqa: E402
+
+setverbosity(1, "main")  # chunk-progress lines localize hangs
 from periodicschurdecompositions_jl_tpu.diagnostics import \
     check_psd  # noqa: E402
 

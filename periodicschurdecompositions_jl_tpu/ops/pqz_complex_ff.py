@@ -718,15 +718,24 @@ def pqz_complex_core_ff_chunked(
               jnp.int32(i_cur - d), jnp.int32(0), ziter_n, key)
         return (st, jiter)
 
+    from ..config import verbosity
     state = _init(Hrehi, Hrelo, Himhi, Himlo, Z4)
     cap = 0
+    first = True
     while True:
         cap = min(cap + seg, maxit)
+        if verbosity("main") >= 1 and first:
+            print("[pqz_ff chunk] compiling/launching first chunk "
+                  f"(cap={cap})", flush=True)
         out = pqz_complex_core_ff(
             Hrehi, Hrelo, Himhi, Himlo, S, Z4, want_z=want_z,
             want_t=want_t, maxitfac=maxitfac, seed=seed,
             it_cap=jnp.int32(cap), resume_state=state, return_state=True)
         *outs, state, done = out
+        if verbosity("main") >= 1:
+            print(f"[pqz_ff chunk] jiter={int(state[1])} "
+                  f"ilast={int(state[0][6])} done={bool(done)}", flush=True)
+        first = False
         if bool(done) or cap >= maxit:
             return tuple(outs)
         if aed_on:
