@@ -33,6 +33,8 @@ QUEUE = [
                            "1", "256", "4"], 2400),
     ("sweeptime_p16_n256", [sys.executable, "benchmarks/probe_sweeptime.py",
                             "16", "256", "4"], 2400),
+    ("kernels_p16_n256", [sys.executable, "benchmarks/probe_kernels.py",
+                          "16", "256"], 2400),
     ("complex_ff_p6_n128", [sys.executable, "benchmarks/probe_complex_ff.py",
                             "6", "128"], 4500),
     ("phases_p16_n512", [sys.executable, "benchmarks/probe_phases.py",
