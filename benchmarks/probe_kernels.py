@@ -54,7 +54,8 @@ def timeit(fn, reps=3):
     for _ in range(reps):
         args = fn()          # fresh inputs (content-addressed caching)
         t0 = time.time()
-        out = args()
+        with ff.no_barriers():   # kernels trace at call time
+            out = args()
         jax.tree_util.tree_map(lambda x: np.asarray(x), out)
         ts.append(time.time() - t0)
     return min(ts), ts
@@ -74,7 +75,8 @@ for (m, i, tag) in [(0, n - 1, "full"), (0, 11, "11step")]:
     tA, allA = timeit(mkA)
     # reuse one R0 for B0/B timing
     Hhi, Hlo = fresh_H()
-    (R0,) = callA(scal, v0f, Hhi, Hlo)
+    with ff.no_barriers():
+        (R0,) = callA(scal, v0f, Hhi, Hlo)
     R0 = jax.device_put(np.asarray(R0), tpu)
 
     def mkB0():
