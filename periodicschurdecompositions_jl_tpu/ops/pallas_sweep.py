@@ -936,6 +936,51 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
             hi_ref[:, pl.ds(kk8, 16), :] = bh
             lo_ref[:, pl.ds(kk8, 16), :] = bl
 
+    def _el9(M: FF, s: int, r: int) -> FF:
+        # static slice into a row-major flat (p, 9) log (matches _apply's
+        # _el expression tree: bitwise-identical accumulation)
+        q = s * 3 + r
+        return FF(M.hi[:, q:q + 1], M.lo[:, q:q + 1])
+
+    def _group_apply(hi_ref, lo_ref, b, Mjs, m, i, hi_lane=None):
+        """8 consecutive steps' transforms on ONE aligned 16-row slab.
+
+        Step kk = b + j (j = 0..7) applies Mjs[j]^T to slab rows
+        j..j+2 IN REGISTERS, exactly the order the per-step path
+        executes them — consecutive steps overlap rows (k..k+2 vs
+        k+1..k+3), and the sequential in-register chain produces the
+        same values as the write-then-reread chain.  Inactive steps
+        (kk outside [m, i-1]) keep the rows unchanged.  One slab
+        read + one write per 8 steps replaces 8 rolled RMWs — kernel B
+        is the sweep's dominant per-step device cost (probe_kernels:
+        0.34 ms/step of 0.47 at p=16, n=256)."""
+        bh = hi_ref[:, pl.ds(b, 16), :]
+        bl = lo_ref[:, pl.ds(b, 16), :]
+        rows = [FF(bh[:, t, :], bl[:, t, :]) for t in range(16)]
+        for j in range(8):
+            kk = b + jnp.int32(j)
+            act = (kk >= m) & (kk <= i - 1)
+            M = Mjs[j]
+            rs = [rows[j], rows[j + 1], rows[j + 2]]
+            outs = []
+            for r in range(3):
+                acc = ff.mul(_el9(M, 0, r), rs[0])
+                for s in range(1, 3):
+                    acc = ff.add(acc, ff.mul(_el9(M, s, r), rs[s]))
+                outs.append(acc)
+            if hi_lane is not None:
+                lane = _lane_iota(outs[0].hi.shape, 1)
+                outs = [FF(jnp.where(lane <= hi_lane, outs[s].hi,
+                                     rs[s].hi),
+                           jnp.where(lane <= hi_lane, outs[s].lo,
+                                     rs[s].lo))
+                        for s in range(3)]
+            for s in range(3):
+                rows[j + s] = FF(jnp.where(act, outs[s].hi, rs[s].hi),
+                                 jnp.where(act, outs[s].lo, rs[s].lo))
+        hi_ref[:, pl.ds(b, 16), :] = jnp.stack([r.hi for r in rows], 1)
+        lo_ref[:, pl.ds(b, 16), :] = jnp.stack([r.lo for r in rows], 1)
+
     def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0,
                oHThi, oHTlo, oZThi, oZTlo, *sems):
         m = scal[0]
@@ -965,11 +1010,28 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
                 _apply(oZThi, oZTlo, kk, M0)
             return jnp.int32(0)
 
-        for b in range(NB):
-            @pl.when(jnp.int32(b) < on)
-            def _run(b=b):
-                lax.fori_loop(m, i, functools.partial(step, b=b),
-                              jnp.int32(0))
+        def group(t, _):
+            # slab [b, b+16) is 8-aligned (g0 is) and in-bounds: steps
+            # reach row kk+2 <= b+9, and the wrapper pads N >= n+16
+            b = pl.multiple_of(g0 + t * jnp.int32(8), 8)
+            v = R0[:, pl.ds(b, 8), :]  # (p, 8, 18)
+            Mjs = [FF(v[:, j, 0:9], v[:, j, 9:18]) for j in range(8)]
+            _group_apply(oHThi, oHTlo, b, [_roll1(M) for M in Mjs],
+                         m, i, hi_lane=i)
+            if want_z:
+                _group_apply(oZThi, oZTlo, b, Mjs, m, i)
+            return jnp.int32(0)
+
+        if NB == 1 and N > 128:
+            g0 = pl.multiple_of(m & jnp.int32(-8), 8)
+            ngroups = (i - g0 + jnp.int32(7)) >> 3
+            lax.fori_loop(jnp.int32(0), ngroups, group, jnp.int32(0))
+        else:
+            for b in range(NB):
+                @pl.when(jnp.int32(b) < on)
+                def _run(b=b):
+                    lax.fori_loop(m, i, functools.partial(step, b=b),
+                                  jnp.int32(0))
 
     def kernel_noz(scal, HThi, HTlo, R0, oHThi, oHTlo, *sems):
         kernel(scal, HThi, HTlo, None, None, R0, oHThi, oHTlo, None,
