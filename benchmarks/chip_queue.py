@@ -25,7 +25,13 @@ LOG = os.path.join(REPO, "benchmarks", "results_r2.log")
 STATE = "/tmp/chip_queue_state.json"
 RETRIES = 3
 
-# (name, argv, timeout_s) — ordered by decision value
+# (name, argv, timeout_s[, env_extra]) — ordered by decision value.
+# complex_ff gets a FRESH compilation-cache dir: the shared cache holds an
+# XLA:CPU AOT entry whose machine features mismatch this host (loader
+# E-logs "could lead to execution errors such as SIGILL"), and attempt 1
+# died signal-style right after that load.  The TPU executables it needs
+# were never cached successfully anyway (the first-chunk compile is the
+# wedge under study), so an isolated dir costs nothing.
 QUEUE = [
     ("sweeptime_p8_n256", [sys.executable, "benchmarks/probe_sweeptime.py",
                            "8", "256", "4"], 2400),
@@ -36,15 +42,16 @@ QUEUE = [
     ("kernels_p16_n256", [sys.executable, "benchmarks/probe_kernels.py",
                           "16", "256"], 2400),
     ("complex_ff_p6_n128", [sys.executable, "benchmarks/probe_complex_ff.py",
-                            "6", "128"], 4500),
-    ("phases_p16_n512", [sys.executable, "benchmarks/probe_phases.py",
-                         "16", "512"], 5400),
-    ("mb_timing_p8_n128", [sys.executable, "benchmarks/mb_timing.py",
-                           "8", "128", "1,2,4"], 3600),
+                            "6", "128"], 5400,
+     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_cxff"}),
     ("real_gen_p6_n128", [sys.executable, "benchmarks/probe_real_gen.py",
                           "6", "128"], 3600),
+    ("mb_timing_p8_n128", [sys.executable, "benchmarks/mb_timing.py",
+                           "8", "128", "1,2,4"], 3600),
     ("aed_timing_p8_n128", [sys.executable, "benchmarks/aed_timing.py",
                             "8", "128"], 3600),
+    ("phases_p16_n512", [sys.executable, "benchmarks/probe_phases.py",
+                         "16", "512"], 5400),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"
@@ -92,7 +99,9 @@ def main():
             log("tunnel down; sleeping 300 s")
             time.sleep(300)
             continue
-        name, argv, tmo = pending[0]
+        name, argv, tmo = pending[0][:3]
+        env = dict(os.environ, **(pending[0][3] if len(pending[0]) > 3
+                                  else {}))
         rec = st.setdefault(name, {"attempts": 0})
         rec["attempts"] += 1
         save_state(st)
@@ -100,7 +109,7 @@ def main():
         t0 = time.time()
         try:
             r = subprocess.run(argv, capture_output=True, timeout=tmo,
-                               cwd=REPO, text=True)
+                               cwd=REPO, text=True, env=env)
             out = (r.stdout or "") + (r.stderr or "")
             ok = r.returncode == 0
         except subprocess.TimeoutExpired as e:

@@ -1022,7 +1022,12 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
                 _group_apply(oZThi, oZTlo, b, Mjs, m, i)
             return jnp.int32(0)
 
-        if NB == 1 and N > 128:
+        # grouped path only when every array is VMEM-resident: with
+        # hbm_inputs (headline N=528 p=16) the 4 output buffers plus the
+        # group's in-register live rows overflow the Mosaic scoped-vmem
+        # stack (measured: 119.15M vs the 113.7M limit at N=528) — the
+        # per-step path stays for those sizes until the stack is tuned
+        if NB == 1 and N > 128 and not hbm_inputs:
             g0 = pl.multiple_of(m & jnp.int32(-8), 8)
             ngroups = (i - g0 + jnp.int32(7)) >> 3
             lax.fori_loop(jnp.int32(0), ngroups, group, jnp.int32(0))
