@@ -44,6 +44,19 @@ QUEUE = [
     ("complex_ff_p6_n128", [sys.executable, "benchmarks/probe_complex_ff.py",
                             "6", "128"], 5400,
      {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_cxff"}),
+    # banded group-composed kernel B (PSD_GROUP_MODE=banded is the code
+    # default): per-sweep A/B against the 442 ms (per-step B) / grouped-seq
+    # records at p=16 n=256
+    ("sweeptime_banded_p16_n256", [sys.executable,
+                                   "benchmarks/probe_sweeptime.py",
+                                   "16", "256", "4"], 2400),
+    # headline-size grouped-B over HBM-staged buffers with the raised
+    # 127 MiB vmem limit: verifies the remote Mosaic compile + measures
+    # the sweep (compile may run ~15-30 min at N=528)
+    ("sweeptime_hbm_p16_n512", [sys.executable,
+                                "benchmarks/probe_sweeptime.py",
+                                "16", "512", "3"], 3600,
+     {"PSD_GROUP_HBM": "1"}),
     ("real_gen_p6_n128", [sys.executable, "benchmarks/probe_real_gen.py",
                           "6", "128"], 3600),
     ("mb_timing_p8_n128", [sys.executable, "benchmarks/mb_timing.py",

@@ -79,6 +79,22 @@ import os as _os
 
 _ROLL_ROWS = _os.environ.get("PSD_SWEEP_MASKED", "") != "1"
 
+# Kernel-B group application mode (read at import; probe subprocesses set
+# the env before importing):
+#   "banded" (default): compose each 8-step group's overlapping 3x3
+#     transforms into one banded group operator and apply its 10 affected
+#     rows in parallel — same backward stability, NOT bitwise vs the
+#     per-step chain (summation order differs), ~72 independent FF
+#     mul-adds instead of an 8-deep sequential chain.
+#   "seq": in-register sequential per-step applies within the group
+#     (bitwise-identical to the per-step path).
+#   "step": per-step rolled RMW (the pre-grouping path).
+_GROUP_MODE = _os.environ.get("PSD_GROUP_MODE", "banded")
+# engage the grouped path when inputs are HBM-staged (headline sizes):
+# needs the raised scoped-vmem limit below — default off until the
+# remote Mosaic compile is verified on-chip at N=528
+_GROUP_HBM = _os.environ.get("PSD_GROUP_HBM", "0") == "1"
+
 
 def _read_rows(hi_ref, lo_ref, f, k, r):
     lanes = hi_ref.shape[-1]
@@ -981,6 +997,68 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
         hi_ref[:, pl.ds(b, 16), :] = jnp.stack([r.hi for r in rows], 1)
         lo_ref[:, pl.ds(b, 16), :] = jnp.stack([r.lo for r in rows], 1)
 
+    def _compose_group(Mjs, m, i, b):
+        """Compose a group's 8 step transforms into banded operator rows.
+
+        Returns rows 0..9 of G = E7^T ... E0^T (each E_j = M_j embedded at
+        slab rows j..j+2; rows 10..15 of G are untouched identities) as FF
+        (p, 16) lane vectors.  Built in ds with the SAME 3-term
+        accumulation as the per-step apply; a step outside [m, i-1]
+        composes as the exact identity.  Row t of G depends on columns
+        0..t+2 only (each E_j mixes rows j..j+2), so the apply below is a
+        banded ~72-term expansion with no serial j chain.  Equally
+        backward-stable as the sequential in-register chain but NOT
+        bitwise (summation order differs).
+        """
+        pn = Mjs[0].hi.shape[0]
+        lane = lax.broadcasted_iota(jnp.int32, (pn, 16), 1)
+        zeros = jnp.zeros((pn, 16), jnp.float32)
+        g = [FF((lane == t).astype(jnp.float32), zeros) for t in range(10)]
+        for j in range(8):
+            kk = b + jnp.int32(j)
+            act = (kk >= m) & (kk <= i - 1)
+            M = Mjs[j]
+            rs = [g[j], g[j + 1], g[j + 2]]
+            for r in range(3):
+                acc = ff.mul(_el9(M, 0, r), rs[0])
+                for s in range(1, 3):
+                    acc = ff.add(acc, ff.mul(_el9(M, s, r), rs[s]))
+                g[j + r] = FF(jnp.where(act, acc.hi, rs[r].hi),
+                              jnp.where(act, acc.lo, rs[r].lo))
+        return g
+
+    def _group_apply_banded(hi_ref, lo_ref, b, g, hi_lane=None):
+        """Apply composed group rows: out_r = sum_s g[r][s] * slab_s.
+
+        All 10 affected output rows are independent (the banded expansion
+        removed the sequential step chain); rows 10..15 pass through.
+        """
+        bh = hi_ref[:, pl.ds(b, 16), :]
+        bl = lo_ref[:, pl.ds(b, 16), :]
+        rows = [FF(bh[:, t, :], bl[:, t, :]) for t in range(10)]
+
+        def _gel(gr, s):
+            return FF(gr.hi[:, s:s + 1], gr.lo[:, s:s + 1])
+
+        outs = []
+        for r in range(10):
+            smax = min(r + 2, 9)
+            acc = ff.mul(_gel(g[r], 0), rows[0])
+            for s in range(1, smax + 1):
+                acc = ff.add(acc, ff.mul(_gel(g[r], s), rows[s]))
+            outs.append(acc)
+        if hi_lane is not None:
+            lane = _lane_iota(outs[0].hi.shape, 1)
+            outs = [FF(jnp.where(lane <= hi_lane, outs[r].hi, rows[r].hi),
+                       jnp.where(lane <= hi_lane, outs[r].lo, rows[r].lo))
+                    for r in range(10)]
+        new_hi = jnp.stack([o.hi for o in outs]
+                           + [bh[:, t, :] for t in range(10, 16)], 1)
+        new_lo = jnp.stack([o.lo for o in outs]
+                           + [bl[:, t, :] for t in range(10, 16)], 1)
+        hi_ref[:, pl.ds(b, 16), :] = new_hi
+        lo_ref[:, pl.ds(b, 16), :] = new_lo
+
     def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0,
                oHThi, oHTlo, oZThi, oZTlo, *sems):
         m = scal[0]
@@ -1016,18 +1094,29 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
             b = pl.multiple_of(g0 + t * jnp.int32(8), 8)
             v = R0[:, pl.ds(b, 8), :]  # (p, 8, 18)
             Mjs = [FF(v[:, j, 0:9], v[:, j, 9:18]) for j in range(8)]
-            _group_apply(oHThi, oHTlo, b, [_roll1(M) for M in Mjs],
-                         m, i, hi_lane=i)
-            if want_z:
-                _group_apply(oZThi, oZTlo, b, Mjs, m, i)
+            if _GROUP_MODE == "banded":
+                # composition commutes with the factor roll (both are
+                # per-factor): build G once, roll its rows for H^T
+                g = _compose_group(Mjs, m, i, b)
+                _group_apply_banded(oHThi, oHTlo, b,
+                                    [_roll1(x) for x in g], hi_lane=i)
+                if want_z:
+                    _group_apply_banded(oZThi, oZTlo, b, g)
+            else:
+                _group_apply(oHThi, oHTlo, b, [_roll1(M) for M in Mjs],
+                             m, i, hi_lane=i)
+                if want_z:
+                    _group_apply(oZThi, oZTlo, b, Mjs, m, i)
             return jnp.int32(0)
 
-        # grouped path only when every array is VMEM-resident: with
-        # hbm_inputs (headline N=528 p=16) the 4 output buffers plus the
-        # group's in-register live rows overflow the Mosaic scoped-vmem
-        # stack (measured: 119.15M vs the 113.7M limit at N=528) — the
-        # per-step path stays for those sizes until the stack is tuned
-        if NB == 1 and N > 128 and not hbm_inputs:
+        # grouped path when every array is VMEM-resident; with hbm_inputs
+        # (headline N=528 p=16) the 4 output buffers plus the group's
+        # in-register live rows need ~119.15M of scoped vmem — beyond the
+        # default limit, so _apply_call raises vmem_limit_bytes to 127 MiB
+        # for that combination, gated on _GROUP_HBM until the remote
+        # Mosaic compile is verified on-chip
+        if NB == 1 and N > 128 and _GROUP_MODE != "step" \
+                and (not hbm_inputs or _GROUP_HBM):
             g0 = pl.multiple_of(m & jnp.int32(-8), 8)
             ngroups = (i - g0 + jnp.int32(7)) >> 3
             lax.fori_loop(jnp.int32(0), ngroups, group, jnp.int32(0))
@@ -1140,6 +1229,12 @@ def _apply_call(p: int, N: int, want_z: bool, interpret: bool, NB: int = 1):
     kern = _make_apply_kernel(p, N, want_z, hbm_inputs, NB)
     n_res = n_out if hbm_inputs else n_arr
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
+    if hbm_inputs and NB == 1 and N > 128 and _GROUP_HBM \
+            and _GROUP_MODE != "step":
+        # grouped path over HBM-staged buffers: the group's live rows on
+        # top of the VMEM outputs measured 119.15M of scoped vmem at
+        # N=528 p=16 — ask for (nearly) the whole 128 MiB core VMEM
+        vmem = max(vmem, 127 * (1 << 20))
     big_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
     scratch = [pltpu.SemaphoreType.DMA] * n_out if hbm_inputs else []
     call = pl.pallas_call(
@@ -1155,7 +1250,7 @@ def _apply_call(p: int, N: int, want_z: bool, interpret: bool, NB: int = 1):
         input_output_aliases={} if hbm_inputs else
         {1 + j: j for j in range(n_out)},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem, 120 * (1 << 20))),
+            vmem_limit_bytes=min(vmem, 127 * (1 << 20))),
         interpret=interpret,
     )
     return call

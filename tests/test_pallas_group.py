@@ -34,6 +34,35 @@ def _mk_inputs(rng, p, n, m=None, i=None):
         FF(jnp.asarray(Z), jnp.zeros((p, N, N), jnp.float32))
 
 
+def test_banded_groups_match_sequential(rng):
+    """The banded group-composed kernel-B path must agree with the
+    bitwise-reference sequential in-register group path to ds grade
+    (the composition changes summation order, not stability)."""
+    p, n, m, i = 2, 136, 2, 30
+    N, H, ZT = _mk_inputs(rng, p, n, m=m, i=i)
+    v = rng.standard_normal(3)
+    v0 = ff.from_f64(jnp.asarray(v / np.abs(v).sum()))
+    outs = {}
+    mode0 = ps._GROUP_MODE
+    try:
+        for mode in ("seq", "banded"):
+            ps._GROUP_MODE = mode
+            ps._apply_call.cache_clear()
+            Hn, ZTn = ps.chase_sweep_ff(H, ZT, jnp.int32(m), jnp.int32(i),
+                                        v0, want_z=True, interpret=True)
+            outs[mode] = (
+                np.asarray(Hn.hi, np.float64) + np.asarray(Hn.lo,
+                                                           np.float64),
+                np.asarray(ZTn.hi, np.float64) + np.asarray(ZTn.lo,
+                                                            np.float64))
+    finally:
+        ps._GROUP_MODE = mode0
+        ps._apply_call.cache_clear()
+    scale = np.abs(outs["seq"][0]).max()
+    assert np.abs(outs["banded"][0] - outs["seq"][0]).max() < 1e-13 * scale
+    assert np.abs(outs["banded"][1] - outs["seq"][1]).max() < 1e-13
+
+
 def test_chase_sweep_ff_large_window(rng):
     """chase_sweep_ff at N > 128: orthogonal Z chains, H = Z' H0 Z, and
     Hessenberg/triangular structure preserved over a 40-step window
