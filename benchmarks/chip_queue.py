@@ -57,6 +57,13 @@ QUEUE = [
                                 "benchmarks/probe_sweeptime.py",
                                 "16", "512", "3"], 3600,
      {"PSD_GROUP_HBM": "1"}),
+    # full headline with banded+HBM-grouped B0/B: the flip gate (backerr
+    # spot-check + wall-clock) and the cache pre-population for bench.py
+    # (cache keys on the HLO: identical once the default flips)
+    ("headline_banded_p16_n512", [sys.executable,
+                                  "benchmarks/probe_headline.py",
+                                  "16", "512"], 5400,
+     {"PSD_GROUP_HBM": "1"}),
     ("real_gen_p6_n128", [sys.executable, "benchmarks/probe_real_gen.py",
                           "6", "128"], 3600),
     ("mb_timing_p8_n128", [sys.executable, "benchmarks/mb_timing.py",

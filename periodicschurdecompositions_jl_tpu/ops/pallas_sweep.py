@@ -847,13 +847,124 @@ def _make_left_kernel(p: int, N: int, hbm_inputs: bool = False,
                 oHlo[:, pl.ds(kk8, 16), :] = pltpu.roll(bl, o, 1)
             return jnp.int32(0)
 
-        for b in range(NB):
-            @pl.when(jnp.int32(b) < on)
-            def _run(b=b):
-                lax.fori_loop(m, i, functools.partial(step, b=b),
-                              jnp.int32(0))
+        def group(t, _):
+            # same aligned-slab group walk as kernel B; F^T chains hit
+            # rows kk..kk+2 of every factor with the factor's OWN logs
+            b = pl.multiple_of(g0 + t * jnp.int32(8), 8)
+            v = R0[:, pl.ds(b, 8), :]  # (p, 8, 18)
+            Mjs = [FF(v[:, j, 0:9], v[:, j, 9:18]) for j in range(8)]
+            g = _compose_group8(Mjs, m, i, b)
+            # keep_lane reproduces the per-step window-head restore: the
+            # group's steps only read slab rows >= m, which hold the
+            # boundary-column zeros at lane m-1 of factor 0
+            _banded_group_rmw(oHhi, oHlo, b, g, keep_lane=(m - 1, 0))
+            return jnp.int32(0)
+
+        if NB == 1 and N > 128 and _GROUP_MODE == "banded" \
+                and (not hbm_inputs or _GROUP_HBM):
+            g0 = pl.multiple_of(m & jnp.int32(-8), 8)
+            ngroups = (i - g0 + jnp.int32(7)) >> 3
+            lax.fori_loop(jnp.int32(0), ngroups, group, jnp.int32(0))
+        else:
+            for b in range(NB):
+                @pl.when(jnp.int32(b) < on)
+                def _run(b=b):
+                    lax.fori_loop(m, i, functools.partial(step, b=b),
+                                  jnp.int32(0))
 
     return kernel
+
+
+def _el9m(M: FF, s: int, r: int) -> FF:
+    """Static slice into a row-major flat (p, 9) transform log."""
+    q = s * 3 + r
+    return FF(M.hi[:, q:q + 1], M.lo[:, q:q + 1])
+
+
+def _compose_group8(Mjs, m, i, b):
+    """Compose a group's 8 step transforms into banded operator rows.
+
+    Returns rows 0..9 of G = E7^T ... E0^T (each E_j = M_j embedded at
+    slab rows j..j+2; rows 10..15 of G are untouched identities) as FF
+    (p, 16) lane vectors.  Built in ds with the SAME 3-term accumulation
+    as the per-step apply; a step outside [m, i-1] composes as the exact
+    identity.  Row t of G depends on columns 0..t+2 only (each E_j mixes
+    rows j..j+2), so the banded apply is a ~72-term expansion with no
+    serial j chain.  Equally backward-stable as the sequential
+    in-register chain but NOT bitwise (summation order differs).
+    """
+    pn = Mjs[0].hi.shape[0]
+    lane = lax.broadcasted_iota(jnp.int32, (pn, 16), 1)
+    zeros = jnp.zeros((pn, 16), jnp.float32)
+    g = [FF((lane == t).astype(jnp.float32), zeros) for t in range(10)]
+    for j in range(8):
+        kk = b + jnp.int32(j)
+        act = (kk >= m) & (kk <= i - 1)
+        M = Mjs[j]
+        rs = [g[j], g[j + 1], g[j + 2]]
+        for r in range(3):
+            acc = ff.mul(_el9m(M, 0, r), rs[0])
+            for s in range(1, 3):
+                acc = ff.add(acc, ff.mul(_el9m(M, s, r), rs[s]))
+            g[j + r] = FF(jnp.where(act, acc.hi, rs[r].hi),
+                          jnp.where(act, acc.lo, rs[r].lo))
+    return g
+
+
+def _banded_rows(rows, g):
+    """out_r = sum_s g[r][s] * rows[s] for the 10 affected slab rows.
+
+    All outputs are independent (the banded expansion removed the
+    sequential step chain); row r only reads rows 0..r+2 (band of G).
+    """
+    def _gel(gr, s):
+        return FF(gr.hi[:, s:s + 1], gr.lo[:, s:s + 1])
+
+    outs = []
+    for r in range(10):
+        smax = min(r + 2, 9)
+        acc = ff.mul(_gel(g[r], 0), rows[0])
+        for s in range(1, smax + 1):
+            acc = ff.add(acc, ff.mul(_gel(g[r], s), rows[s]))
+        outs.append(acc)
+    return outs
+
+
+def _banded_group_rmw(hi_ref, lo_ref, b, g, hi_lane=None, keep_lane=None):
+    """One aligned 16-row slab RMW applying composed group rows.
+
+    ``hi_lane``: only lanes <= hi_lane updated (kernel B's H^T row-bound
+    device).  ``keep_lane``: (lane_index, factor_index) whose lane keeps
+    its input rows in that factor — kernel B0's window-head boundary
+    column m-1 of factor 0.  Equivalent to the per-step restore: the
+    composed steps only read slab rows >= m at that lane, which hold the
+    window-boundary zeros, so keeping the inputs reproduces the
+    sequential keep-at-step-m result exactly (rows above the window are
+    identity rows of G either way).
+    """
+    bh = hi_ref[:, pl.ds(b, 16), :]
+    bl = lo_ref[:, pl.ds(b, 16), :]
+    rows = [FF(bh[:, t, :], bl[:, t, :]) for t in range(10)]
+    outs = _banded_rows(rows, g)
+    if hi_lane is not None:
+        lane = _lane_iota(outs[0].hi.shape, 1)
+        outs = [FF(jnp.where(lane <= hi_lane, outs[r].hi, rows[r].hi),
+                   jnp.where(lane <= hi_lane, outs[r].lo, rows[r].lo))
+                for r in range(10)]
+    if keep_lane is not None:
+        kl, kf = keep_lane
+        lane = _lane_iota(outs[0].hi.shape, 1)
+        fct = lax.broadcasted_iota(jnp.int32, outs[0].hi.shape, 0)
+        keep = (lane == kl) & (fct == kf)
+        outs = [FF(jnp.where(keep, rows[r].hi, outs[r].hi),
+                   jnp.where(keep, rows[r].lo, outs[r].lo))
+                for r in range(10)]
+    new_hi = jnp.stack([o.hi for o in outs]
+                       + [bh[:, t, :] for t in range(10, 16)], 1)
+    new_lo = jnp.stack([o.lo for o in outs]
+                       + [bl[:, t, :] for t in range(10, 16)], 1)
+    hi_ref[:, pl.ds(b, 16), :] = new_hi
+    lo_ref[:, pl.ds(b, 16), :] = new_lo
 
 
 def _make_apply_kernel(p: int, N: int, want_z: bool,
@@ -997,68 +1108,6 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
         hi_ref[:, pl.ds(b, 16), :] = jnp.stack([r.hi for r in rows], 1)
         lo_ref[:, pl.ds(b, 16), :] = jnp.stack([r.lo for r in rows], 1)
 
-    def _compose_group(Mjs, m, i, b):
-        """Compose a group's 8 step transforms into banded operator rows.
-
-        Returns rows 0..9 of G = E7^T ... E0^T (each E_j = M_j embedded at
-        slab rows j..j+2; rows 10..15 of G are untouched identities) as FF
-        (p, 16) lane vectors.  Built in ds with the SAME 3-term
-        accumulation as the per-step apply; a step outside [m, i-1]
-        composes as the exact identity.  Row t of G depends on columns
-        0..t+2 only (each E_j mixes rows j..j+2), so the apply below is a
-        banded ~72-term expansion with no serial j chain.  Equally
-        backward-stable as the sequential in-register chain but NOT
-        bitwise (summation order differs).
-        """
-        pn = Mjs[0].hi.shape[0]
-        lane = lax.broadcasted_iota(jnp.int32, (pn, 16), 1)
-        zeros = jnp.zeros((pn, 16), jnp.float32)
-        g = [FF((lane == t).astype(jnp.float32), zeros) for t in range(10)]
-        for j in range(8):
-            kk = b + jnp.int32(j)
-            act = (kk >= m) & (kk <= i - 1)
-            M = Mjs[j]
-            rs = [g[j], g[j + 1], g[j + 2]]
-            for r in range(3):
-                acc = ff.mul(_el9(M, 0, r), rs[0])
-                for s in range(1, 3):
-                    acc = ff.add(acc, ff.mul(_el9(M, s, r), rs[s]))
-                g[j + r] = FF(jnp.where(act, acc.hi, rs[r].hi),
-                              jnp.where(act, acc.lo, rs[r].lo))
-        return g
-
-    def _group_apply_banded(hi_ref, lo_ref, b, g, hi_lane=None):
-        """Apply composed group rows: out_r = sum_s g[r][s] * slab_s.
-
-        All 10 affected output rows are independent (the banded expansion
-        removed the sequential step chain); rows 10..15 pass through.
-        """
-        bh = hi_ref[:, pl.ds(b, 16), :]
-        bl = lo_ref[:, pl.ds(b, 16), :]
-        rows = [FF(bh[:, t, :], bl[:, t, :]) for t in range(10)]
-
-        def _gel(gr, s):
-            return FF(gr.hi[:, s:s + 1], gr.lo[:, s:s + 1])
-
-        outs = []
-        for r in range(10):
-            smax = min(r + 2, 9)
-            acc = ff.mul(_gel(g[r], 0), rows[0])
-            for s in range(1, smax + 1):
-                acc = ff.add(acc, ff.mul(_gel(g[r], s), rows[s]))
-            outs.append(acc)
-        if hi_lane is not None:
-            lane = _lane_iota(outs[0].hi.shape, 1)
-            outs = [FF(jnp.where(lane <= hi_lane, outs[r].hi, rows[r].hi),
-                       jnp.where(lane <= hi_lane, outs[r].lo, rows[r].lo))
-                    for r in range(10)]
-        new_hi = jnp.stack([o.hi for o in outs]
-                           + [bh[:, t, :] for t in range(10, 16)], 1)
-        new_lo = jnp.stack([o.lo for o in outs]
-                           + [bl[:, t, :] for t in range(10, 16)], 1)
-        hi_ref[:, pl.ds(b, 16), :] = new_hi
-        lo_ref[:, pl.ds(b, 16), :] = new_lo
-
     def kernel(scal, HThi, HTlo, ZThi, ZTlo, R0,
                oHThi, oHTlo, oZThi, oZTlo, *sems):
         m = scal[0]
@@ -1097,11 +1146,11 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
             if _GROUP_MODE == "banded":
                 # composition commutes with the factor roll (both are
                 # per-factor): build G once, roll its rows for H^T
-                g = _compose_group(Mjs, m, i, b)
-                _group_apply_banded(oHThi, oHTlo, b,
-                                    [_roll1(x) for x in g], hi_lane=i)
+                g = _compose_group8(Mjs, m, i, b)
+                _banded_group_rmw(oHThi, oHTlo, b,
+                                  [_roll1(x) for x in g], hi_lane=i)
                 if want_z:
-                    _group_apply_banded(oZThi, oZTlo, b, g)
+                    _banded_group_rmw(oZThi, oZTlo, b, g)
             else:
                 _group_apply(oHThi, oHTlo, b, [_roll1(M) for M in Mjs],
                              m, i, hi_lane=i)
@@ -1200,6 +1249,9 @@ def _left_call(p: int, N: int, interpret: bool, NB: int = 1):
     kern = _make_left_kernel(p, N, hbm_inputs, NB)
     n_res = 2 if hbm_inputs else 4
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
+    if hbm_inputs and NB == 1 and N > 128 and _GROUP_HBM \
+            and _GROUP_MODE == "banded":
+        vmem = vmem + (24 << 20)  # grouped live rows + stack headroom
     h_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
     scratch = [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA] \
         if hbm_inputs else []
