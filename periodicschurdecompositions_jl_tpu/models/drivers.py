@@ -103,7 +103,7 @@ def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac,
 
 
 def _pschur_complex_ff(A, S, orient, want_t, want_z, maxitfac,
-                       chunk_iters=None):
+                       chunk_iters=None, pallas=None, interpret=False):
     """Float-float split-complex pipeline: the CONTRACT-GRADE TPU path.
 
     COMPLEX-FREE end to end: all-positive signatures reduce via the ds
@@ -135,9 +135,19 @@ def _pschur_complex_ff(A, S, orient, want_t, want_z, maxitfac,
                                            want_q=want_z)
     (Hrehi, Hrelo, Himhi, Himlo) = out[:4]
     Z4 = out[4:] if want_z else None
+    # off-CPU the sweep runs as the fused Pallas kernel triple
+    # (ops/pallas_sweep_cx.py): the XLA-glue sweep's while-body HLO wedges
+    # the axon REMOTE compiler at p >= 6, and the glue's ~30 dispatches per
+    # (step, factor) dominate its wall-clock.  CPU keeps the glue path
+    # (want_t windowing, no interpreter overhead).
+    if pallas is None:
+        dev = _jax.config.jax_default_device
+        plat = (dev.platform if dev is not None else _jax.default_backend())
+        pallas = plat != "cpu"
     out = pqz_complex_core_ff_chunked(
         Hrehi, Hrelo, Himhi, Himlo, S, Z4, want_z=want_z, want_t=want_t,
-        maxitfac=maxitfac, chunk_iters=chunk_iters)
+        maxitfac=maxitfac, chunk_iters=chunk_iters,
+        pallas_sweep=pallas, interpret=interpret)
     (Trehi, Trelo, Timhi, Timlo, Zrh, Zrl, Zih, Zil,
      alr, ali, be, sc, ok) = out
     if not bool(ok):

@@ -146,7 +146,8 @@ def phessenberg_core_cxff(Arehi, Arelo, Aimhi, Aimlo, want_q: bool = True):
 
 
 @partial(jax.jit, static_argnames=("S", "want_z", "want_t", "maxitfac",
-                                   "with_info", "return_state"))
+                                   "with_info", "return_state",
+                                   "pallas_sweep", "interpret"))
 def pqz_complex_core_ff(
     Hrehi: jax.Array,
     Hrelo: jax.Array,
@@ -162,6 +163,8 @@ def pqz_complex_core_ff(
     it_cap: Optional[jax.Array] = None,
     resume_state=None,
     return_state: bool = False,
+    pallas_sweep: bool = False,
+    interpret: bool = False,
 ):
     """Run the ds split-complex periodic QZ iteration.
 
@@ -310,6 +313,21 @@ def pqz_complex_core_ff(
         exc = (iiter % 10) == 0
         c = ff.where(exc, ce, c)
         s = where(exc, se, s)
+
+        if pallas_sweep:
+            # fused Pallas sweep (ops/pallas_sweep_cx.py): three kernels
+            # replace the ~30-slab-op-per-(step, factor) glue below — the
+            # XLA graph stays small (the remote TPU compile of the glue
+            # sweep wedges the axon worker at p >= 6) and the per-dispatch
+            # cost disappears.  Always maintains the full T (want_t
+            # windowing stays a glue-path device).
+            from .pallas_sweep_cx import qz_sweep_cxff
+            Zq = Z if want_z else None
+            H, Zq = qz_sweep_cxff(H, Zq, ifirst, ilast, c, s, S=S,
+                                  want_z=want_z, interpret=interpret)
+            if want_z:
+                Z = Zq
+            return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
 
         rhi = None if want_t else ilast + 1
         clo = None if want_t else jlo
@@ -579,6 +597,7 @@ def pqz_complex_core_ff(
 def pqz_complex_core_ff_chunked(
     Hrehi, Hrelo, Himhi, Himlo, S, Z4=None, want_z=True, want_t=True,
     maxitfac=30, seed=1234, chunk_iters=None, cfg=None,
+    pallas_sweep=False, interpret=False,
 ):
     """Host-chunked ds split-complex QZ (axon ~60 s execute kill timer).
 
@@ -599,12 +618,20 @@ def pqz_complex_core_ff_chunked(
                                    maxitfac=maxitfac, seed=seed)
     maxit = maxitfac * n
     if chunk_iters is None:
-        # XLA-glue core: per-iteration cost is dominated by the ~30 slab-op
-        # dispatches per (sweep step, factor) at ~1-2 us device latency,
-        # not by bandwidth — floor the per-element estimate accordingly.
-        # Target <= ~10 s per execute (axon kills single executes ~60 s).
-        per_iter = 4.0 * p * n * max(n * 1e-8, 1.2e-5)
-        chunk_iters = max(16, int(10.0 / max(per_iter, 1e-9)))
+        if pallas_sweep:
+            # fused-kernel sweep: per-step cost tracks the real core's
+            # (~0.5 ms/step device at p=16 n=256); size chunks like
+            # pqr_real_core_ff_chunked
+            per_iter = 4.0 * p * n * n * 1e-8
+            chunk_iters = min(256, max(16, int(20.0 / max(per_iter, 1e-9))))
+        else:
+            # XLA-glue core: per-iteration cost is dominated by the ~30
+            # slab-op dispatches per (sweep step, factor) at ~1-2 us device
+            # latency, not by bandwidth — floor the per-element estimate
+            # accordingly.  Target <= ~10 s per execute (axon kills single
+            # executes ~60 s).
+            per_iter = 4.0 * p * n * max(n * 1e-8, 1.2e-5)
+            chunk_iters = max(16, int(10.0 / max(per_iter, 1e-9)))
 
     # Build the initial loop state here (MUST mirror the core's setup) so
     # every chunk call uses the ONE resume trace of the core (same device
@@ -730,7 +757,8 @@ def pqz_complex_core_ff_chunked(
         out = pqz_complex_core_ff(
             Hrehi, Hrelo, Himhi, Himlo, S, Z4, want_z=want_z,
             want_t=want_t, maxitfac=maxitfac, seed=seed,
-            it_cap=jnp.int32(cap), resume_state=state, return_state=True)
+            it_cap=jnp.int32(cap), resume_state=state, return_state=True,
+            pallas_sweep=pallas_sweep, interpret=interpret)
         *outs, state, done = out
         if verbosity("main") >= 1:
             print(f"[pqz_ff chunk] jiter={int(state[1])} "

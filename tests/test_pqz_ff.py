@@ -79,3 +79,21 @@ def test_chunked_equivalence(rng):
     assert np.array_equal(np.asarray(P1.Ts), np.asarray(P2.Ts))
     assert np.array_equal(np.asarray(P1.Zs), np.asarray(P2.Zs))
     assert np.array_equal(np.asarray(P1.alpha), np.asarray(P2.alpha))
+
+
+def test_pallas_sweep_core(rng):
+    """Full ds pipeline with the fused Pallas QZ sweep (interpret mode):
+    the production off-CPU sweep path (ops/pallas_sweep_cx.py), checked on
+    a mixed-signature cycle against the contract oracle and the exact
+    complex128 core's eigenvalues."""
+    from periodicschurdecompositions_jl_tpu.models.drivers import \
+        _pschur_complex_ff
+    p, n = 2, 8
+    S = (True, False)
+    A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+    P = _pschur_complex_ff(jnp.asarray(A), S, "R", True, True, 30,
+                           pallas=True, interpret=True)
+    ok, rep = check_psd(P, A, qtol=500.0, tol=2000.0)
+    assert ok, rep
+    assert rep["residual_rel"] < 1e-12
+    _eig_cmp(P, psd.pschur(jnp.asarray(A), "R", S=S, backend="complex"))
