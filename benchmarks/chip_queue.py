@@ -41,6 +41,10 @@ QUEUE = [
                             "16", "256", "4"], 2400),
     ("kernels_p16_n256", [sys.executable, "benchmarks/probe_kernels.py",
                           "16", "256"], 2400),
+    # Mosaic smoke test of the fused cx sweep kernels (small-N + rolled
+    # paths) before the record attempt pays the full-pipeline compile
+    ("cx_smoke", [sys.executable, "benchmarks/probe_cx_smoke.py"], 2400,
+     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_cxff"}),
     ("complex_ff_p6_n128", [sys.executable, "benchmarks/probe_complex_ff.py",
                             "6", "128"], 5400,
      {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_cxff"}),
