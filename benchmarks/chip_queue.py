@@ -23,7 +23,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "benchmarks", "results_r2.log")
 STATE = "/tmp/chip_queue_state.json"
-RETRIES = 3
+RETRIES = 6  # tunnel deaths mid-compile dominate failures (2026-08-19)
 
 # (name, argv, timeout_s[, env_extra]) — ordered by decision value.
 # complex_ff gets a FRESH compilation-cache dir: the shared cache holds an
@@ -70,6 +70,11 @@ QUEUE = [
      {"PSD_GROUP_HBM": "1"}),
     ("real_gen_p6_n128", [sys.executable, "benchmarks/probe_real_gen.py",
                           "6", "128"], 3600),
+    # ds real GPSD record (Pallas chase): the contract-grade counterpart
+    ("real_gen_ff_p6_n128", [sys.executable,
+                             "benchmarks/probe_real_gen_ff.py",
+                             "6", "128"], 5400,
+     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
     ("mb_timing_p8_n128", [sys.executable, "benchmarks/mb_timing.py",
                            "8", "128", "1,2,4"], 3600),
     ("aed_timing_p8_n128", [sys.executable, "benchmarks/aed_timing.py",

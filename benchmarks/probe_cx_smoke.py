@@ -28,17 +28,7 @@ from periodicschurdecompositions_jl_tpu.ops.pallas_sweep_cx import \
 
 rng = np.random.default_rng(321)
 
-# ---- 1. small full pipeline -------------------------------------------
-p, n = 2, 8
-S = (True, False)
-A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
-t0 = time.time()
-P = _pschur_complex_ff(jnp.asarray(A), S, "R", True, True, 30, pallas=True)
-ok, rep = check_psd(P, A, qtol=1e6, tol=1e9)
-print(f"[smoke] p={p} n={n} mixed-S pipeline: {time.time()-t0:.1f}s "
-      f"backerr {rep['residual_rel']:.3e}", flush=True)
-
-# ---- 2. one rolled-path sweep at n=140 --------------------------------
+# ---- 1. one rolled-path sweep (kernel-only Mosaic check) at n=140 --------------------------------
 sys.path.insert(0, "/root/repo/tests")
 from test_pallas_cx import (_enforce, _mk_problem, _to_cxf, _to_np,  # noqa
                             ref_qz_sweep_np)
@@ -65,4 +55,14 @@ ze = np.abs(Zds - Zref).max()
 print(f"[smoke] rolled-path sweep p={p2} n={n2}: {t1:.1f}s "
       f"(compile incl.)  Herr {he:.3e} Zerr {ze:.3e}", flush=True)
 assert he < 1e-11 and ze < 1e-11, "rolled-path mismatch"
+# ---- 2. small full pipeline -------------------------------------------
+p, n = 2, 8
+S = (True, False)
+A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+t0 = time.time()
+P = _pschur_complex_ff(jnp.asarray(A), S, "R", True, True, 30, pallas=True)
+ok, rep = check_psd(P, A, qtol=1e6, tol=1e9)
+print(f"[smoke] p={p} n={n} mixed-S pipeline: {time.time()-t0:.1f}s "
+      f"backerr {rep['residual_rel']:.3e}", flush=True)
+
 print("[smoke] PASS", flush=True)

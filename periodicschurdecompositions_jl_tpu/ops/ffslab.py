@@ -107,6 +107,26 @@ def setcol_ff(H: FF, i, j, vals: FF, active=None) -> FF:
     return _dus2(H, new, (i, j))
 
 
+def getrow_ff(H: FF, i, j, k) -> FF:
+    m, n = H.hi.shape
+    i = jnp.clip(jnp.asarray(i, jnp.int32), 0, m - 1)
+    j = jnp.clip(jnp.asarray(j, jnp.int32), 0, n - k)
+    v = _ds2(H, (i, j), (1, k))
+    return FF(v.hi[0, :], v.lo[0, :])
+
+
+def setrow_ff(H: FF, i, j, vals: FF, active=None) -> FF:
+    k = vals.hi.shape[0]
+    m, n = H.hi.shape
+    i = jnp.clip(jnp.asarray(i, jnp.int32), 0, m - 1)
+    j = jnp.clip(jnp.asarray(j, jnp.int32), 0, n - k)
+    new = FF(vals.hi.reshape(1, k), vals.lo.reshape(1, k))
+    if active is not None:
+        old = _ds2(H, (i, j), (1, k))
+        new = ff.where(active, new, old)
+    return _dus2(H, new, (i, j))
+
+
 def fac_get(H: FF, f) -> FF:
     """Dynamic factor slice H[f] from a stacked (p, n, n) FF."""
     p, m, n = H.hi.shape

@@ -1,0 +1,114 @@
+"""Float-float real generalized periodic QZ core tests (CPU-exact ds).
+
+Oracles mirror tests/test_pqz_real.py: reconstruction residual at ds
+grade, eigenvalue agreement with the signed product's spectrum, planted
+singular factors through the (zero-imaginary CXF shim) deflate paths.
+COMPILE BUDGET: each fresh (p, n, S, flags) combination compiles a ds
+while_loop core in ~6 min on the 1-CPU box, so the matrix is folded onto
+TWO shape/signature combinations whose traces are shared across tests.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from periodicschurdecompositions_jl_tpu.diagnostics import check_psd
+from periodicschurdecompositions_jl_tpu.ops.pqz_real_ff import \
+    pschur_real_gen_pipeline_ff
+
+EPS = np.finfo(np.float64).eps
+
+
+def _signed_prod(A, S):
+    M = np.eye(A.shape[1])
+    for l in range(len(S)):
+        M = M @ (A[l] if S[l] else np.linalg.inv(A[l]))
+    return M
+
+
+def _match_spectra(w, wx, tol):
+    w = sorted(w, key=lambda z: (abs(z), abs(np.angle(z))))
+    wx = sorted(wx, key=lambda z: (abs(z), abs(np.angle(z))))
+    scale = max(abs(z) for z in w) or 1.0
+    for a, b in zip(w, wx):
+        err = min(abs(a - b), abs(a - np.conj(b)))
+        assert err < tol * scale, (a, b, err / scale)
+
+
+def _wellcond(rng, p, n):
+    A = rng.standard_normal((p, n, n))
+    for l in range(p):
+        A[l] += np.sign(np.linalg.det(A[l])) * 3 * np.eye(n)
+    return A
+
+
+def run_case_ff(A, S, tol_eig=2e3, **kw):
+    A = np.asarray(A)
+    p, n, _ = A.shape
+    P = pschur_real_gen_pipeline_ff(jnp.asarray(A), S, "R", **kw)
+    ok, rep = check_psd(P, A, qtol=500.0, tol=2000.0)
+    assert ok, rep
+    assert rep["residual_rel"] < 1e-12, rep
+    vals = np.asarray(P.values)
+    w = np.linalg.eigvals(_signed_prod(A, S))
+    # ds eigenvalues carry ~2^-48-grade backward error; compare at a
+    # few-hundred-ds-ulp scale (tol_eig * EPS_f64 * n ~ 1e-12)
+    _match_spectra(w, vals, tol_eig * EPS * n)
+    return P
+
+
+# ---- combination A: p=3, n=8, S=(T,F,T) — one shared core trace --------
+
+
+def test_mixed_random(rng):
+    S = (True, False, True)
+    A = _wellcond(rng, 3, 8)
+    run_case_ff(A, S, chunked=False)
+
+
+def test_planted_holes(rng):
+    """Singular diagonals in direct and inverted factors route through
+    the zero-imaginary-shimmed deflate_pos / deflate_neg cores."""
+    S = (True, False, True)
+    A = _wellcond(rng, 3, 8)
+    A[2] = np.diag([1.0] * 3 + [0.0] + [1.0] * 4) @ A[2]
+    P = pschur_real_gen_pipeline_ff(jnp.asarray(A), S, "R", chunked=False)
+    ok, rep = check_psd(P, A, qtol=500.0, tol=2000.0)
+    assert ok, rep
+    assert np.min(np.abs(np.asarray(P.values))) < 1e-10
+
+    A2 = _wellcond(rng, 3, 8)
+    A2[1] = A2[1] @ np.diag([1.0] * 5 + [0.0] + [1.0] * 2)
+    P2 = pschur_real_gen_pipeline_ff(jnp.asarray(A2), S, "R",
+                                     chunked=False)
+    ok2, rep2 = check_psd(P2, A2, qtol=500.0, tol=2000.0)
+    assert ok2, rep2
+    assert int(np.sum(np.asarray(P2.beta) == 0)) >= 1
+
+
+# ---- combination B: p=2, n=10, S=(T,F) — glue + resume + pallas traces --
+
+
+def test_complex_pairs_and_chunked(rng):
+    """Rotation-rich cycle (complex pairs exercise the 2x2 attack path);
+    chunked execution must agree with the single-shot run exactly."""
+    S = (True, False)
+    A = _wellcond(rng, 2, 10)
+    P1 = run_case_ff(A, S, chunked=False)
+    P2 = pschur_real_gen_pipeline_ff(jnp.asarray(A), S, "R",
+                                     chunked=True, chunk_iters=5)
+    assert np.array_equal(np.asarray(P1.Ts), np.asarray(P2.Ts))
+    assert np.array_equal(np.asarray(P1.Zs), np.asarray(P2.Zs))
+    assert np.any(np.asarray(P1.alpha).imag != 0)
+
+
+def test_pallas_chase_core(rng):
+    """Full ds rg pipeline with the fused Pallas chase (interpret mode):
+    the production off-CPU chase path (ops/pallas_sweep_rg.py)."""
+    S = (True, False)
+    A = _wellcond(rng, 2, 10)
+    P = run_case_ff(A, S, chunked=False, pallas=True, interpret=True)
+    # eigenvalues agree with the glue-path run (cached trace from the
+    # chunked test's single-shot case)
+    Pg = pschur_real_gen_pipeline_ff(jnp.asarray(A), S, "R", chunked=False)
+    v1 = np.sort_complex(np.asarray(P.values))
+    v2 = np.sort_complex(np.asarray(Pg.values))
+    assert np.abs(v1 - v2).max() < 1e-11 * max(1.0, np.abs(v2).max())
