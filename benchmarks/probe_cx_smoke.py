@@ -59,8 +59,12 @@ assert he < 1e-11 and ze < 1e-11, "rolled-path mismatch"
 p, n = 2, 8
 S = (True, False)
 A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+# A stays NUMPY: a jnp.asarray would device_put complex128 onto the axon
+# chip, which has no complex dtype (the runtime stalls ~25 min and dies
+# UNAVAILABLE — the cause of smoke attempts 1-3 failing); the driver
+# splits (re, im) on the host.
 t0 = time.time()
-P = _pschur_complex_ff(jnp.asarray(A), S, "R", True, True, 30, pallas=True)
+P = _pschur_complex_ff(A, S, "R", True, True, 30, pallas=True)
 ok, rep = check_psd(P, A, qtol=1e6, tol=1e9)
 print(f"[smoke] p={p} n={n} mixed-S pipeline: {time.time()-t0:.1f}s "
       f"backerr {rep['residual_rel']:.3e}", flush=True)

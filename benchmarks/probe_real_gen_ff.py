@@ -17,8 +17,6 @@ p = int(sys.argv[1]) if len(sys.argv) > 1 else 6
 n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
 sys.path.insert(0, "/root/repo")
-import jax.numpy as jnp  # noqa: E402
-
 from periodicschurdecompositions_jl_tpu.config import \
     setverbosity  # noqa: E402
 from periodicschurdecompositions_jl_tpu.diagnostics import \
@@ -33,11 +31,12 @@ S = tuple(l % 2 == 0 for l in range(p))
 print(f"[probe] ds real GPSD (Pallas chase) p={p} n={n} S={S}", flush=True)
 
 t0 = time.time()
-P = pschur_real_gen_pipeline_ff(jnp.asarray(A * 0.5), S, "R", pallas=True)
+# A stays numpy: the pipeline splits to ds on the host
+P = pschur_real_gen_pipeline_ff(A * 0.5, S, "R", pallas=True)
 print(f"[probe] compile+first: {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
-P = pschur_real_gen_pipeline_ff(jnp.asarray(A), S, "R", pallas=True)
+P = pschur_real_gen_pipeline_ff(A, S, "R", pallas=True)
 ok, rep = check_psd(P, A, qtol=1e6, tol=1e9)
 t1 = time.time() - t0
 Z = np.asarray(P.Zs)

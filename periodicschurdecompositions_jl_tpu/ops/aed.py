@@ -689,3 +689,51 @@ def aed_apply_ff(Hhi, Hlo, ZThi, ZTlo, Zt64, Wf64, sp64, s,
     spc = ff.where(live, spc, old)
     H = upd(H, 0, spc, s, sc)
     return H.hi, H.lo, ZT.hi, ZT.lo
+
+
+@partial(jax.jit, static_argnames=("S", "want_z"))
+def aed_apply_rg_ff(Hhi, Hlo, Zhi, Zlo, Zt64, Wf64, sp64, s, S,
+                    want_z: bool = True):
+    """Apply real-generalized AED window transforms to the ds state.
+
+    Signature sides as in :func:`aed_apply_rg` (H_l = V_l^T A V_{l+1}
+    direct / V_{l+1}^T A V_l inverted; Z stored PLAIN); the transformed
+    window block is replaced by the f64-exact host result.
+    """
+    p, N, _ = Hhi.shape
+    w = Zt64.shape[-1]
+    s = jnp.asarray(s, jnp.int32)
+    Zt = ff.from_f64(Zt64.astype(jnp.float64))
+    Wf = ff.from_f64(Wf64.astype(jnp.float64))
+    sp = ff.from_f64(sp64.astype(jnp.float64))
+    H = FF(Hhi, Hlo)
+    Z = FF(Zhi, Zlo)
+    zero32 = jnp.int32(0)
+
+    def upd(M: FF, l: int, new: FF, r0, c0) -> FF:
+        hi = jax.lax.dynamic_update_slice(M.hi[l], new.hi, (r0, c0))
+        lo = jax.lax.dynamic_update_slice(M.lo[l], new.lo, (r0, c0))
+        return FF(M.hi.at[l].set(hi), M.lo.at[l].set(lo))
+
+    for l in range(p):
+        ln = (l + 1) % p
+        Vleft = ff.index(Zt, l if S[l] else ln)
+        Vright = ff.index(Zt, ln if S[l] else l)
+        rows = FF(jax.lax.dynamic_slice(H.hi[l], (s, zero32), (w, N)),
+                  jax.lax.dynamic_slice(H.lo[l], (s, zero32), (w, N)))
+        H = upd(H, l, _mm_left_ff(Vleft, rows), s, zero32)
+        cols = FF(jax.lax.dynamic_slice(H.hi[l], (zero32, s), (N, w)),
+                  jax.lax.dynamic_slice(H.lo[l], (zero32, s), (N, w)))
+        H = upd(H, l, _mm_right_ff(cols, Vright), zero32, s)
+        H = upd(H, l, ff.index(Wf, l), s, s)
+        if want_z:
+            zc = FF(jax.lax.dynamic_slice(Z.hi[l], (zero32, s), (N, w)),
+                    jax.lax.dynamic_slice(Z.lo[l], (zero32, s), (N, w)))
+            Z = upd(Z, l, _mm_right_ff(zc, ff.index(Zt, l)), zero32, s)
+    sc = jnp.maximum(s - 1, 0)
+    spc = FF(sp.hi[:, None], sp.lo[:, None])
+    old = FF(jax.lax.dynamic_slice(H.hi[0], (s, sc), (w, 1)),
+             jax.lax.dynamic_slice(H.lo[0], (s, sc), (w, 1)))
+    spc = ff.where(s >= 1, spc, old)
+    H = upd(H, 0, spc, s, sc)
+    return H.hi, H.lo, Z.hi, Z.lo

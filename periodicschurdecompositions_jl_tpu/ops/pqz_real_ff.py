@@ -613,11 +613,74 @@ def pqz_real_gen_core_ff_chunked(
                jnp.int32(ziter0), jax.random.PRNGKey(seed))
         return (st0, jnp.int32(0))
 
-    # AED between chunks: analysis reuses ops/aed.aed_analyze_rg on f64
-    # views; the ds writeback variant is not implemented yet, so the ds
-    # chunked driver runs without AED for now (the f64 chunked driver
-    # keeps it).
-    seg = chunk_iters
+    # ---- aggressive early deflation plumbing (ops/aed.py, rg-ff) --------
+    import numpy as _np
+    aed_w = cfg.aed_window if cfg.aed_window else min(48, max(16, n // 10))
+    aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 6)
+    aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4
+    if aed_on:
+        from .aed import aed_analyze_rg, aed_apply_rg_ff
+        ulp = float(ff.EPS)
+        h0 = _np.asarray(Hhi[0], _np.float64) + _np.asarray(Hlo[0],
+                                                            _np.float64)
+        # max-norm contract scale at the ds ulp (see ops/pqr_ff.py note)
+        aed_tol = ulp * float(n) ** 0.5 * float(_np.abs(h0).max())
+        seg = min(chunk_iters, aed_itv)
+        misses = 0
+    else:
+        seg = chunk_iters
+
+    def _try_aed(full):
+        nonlocal misses, seg
+        st, jiter = full
+        (Hst, Zst, alre, alim, be, sc, ilast, iiter, ziter, key) = st
+        i_cur = int(ilast)
+        w = aed_w
+        if i_cur + 1 < w + 2:
+            return full
+        s = i_cur - w + 1
+        Hwin = (_np.asarray(Hst.hi[:, s:s + w, s:s + w], _np.float64) +
+                _np.asarray(Hst.lo[:, s:s + w, s:s + w], _np.float64))
+        bcp = (float(_np.asarray(Hst.hi[0, s, s - 1])) +
+               float(_np.asarray(Hst.lo[0, s, s - 1]))) if s >= 1 else 0.0
+        try:
+            res = aed_analyze_rg(Hwin, S, bcp, aed_tol)
+        except Exception as e:  # pragma: no cover - defensive host path
+            if verbosity("main") >= 1:
+                print(f"[pqz_rg_ff aed] analysis failed ({e!r}); skipping")
+            res = None
+        if res is None:
+            misses += 1
+            if misses >= 2:
+                seg = min(seg * 2, chunk_iters)
+            return full
+        misses = 0
+        seg = min(chunk_iters, aed_itv)
+        d, Wf, Zt, arw, aiw, bew, scw, sph = res
+        u = w - d
+        Hh, Hl, Zh, Zl = aed_apply_rg_ff(
+            Hst.hi, Hst.lo, Zst.hi, Zst.lo, jnp.asarray(Zt),
+            jnp.asarray(Wf), jnp.asarray(sph), jnp.int32(s), S,
+            want_z=want_z)
+        arr = _np.asarray(alre).copy()
+        aii = _np.asarray(alim).copy()
+        ben = _np.asarray(be).copy()
+        scn = _np.asarray(sc).copy()
+        arr[s + u:s + w] = arw[u:]
+        aii[s + u:s + w] = aiw[u:]
+        ben[s + u:s + w] = bew[u:]
+        scn[s + u:s + w] = scw[u:]
+        if verbosity("main") >= 1:
+            print(f"[pqz_rg_ff aed] deflated {d} at ilast={i_cur} "
+                  f"(window {w})")
+        ziter_n = jnp.where(jnp.int32(ziter) != -1, jnp.int32(0),
+                            jnp.int32(ziter))
+        st = (FF(Hh, Hl), FF(Zh, Zl), jnp.asarray(arr),
+              jnp.asarray(aii), jnp.asarray(ben, jnp.float32),
+              jnp.asarray(scn, jnp.int32), jnp.int32(i_cur - d),
+              jnp.int32(0), ziter_n, key)
+        return (st, jiter)
+
     state = _init(Hhi, Hlo, Z2)
     cap = 0
     first = True
@@ -638,6 +701,8 @@ def pqz_real_gen_core_ff_chunked(
         first = False
         if bool(done) or cap >= maxit:
             return tuple(outs)
+        if aed_on:
+            state = _try_aed(state)
 
 
 def pschur_real_gen_pipeline_ff(A, S, orient, want_t=True, want_z=True,

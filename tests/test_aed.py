@@ -361,3 +361,82 @@ def test_aed_analyze_randomized_invariants():
             assert np.abs(np.tril(Wf[0][:u, :u], -2)).max() == 0.0
             for l in range(1, p):
                 assert np.abs(np.tril(Wf[l][:u, :u], -1)).max() == 0.0
+
+
+def test_aed_apply_rg_ff_matches_host(rng):
+    """The ds real-generalized application must agree with the f64 host
+    transform (signature-aware sides; Z plain)."""
+    from periodicschurdecompositions_jl_tpu.ops.aed import aed_apply_rg_ff
+    p, n, w, s = 2, 16, 6, 7
+    S = (True, False)
+    H = _window(rng, p, n)
+    Z = np.broadcast_to(np.eye(n), (p, n, n)).copy()
+    q = [np.linalg.qr(rng.standard_normal((w, w)))[0] for _ in range(p)]
+    Zt = np.stack(q)
+    Wf = np.stack([rng.standard_normal((w, w)) for _ in range(p)])
+    sp = rng.standard_normal(w)
+    Hf = ff.from_f64(jnp.asarray(H))
+    Zf = ff.from_f64(jnp.asarray(Z))
+    Hh, Hl, Zh, Zl = aed_apply_rg_ff(Hf.hi, Hf.lo, Zf.hi, Zf.lo,
+                                     jnp.asarray(Zt), jnp.asarray(Wf),
+                                     jnp.asarray(sp), jnp.int32(s), S,
+                                     want_z=True)
+    got = np.asarray(Hh, np.float64) + np.asarray(Hl, np.float64)
+    gz = np.asarray(Zh, np.float64) + np.asarray(Zl, np.float64)
+    for l in range(p):
+        ln = (l + 1) % p
+        ref = H[l].copy()
+        Vl = Zt[l] if S[l] else Zt[ln]
+        Vr = Zt[ln] if S[l] else Zt[l]
+        ref[s:s + w, :] = Vl.T @ ref[s:s + w, :]
+        ref[:, s:s + w] = ref[:, s:s + w] @ Vr
+        ref[s:s + w, s:s + w] = Wf[l]
+        if l == 0:
+            ref[s:s + w, s - 1] = sp
+        assert np.abs(got[l] - ref).max() < 1e-13 * max(
+            1.0, np.abs(ref).max()), l
+        zref = Z[l].copy()
+        zref[:, s:s + w] = zref[:, s:s + w] @ Zt[l]
+        assert np.abs(gz[l] - zref).max() < 1e-13
+
+
+def test_chunked_aed_rg_ff_end_to_end(rng):
+    """ds real-generalized chunked driver with AED: contract-grade
+    residual and eigenvalue agreement with the f64 core; AED fires."""
+    import periodicschurdecompositions_jl_tpu.ops.aed as aed_mod
+    from periodicschurdecompositions_jl_tpu.ops.pqz_real import (
+        pschur_real_gen_pipeline)
+    p, n = 2, 36
+    S = (True, False)
+    A = rng.standard_normal((p, n, n))
+    for l in range(p):
+        A[l] += np.sign(np.linalg.det(A[l])) * 3 * np.eye(n)
+    cfg = AlgoConfig(aed=True, aed_window=10, aed_interval=8)
+    defl0 = aed_mod.stats["deflated"]
+    import periodicschurdecompositions_jl_tpu.ops.pqz_real_ff as rgff
+    from periodicschurdecompositions_jl_tpu.ops.pqz_complex_ff import (
+        phessenberg_signed_core_cxff)
+    Aff = ff.from_f64(jnp.asarray(A))
+    zi = jnp.zeros_like(Aff.hi)
+    red = phessenberg_signed_core_cxff(Aff.hi, Aff.lo, zi, zi, S,
+                                       want_q=True)
+    res = rgff.pqz_real_gen_core_ff_chunked(
+        red[0], red[1], S, (red[4], red[5]), want_z=True, maxitfac=120,
+        chunk_iters=8, cfg=cfg)
+    assert aed_mod.stats["deflated"] > defl0, "rg-ff AED never fired"
+    (Thi, Tlo, Zhi, Zlo, alr, ali, be, sc, ok) = res
+    assert bool(ok)
+    T = np.asarray(Thi, np.float64) + np.asarray(Tlo, np.float64)
+    Z = np.asarray(Zhi, np.float64) + np.asarray(Zlo, np.float64)
+    scale = np.abs(A).max()
+    for l in range(p):
+        ln = (l + 1) % p
+        Ax = (Z[l] @ T[l] @ Z[ln].T) if S[l] else (Z[ln] @ T[l] @ Z[l].T)
+        assert np.abs(Ax - A[l]).max() < 1e-12 * scale, l
+    # eigenvalues vs the f64 pipeline
+    Pref = pschur_real_gen_pipeline(jnp.asarray(A), S, "R")
+    v0 = np.sort_complex(np.asarray(Pref.values))
+    al = np.asarray(alr) + 1j * np.asarray(ali)
+    v1 = np.sort_complex(al / np.asarray(be, np.float64) *
+                         np.exp2(np.asarray(sc).astype(np.float64)))
+    assert np.abs(v1 - v0).max() < 1e-9 * max(1.0, np.abs(v0).max())
