@@ -449,6 +449,61 @@ def _apply_logged(refs4, kk, v, base: int, N, transpose: bool,
     _write_prows(refs4, kk, news, ctx, blocks)
 
 
+def _group_apply2(refs4, b, v8, base: int, N, m, i, transpose: bool,
+                  hi_lane=None, keep_head=None):
+    """8 consecutive steps' 2x2 transforms on ONE aligned 16-row slab.
+
+    Step kk = b + t (t = 0..7) applies its logged transform to slab rows
+    t:t+2 IN REGISTERS, exactly the order the per-step path executes
+    them — consecutive steps overlap one row, and the sequential
+    in-register chain is bitwise-identical to the write-then-reread
+    chain.  Inactive steps (kk outside [m, i-1]) keep rows unchanged.
+    One slab read + one write per 8 steps replaces 8 rolled RMWs (the
+    dominant per-step device cost; see ops/pallas_sweep.py's group note).
+
+    ``keep_head``: restore factor-0's input lane kk-1 at the step
+    kk == m (kernel B0's window-boundary column device) — valid in the
+    grouped chain because no earlier in-group step writes that lane's
+    rows below m.
+    """
+    blocks = [r[:, pl.ds(b, 16), :] for r in refs4]
+    rows = [CXF(FF(blocks[0][:, t, :], blocks[1][:, t, :]),
+                FF(blocks[2][:, t, :], blocks[3][:, t, :]))
+            for t in range(16)]
+    lane = _lane_iota(rows[0].re.hi.shape, 1)
+    fct = lax.broadcasted_iota(jnp.int32, rows[0].re.hi.shape, 0)
+    for t in range(8):
+        kk = b + jnp.int32(t)
+        act = (kk >= m) & (kk <= i - 1)
+        v = v8[:, t:t + 1, :]
+
+        def el(rr, cc):
+            if transpose:
+                rr, cc = cc, rr
+            return _log_entry(v, base, rr, cc)
+
+        rs = [rows[t], rows[t + 1]]
+        outs = []
+        for rr in range(2):
+            acc = cxff.add(cxff.mul(el(rr, 0), rs[0]),
+                           cxff.mul(el(rr, 1), rs[1]))
+            outs.append(acc)
+        if hi_lane is not None:
+            outs = [_where_cx_m(lane <= hi_lane, o, r)
+                    for o, r in zip(outs, rs)]
+        if keep_head is not None:
+            kmask = (lane == kk - 1) & (kk == m) & (fct == 0)
+            outs = [_where_cx_m(kmask, r, o) for o, r in zip(outs, rs)]
+        for rr in range(2):
+            rows[t + rr] = _where_cx_m(act, outs[rr], rs[rr])
+    news = [jnp.stack([r.re.hi for r in rows], 1),
+            jnp.stack([r.re.lo for r in rows], 1),
+            jnp.stack([r.im.hi for r in rows], 1),
+            jnp.stack([r.im.lo for r in rows], 1)]
+    for ref, nv in zip(refs4, news):
+        ref[:, pl.ds(b, 16), :] = nv
+
+
 def _make_qz_left_kernel(p: int, N: int, hbm_inputs: bool = False):
     """Kernel B0: logged L chains on H's rows, batched over factors."""
 
@@ -474,7 +529,19 @@ def _make_qz_left_kernel(p: int, N: int, hbm_inputs: bool = False):
                           keep=(kk - 1, 0, kk == m))
             return jnp.int32(0)
 
-        lax.fori_loop(m, i, step, jnp.int32(0))
+        def group(t, _):
+            b = pl.multiple_of(g0 + t * jnp.int32(8), 8)
+            v8 = R0[:, pl.ds(b, 8), :]
+            _group_apply2(outs4, b, v8, 0, N, m, i, transpose=False,
+                          keep_head=True)
+            return jnp.int32(0)
+
+        if N > 128 and not hbm_inputs:
+            g0 = pl.multiple_of(m & jnp.int32(-8), 8)
+            ngroups = (i - g0 + jnp.int32(7)) >> 3
+            lax.fori_loop(jnp.int32(0), ngroups, group, jnp.int32(0))
+        else:
+            lax.fori_loop(m, i, step, jnp.int32(0))
 
     return kernel
 
@@ -512,7 +579,21 @@ def _make_qz_apply_kernel(p: int, N: int, want_z: bool,
                 _apply_logged(z_out, kk, v, 32, N, transpose=True)
             return jnp.int32(0)
 
-        lax.fori_loop(m, i, step, jnp.int32(0))
+        def group(t, _):
+            b = pl.multiple_of(g0 + t * jnp.int32(8), 8)
+            v8 = R0[:, pl.ds(b, 8), :]
+            _group_apply2(h_out, b, v8, 16, N, m, i, transpose=True,
+                          hi_lane=i)
+            if want_z:
+                _group_apply2(z_out, b, v8, 32, N, m, i, transpose=True)
+            return jnp.int32(0)
+
+        if N > 128 and not hbm_inputs:
+            g0 = pl.multiple_of(m & jnp.int32(-8), 8)
+            ngroups = (i - g0 + jnp.int32(7)) >> 3
+            lax.fori_loop(jnp.int32(0), ngroups, group, jnp.int32(0))
+        else:
+            lax.fori_loop(m, i, step, jnp.int32(0))
 
     def kernel_noz(scal, HTrh, HTrl, HTih, HTil, R0,
                    oHrh, oHrl, oHih, oHil, *sems):

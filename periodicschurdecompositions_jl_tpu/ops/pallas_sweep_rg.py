@@ -331,6 +331,44 @@ def _apply_logged3(hi_ref, lo_ref, kk, v, base: int, N, transpose: bool,
         lo_ref[:, pl.ds(kk8, 16), :] = pltpu.roll(bl2, o, 1)
 
 
+def _group_apply3(hi_ref, lo_ref, b, v8, base: int, m, ihi,
+                  transpose: bool, hi_lane=None):
+    """8 consecutive chase steps' fused 3x3 transforms on ONE aligned
+    16-row slab, applied sequentially in registers (bitwise-identical to
+    the per-step rolled-RMW chain; steps j outside [m, ihi-2] keep rows
+    unchanged).  Max touched row t+2 <= 9 < 16."""
+    bh = hi_ref[:, pl.ds(b, 16), :]
+    bl = lo_ref[:, pl.ds(b, 16), :]
+    rows = [FF(bh[:, t, :], bl[:, t, :]) for t in range(16)]
+    lane = _lane_iota(rows[0].hi.shape, 1)
+    for t in range(8):
+        j = b + jnp.int32(t)
+        act = (j >= m) & (j <= ihi - 2)
+        v = v8[:, t:t + 1, :]
+
+        def el(rr, cc):
+            if transpose:
+                rr, cc = cc, rr
+            return _log_entry(v, base, rr, cc)
+
+        rs = [rows[t], rows[t + 1], rows[t + 2]]
+        outs = []
+        for rr in range(3):
+            acc = ff.mul(el(rr, 0), rs[0])
+            for ss in range(1, 3):
+                acc = ff.add(acc, ff.mul(el(rr, ss), rs[ss]))
+            outs.append(acc)
+        if hi_lane is not None:
+            outs = [FF(jnp.where(lane <= hi_lane, o.hi, r.hi),
+                       jnp.where(lane <= hi_lane, o.lo, r.lo))
+                    for o, r in zip(outs, rs)]
+        for rr in range(3):
+            rows[t + rr] = FF(jnp.where(act, outs[rr].hi, rs[rr].hi),
+                              jnp.where(act, outs[rr].lo, rs[rr].lo))
+    hi_ref[:, pl.ds(b, 16), :] = jnp.stack([r.hi for r in rows], 1)
+    lo_ref[:, pl.ds(b, 16), :] = jnp.stack([r.lo for r in rows], 1)
+
+
 def _make_rg_left_kernel(p: int, N: int, hbm_inputs: bool = False):
     def kernel(scal, Hhi, Hlo, R0, oHhi, oHlo, *sems):
         m = scal[0]
@@ -351,7 +389,19 @@ def _make_rg_left_kernel(p: int, N: int, hbm_inputs: bool = False):
             _apply_logged3(oHhi, oHlo, j, v, 0, N, transpose=False)
             return jnp.int32(0)
 
-        lax.fori_loop(m, i - 1, step, jnp.int32(0))
+        def group(t, _):
+            b = pl.multiple_of(g0 + t * jnp.int32(8), 8)
+            v8 = R0[:, pl.ds(b, 8), :]
+            _group_apply3(oHhi, oHlo, b, v8, 0, m, i, transpose=False)
+            return jnp.int32(0)
+
+        if N > 128 and not hbm_inputs:
+            g0 = pl.multiple_of(m & jnp.int32(-8), 8)
+            ngroups = (i - jnp.int32(1) - g0 + jnp.int32(7)) >> 3
+            lax.fori_loop(jnp.int32(0), jnp.maximum(ngroups, 0), group,
+                          jnp.int32(0))
+        else:
+            lax.fori_loop(m, i - 1, step, jnp.int32(0))
 
     return kernel
 
@@ -384,7 +434,22 @@ def _make_rg_apply_kernel(p: int, N: int, want_z: bool,
                 _apply_logged3(oZhi, oZlo, j, v, 36, N, transpose=True)
             return jnp.int32(0)
 
-        lax.fori_loop(m, i - 1, step, jnp.int32(0))
+        def group(t, _):
+            b = pl.multiple_of(g0 + t * jnp.int32(8), 8)
+            v8 = R0[:, pl.ds(b, 8), :]
+            _group_apply3(oHhi, oHlo, b, v8, 18, m, i, transpose=True,
+                          hi_lane=i)
+            if want_z:
+                _group_apply3(oZhi, oZlo, b, v8, 36, m, i, transpose=True)
+            return jnp.int32(0)
+
+        if N > 128 and not hbm_inputs:
+            g0 = pl.multiple_of(m & jnp.int32(-8), 8)
+            ngroups = (i - jnp.int32(1) - g0 + jnp.int32(7)) >> 3
+            lax.fori_loop(jnp.int32(0), jnp.maximum(ngroups, 0), group,
+                          jnp.int32(0))
+        else:
+            lax.fori_loop(m, i - 1, step, jnp.int32(0))
 
     def kernel_noz(scal, HThi, HTlo, R0, oHhi, oHlo, *sems):
         kernel(scal, HThi, HTlo, None, None, R0, oHhi, oHlo, None, None,
