@@ -20,7 +20,13 @@ import jax.numpy as jnp  # noqa: E402
 from periodicschurdecompositions_jl_tpu.models.drivers import \
     _pschur_complex_ff  # noqa: E402
 from periodicschurdecompositions_jl_tpu.config import \
-    setverbosity  # noqa: E402
+    AlgoConfig, setverbosity  # noqa: E402
+import periodicschurdecompositions_jl_tpu.config as _cfgmod  # noqa: E402
+
+# AED off for the record: its host analysis shrinks chunks to 24
+# iterations (attempt 2 timed out at jiter=192 with zero AED harvest on
+# this draw); the AED on-chip A/B is the separate aed_timing queue item.
+_cfgmod.default_config = AlgoConfig(aed=False)
 
 setverbosity(1, "main")  # chunk-progress lines localize hangs
 from periodicschurdecompositions_jl_tpu.diagnostics import \

@@ -18,7 +18,11 @@ n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
 sys.path.insert(0, "/root/repo")
 from periodicschurdecompositions_jl_tpu.config import \
-    setverbosity  # noqa: E402
+    AlgoConfig, setverbosity  # noqa: E402
+import periodicschurdecompositions_jl_tpu.config as _cfgmod  # noqa: E402
+
+# AED off for the record run (see probe_complex_ff.py note)
+_cfgmod.default_config = AlgoConfig(aed=False)
 from periodicschurdecompositions_jl_tpu.diagnostics import \
     check_psd  # noqa: E402
 from periodicschurdecompositions_jl_tpu.ops.pqz_real_ff import \
