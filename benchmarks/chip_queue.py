@@ -33,24 +33,10 @@ RETRIES = 6  # tunnel deaths mid-compile dominate failures (2026-08-19)
 # were never cached successfully anyway (the first-chunk compile is the
 # wedge under study), so an isolated dir costs nothing.
 QUEUE = [
-    ("sweeptime_p8_n256", [sys.executable, "benchmarks/probe_sweeptime.py",
-                           "8", "256", "4"], 2400),
-    ("sweeptime_p1_n256", [sys.executable, "benchmarks/probe_sweeptime.py",
-                           "1", "256", "4"], 2400),
-    ("sweeptime_p16_n256", [sys.executable, "benchmarks/probe_sweeptime.py",
-                            "16", "256", "4"], 2400),
-    ("kernels_p16_n256", [sys.executable, "benchmarks/probe_kernels.py",
-                          "16", "256"], 2400),
-    # Mosaic smoke test of the fused cx sweep kernels (small-N + rolled
-    # paths) before the record attempt pays the full-pipeline compile
-    ("cx_smoke", [sys.executable, "benchmarks/probe_cx_smoke.py"], 2400,
-     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_cxff"}),
-    ("complex_ff_p6_n128", [sys.executable, "benchmarks/probe_complex_ff.py",
-                            "6", "128"], 5400,
-     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_cxff"}),
-    # banded group-composed kernel B (PSD_GROUP_MODE=banded is the code
-    # default): per-sweep A/B against the 442 ms (per-step B) / grouped-seq
-    # records at p=16 n=256
+    # banded group-composed kernel B with the fixed scoped-vmem limits
+    # (the first three attempts OOM'd scoped vmem: 46.44M needed vs
+    # 34.83M given at p=16 N=272): per-sweep A/B against the 442 ms
+    # (per-step B) / 150 ms (grouped-seq) records at p=16 n=256
     ("sweeptime_banded_p16_n256", [sys.executable,
                                    "benchmarks/probe_sweeptime.py",
                                    "16", "256", "4"], 2400),
@@ -68,19 +54,27 @@ QUEUE = [
                                   "benchmarks/probe_headline.py",
                                   "16", "512"], 5400,
      {"PSD_GROUP_HBM": "1"}),
-    ("real_gen_p6_n128", [sys.executable, "benchmarks/probe_real_gen.py",
-                          "6", "128"], 3600),
-    # ds real GPSD record (Pallas chase): the contract-grade counterpart
+    # ds real GPSD record (Pallas chase): the contract-grade counterpart;
+    # first on-chip run of the DEFERRED chunked protocol
     ("real_gen_ff_p6_n128", [sys.executable,
                              "benchmarks/probe_real_gen_ff.py",
                              "6", "128"], 5400,
      {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
+    # complex ds re-record under the DEFERRED protocol on a FRESH cache:
+    # validates the protocol on-chip and measures the compile-time win
+    # (the in-loop-deflation trace took 1690.9 s to compile on 08-20)
+    ("complex_ff_dd_p6_n128", [sys.executable,
+                               "benchmarks/probe_complex_ff.py",
+                               "6", "128"], 5400,
+     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_cxdd"}),
     ("mb_timing_p8_n128", [sys.executable, "benchmarks/mb_timing.py",
                            "8", "128", "1,2,4"], 3600),
     ("aed_timing_p8_n128", [sys.executable, "benchmarks/aed_timing.py",
                             "8", "128"], 3600),
     ("phases_p16_n512", [sys.executable, "benchmarks/probe_phases.py",
                          "16", "512"], 5400),
+    ("real_gen_p6_n128", [sys.executable, "benchmarks/probe_real_gen.py",
+                          "6", "128"], 3600),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"

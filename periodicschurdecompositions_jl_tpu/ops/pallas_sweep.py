@@ -1249,9 +1249,13 @@ def _left_call(p: int, N: int, interpret: bool, NB: int = 1):
     kern = _make_left_kernel(p, N, hbm_inputs, NB)
     n_res = 2 if hbm_inputs else 4
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
-    if hbm_inputs and NB == 1 and N > 128 and _GROUP_HBM \
-            and _GROUP_MODE == "banded":
-        vmem = vmem + (24 << 20)  # grouped live rows + stack headroom
+    if NB == 1 and N > 128 and _GROUP_MODE == "banded" \
+            and (not hbm_inputs or _GROUP_HBM):
+        # banded group live rows + compiler stack: measured scoped need
+        # 46.44M at p=16 N=272 (VMEM-resident) and 111.83M at p=16 N=528
+        # (HBM-staged) — ask for (nearly) the whole 128 MiB core VMEM;
+        # these kernels have no double-buffered DMA to starve
+        vmem = max(vmem, 127 * (1 << 20))
     h_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
     scratch = [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA] \
         if hbm_inputs else []
@@ -1281,11 +1285,14 @@ def _apply_call(p: int, N: int, want_z: bool, interpret: bool, NB: int = 1):
     kern = _make_apply_kernel(p, N, want_z, hbm_inputs, NB)
     n_res = n_out if hbm_inputs else n_arr
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
-    if hbm_inputs and NB == 1 and N > 128 and _GROUP_HBM \
-            and _GROUP_MODE != "step":
-        # grouped path over HBM-staged buffers: the group's live rows on
-        # top of the VMEM outputs measured 119.15M of scoped vmem at
-        # N=528 p=16 — ask for (nearly) the whole 128 MiB core VMEM
+    if NB == 1 and N > 128 and _GROUP_MODE != "step" \
+            and (not hbm_inputs or _GROUP_HBM) \
+            and (_GROUP_MODE == "banded" or hbm_inputs):
+        # grouped/banded paths: the group's live rows on top of the VMEM
+        # outputs measured 119.15M of scoped vmem at N=528 p=16 (HBM-
+        # staged); the banded composition also overruns the proportional
+        # limit at VMEM-resident sizes (B0 measured +11.6M at p=16 N=272)
+        # — ask for (nearly) the whole 128 MiB core VMEM
         vmem = max(vmem, 127 * (1 << 20))
     big_space = pltpu.ANY if hbm_inputs else pltpu.VMEM
     scratch = [pltpu.SemaphoreType.DMA] * n_out if hbm_inputs else []

@@ -28,6 +28,7 @@ column sweep with complex ds reflectors).
 """
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import Optional, Tuple
@@ -147,7 +148,8 @@ def phessenberg_core_cxff(Arehi, Arelo, Aimhi, Aimlo, want_q: bool = True):
 
 @partial(jax.jit, static_argnames=("S", "want_z", "want_t", "maxitfac",
                                    "with_info", "return_state",
-                                   "pallas_sweep", "interpret"))
+                                   "pallas_sweep", "interpret",
+                                   "skip_post", "defer_deflate"))
 def pqz_complex_core_ff(
     Hrehi: jax.Array,
     Hrelo: jax.Array,
@@ -165,8 +167,17 @@ def pqz_complex_core_ff(
     return_state: bool = False,
     pallas_sweep: bool = False,
     interpret: bool = False,
+    skip_post: bool = False,
+    defer_deflate: bool = False,
 ):
     """Run the ds split-complex periodic QZ iteration.
+
+    ``defer_deflate``: the singular-factor deflation branches EXIT the
+    while loop (request code in the state's dreq field) instead of being
+    traced into it — the chunked driver performs them through the
+    lazily-jitted functions of :func:`_deferred_fns_cx`, which cuts the
+    chunked core's compile time severalfold.  ``skip_post``: leave the
+    exit postprocess to the driver (run once on completion).
 
     Args:
       Hrehi..Himlo: (p, n, n) f32 hi/lo pairs; H[0] Hessenberg, rest upper
@@ -436,7 +447,7 @@ def pqz_complex_core_ff(
 
     # ------------------------------------------------------------------
     def body(full):
-        st, jiter = full
+        st, jiter, _ = full
         H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
 
         # f32 hi-component magnitudes: threshold-grade (policy in module
@@ -499,44 +510,77 @@ def pqz_complex_core_ff(
 
         info = {"jlo": jlo, "ldef": ldef, "jdef": jdef}
         st = (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
-        st = lax.switch(action, [act_split, act_pos, act_neg, act_czshift,
-                                 act_sweep], st, info)
-        return st, jiter + 1
+        if defer_deflate:
+            # singular-factor deflations + controlled zero shift EXIT the
+            # loop as a request (dreq) the chunked driver fulfils through
+            # lazily-jitted functions — their traces dominate compile time
+            def act_stub(st, info):
+                return st
+
+            st = lax.switch(action, [act_split, act_stub, act_stub,
+                                     act_stub, act_sweep], st, info)
+            deferred = (action >= 1) & (action <= 3)
+            dreq = jnp.where(deferred,
+                             jnp.stack([action, jlo, ldef, jdef]),
+                             jnp.zeros((4,), jnp.int32))
+        else:
+            st = lax.switch(action, [act_split, act_pos, act_neg,
+                                     act_czshift, act_sweep], st, info)
+            dreq = jnp.zeros((4,), jnp.int32)
+        return st, jiter + 1, dreq
 
     def cond(full):
-        st, jiter = full
-        go = (st[6] >= 0) & (jiter < maxit)
+        st, jiter, dreq = full
+        go = (st[6] >= 0) & (jiter < maxit) & (dreq[0] == 0)
         if it_cap is not None:
             go = go & (jiter < it_cap)
         return go
 
     def body_guarded(full):
-        st, jiter = full
-        return lax.cond(st[6] >= 0, body, lambda f: (f[0], f[1] + 1), full)
+        st, jiter, dreq = full
+        return lax.cond(st[6] >= 0, body, lambda f: (f[0], f[1] + 1, f[2]),
+                        full)
 
+    dreq0 = jnp.zeros((4,), jnp.int32)
     if resume_state is not None:
-        st0, jiter0 = resume_state
+        st0, jiter0, _ = resume_state
     else:
         st0 = (H, Z, alr0, ali0, beta0, scal0, jnp.int32(n - 1),
                jnp.int32(0), jnp.int32(ziter0), key0)
         jiter0 = jnp.int32(0)
-    (st, jiter) = lax.while_loop(cond, body_guarded, (st0, jiter0))
+    (st, jiter, dreq) = lax.while_loop(cond, body_guarded,
+                                       (st0, jiter0, dreq0))
     (H, Z, alr, ali, be, sc, ilast, _, _, _) = st
     ok = ilast < 0
     done = (ilast < 0) | (jiter >= maxit)
-    final_state = (st, jiter)
+    final_state = (st, jiter, dreq)
+
+    if not skip_post:
+        H, Z = _postprocess_cx(H, Z, S, want_z)
+
+    zout = (Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo) if want_z else (None,) * 4
+    out = (H.re.hi, H.re.lo, H.im.hi, H.im.lo) + zout + (alr, ali, be, sc,
+                                                         ok)
+    if with_info:
+        out = out + ({"niter": jiter, "maxit": jnp.int32(maxit)},)
+    if return_state:
+        return out + (final_state, done)
+    return out
+
+
+def _postprocess_cx(H: CXF, Z, S, want_z: bool):
+    """Exit postprocess of the ds complex core: triu structural scrub +
+    real-nonneg triangular diagonals with phases pushed into Z/neighbor
+    (reference src/generalized.jl:860-908) — ds throughout."""
+    p, n, _ = H.re.hi.shape
+    safmin = 1.175494e-38
+    S_arr2 = jnp.asarray(S)
 
     # structural enforcement: on exit every factor is upper triangular;
     # sub-triangular ds junk (lo-component differences the masked updates
     # cannot cancel exactly) is provably below the diagonal
     H = CXF(FF(jnp.triu(H.re.hi), jnp.triu(H.re.lo)),
             FF(jnp.triu(H.im.hi), jnp.triu(H.im.lo)))
-
-    # postprocess: real-nonneg triangular diagonals, phases into Z/neighbor
-    # (reference src/generalized.jl:860-908) — ds throughout; fori + sign-
-    # cond keeps the XLA graph p-independent
-    safmin = unfl
-    S_arr2 = jnp.asarray(S)
 
     def cmul_bc(X: CXF, ph: CXF, col: bool) -> CXF:
         ax = (slice(None), None) if not col else (None, slice(None))
@@ -583,15 +627,57 @@ def pqz_complex_core_ff(
 
     if p > 1:
         H, Z = lax.fori_loop(0, p - 1, post_body, (H, Z))
+    return H, Z
 
-    zout = (Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo) if want_z else (None,) * 4
-    out = (H.re.hi, H.re.lo, H.im.hi, H.im.lo) + zout + (alr, ali, be, sc,
-                                                         ok)
-    if with_info:
-        out = out + ({"niter": jiter, "maxit": jnp.int32(maxit)},)
-    if return_state:
-        return out + (final_state, done)
-    return out
+
+@functools.lru_cache(maxsize=16)
+def _deferred_fns_cx(p: int, n: int, S: Tuple[bool, ...], want_z: bool):
+    """Separately-jitted deflation actions + exit postprocess for the
+    DEFERRED chunked protocol: the rarely-taken singular-factor branches
+    dominate the chunked core's (remote) compile time, so the while-loop
+    exits when one is requested and the host runs these lazily-compiled
+    functions instead (each compiles only if its case actually occurs)."""
+    ulp = float(ff.EPS)
+    unfl = 1.175494e-38
+    smlnum = unfl * (n / ulp)
+    from .pqz_deflate_ff import make_deflate_cores_ff
+    pos_core, neg_core, czshift_core = make_deflate_cores_ff(
+        p=p, n=n, S=S, want_z=want_z, ulp=ulp, smlnum=smlnum)
+
+    def _wrap(H8, fn):
+        H = CXF(FF(H8[0], H8[1]), FF(H8[2], H8[3]))
+        Z = CXF(FF(H8[4], H8[5]), FF(H8[6], H8[7]))
+        return H, Z
+
+    @jax.jit
+    def run_pos(H8, jlo, ldef, jdef, ilast):
+        H, Z = _wrap(H8, None)
+        H, Z = pos_core(H, Z, jlo, ldef, jdef, ilast)
+        return (H.re.hi, H.re.lo, H.im.hi, H.im.lo,
+                Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo)
+
+    @jax.jit
+    def run_neg(H8, jlo, ldef, jdef, ilast):
+        H, Z = _wrap(H8, None)
+        H, Z = neg_core(H, Z, jlo, ldef, jdef, ilast)
+        return (H.re.hi, H.re.lo, H.im.hi, H.im.lo,
+                Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo)
+
+    @jax.jit
+    def run_cz(H8, jlo, ilast):
+        H, Z = _wrap(H8, None)
+        H, Z, zflag = czshift_core(H, Z, jlo, ilast)
+        return (H.re.hi, H.re.lo, H.im.hi, H.im.lo,
+                Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo, zflag)
+
+    @jax.jit
+    def run_post(H8):
+        H, Z = _wrap(H8, None)
+        H, Z = _postprocess_cx(H, Z, S, want_z)
+        return (H.re.hi, H.re.lo, H.im.hi, H.im.lo,
+                Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo)
+
+    return run_pos, run_neg, run_cz, run_post
 
 
 def pqz_complex_core_ff_chunked(
@@ -657,7 +743,7 @@ def pqz_complex_core_ff_chunked(
                jnp.zeros((n,), jnp.float64), jnp.zeros((n,), jnp.float32),
                jnp.zeros((n,), jnp.int32), jnp.int32(n - 1), jnp.int32(0),
                jnp.int32(ziter0), jax.random.PRNGKey(seed))
-        return (st0, jnp.int32(0))
+        return (st0, jnp.int32(0), jnp.zeros((4,), jnp.int32))
 
     # ---- aggressive early deflation plumbing (ops/aed.py, cx variant) ---
     import numpy as _np
@@ -681,7 +767,7 @@ def pqz_complex_core_ff_chunked(
 
     def _try_aed(full):
         nonlocal misses, seg
-        st, jiter = full
+        st, jiter, dreq = full
         (H, Z, alre, alim, be, sc, ilast, iiter, ziter, key) = st
         i_cur = int(ilast)
         w = aed_w
@@ -743,7 +829,28 @@ def pqz_complex_core_ff_chunked(
         st = (Hq, Zq, jnp.asarray(alre_n), jnp.asarray(alim_n),
               jnp.asarray(be_n, jnp.float32), jnp.asarray(sc_n, jnp.int32),
               jnp.int32(i_cur - d), jnp.int32(0), ziter_n, key)
-        return (st, jiter)
+        return (st, jiter, dreq)
+
+    def _fulfil_deferred(state):
+        """Run the requested deflation through the lazily-jitted cores."""
+        st, jiter, dreq = state
+        (H, Z, alre, alim, be, sc, ilast, iiter, ziter, key) = st
+        code = int(dreq[0])
+        run_pos, run_neg, run_cz, _ = _deferred_fns_cx(p, n, S, want_z)
+        H8 = (H.re.hi, H.re.lo, H.im.hi, H.im.lo,
+              Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo)
+        if code == 1:
+            out8 = run_pos(H8, dreq[1], dreq[2], dreq[3], ilast)
+        elif code == 2:
+            out8 = run_neg(H8, dreq[1], dreq[2], dreq[3], ilast)
+        else:
+            *out8, zflag = run_cz(H8, dreq[1], ilast)
+            ziter = jnp.where(zflag, jnp.int32(1), jnp.int32(0))
+        Hq = CXF(FF(out8[0], out8[1]), FF(out8[2], out8[3]))
+        Zq = CXF(FF(out8[4], out8[5]), FF(out8[6], out8[7])) if want_z \
+            else Z
+        st = (Hq, Zq, alre, alim, be, sc, ilast, iiter, ziter, key)
+        return (st, jiter, jnp.zeros((4,), jnp.int32))
 
     from ..config import verbosity
     state = _init(Hrehi, Hrelo, Himhi, Himlo, Z4)
@@ -758,14 +865,26 @@ def pqz_complex_core_ff_chunked(
             Hrehi, Hrelo, Himhi, Himlo, S, Z4, want_z=want_z,
             want_t=want_t, maxitfac=maxitfac, seed=seed,
             it_cap=jnp.int32(cap), resume_state=state, return_state=True,
-            pallas_sweep=pallas_sweep, interpret=interpret)
+            pallas_sweep=pallas_sweep, interpret=interpret,
+            skip_post=True, defer_deflate=True)
         *outs, state, done = out
         if verbosity("main") >= 1:
             print(f"[pqz_ff chunk] jiter={int(state[1])} "
-                  f"ilast={int(state[0][6])} done={bool(done)}", flush=True)
+                  f"ilast={int(state[0][6])} dreq={int(state[2][0])} "
+                  f"done={bool(done)}", flush=True)
         first = False
+        if int(state[2][0]) != 0:
+            state = _fulfil_deferred(state)
+            continue
         if bool(done) or cap >= maxit:
-            return tuple(outs)
+            # exit postprocess (the chunk calls skip it)
+            st = state[0]
+            H, Z = st[0], st[1]
+            _, _, _, run_post = _deferred_fns_cx(p, n, S, want_z)
+            out8 = run_post((H.re.hi, H.re.lo, H.im.hi, H.im.lo,
+                             Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo))
+            zout = tuple(out8[4:]) if want_z else (None,) * 4
+            return tuple(out8[:4]) + zout + tuple(outs[8:])
         if aed_on:
             state = _try_aed(state)
 

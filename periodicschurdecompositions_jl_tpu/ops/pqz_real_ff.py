@@ -74,7 +74,8 @@ def _rmat_adj_ff(c: FF, s: FF) -> FF:
 
 @partial(jax.jit, static_argnames=("S", "want_z", "maxitfac", "with_info",
                                    "aggressive", "want_t", "return_state",
-                                   "pallas_sweep", "interpret"))
+                                   "pallas_sweep", "interpret",
+                                   "defer_deflate"))
 def pqz_real_gen_core_ff(
     Hhi: jax.Array,
     Hlo: jax.Array,
@@ -91,8 +92,15 @@ def pqz_real_gen_core_ff(
     return_state: bool = False,
     pallas_sweep: bool = False,
     interpret: bool = False,
+    defer_deflate: bool = False,
 ):
     """Run the ds real generalized periodic QZ iteration.
+
+    ``defer_deflate``: the singular-factor deflation branches EXIT the
+    while loop as a request (dreq field of the loop carry); the chunked
+    driver fulfils them through lazily-jitted functions
+    (:func:`_deferred_fns_rg`) — they dominate the compile time, and
+    their cases are rare.
 
     Args:
       Hhi, Hlo: (p, n, n) f32 pair; H[0] Hessenberg, H[1:] triangular.  On
@@ -448,7 +456,7 @@ def pqz_real_gen_core_ff(
 
     # ------------------------------------------------------------------
     def body(full):
-        st, jiter = full
+        st, jiter, _ = full
         H, Z, alr, ali, be, sc, ilast, iiter, ziter, key = st
 
         # Test 1 (f32 hi magnitudes: threshold-grade)
@@ -510,31 +518,48 @@ def pqz_real_gen_core_ff(
         info = {"jlo": jlo, "ldef": ldef, "jdef": jdef}
         st = (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
         sweep_fn = act_attack if n == 2 else act_sweep
-        st = lax.switch(action, [act_split, act_pos, act_neg, act_czshift,
-                                 sweep_fn, act_attack], st, info)
-        return st, jiter + 1
+        if defer_deflate:
+            def act_stub(st, info):
+                return st
+
+            st = lax.switch(action, [act_split, act_stub, act_stub,
+                                     act_stub, sweep_fn, act_attack],
+                            st, info)
+            deferred = (action >= 1) & (action <= 3)
+            dreq = jnp.where(deferred,
+                             jnp.stack([action, jlo, ldef, jdef]),
+                             jnp.zeros((4,), jnp.int32))
+        else:
+            st = lax.switch(action, [act_split, act_pos, act_neg,
+                                     act_czshift, sweep_fn, act_attack],
+                            st, info)
+            dreq = jnp.zeros((4,), jnp.int32)
+        return st, jiter + 1, dreq
 
     def cond(full):
-        st, jiter = full
-        go = (st[6] >= 0) & (jiter < maxit)
+        st, jiter, dreq = full
+        go = (st[6] >= 0) & (jiter < maxit) & (dreq[0] == 0)
         if it_cap is not None:
             go = go & (jiter < it_cap)
         return go
 
     def body_guarded(full):
-        st, jiter = full
-        return lax.cond(st[6] >= 0, body, lambda f: (f[0], f[1] + 1), full)
+        st, jiter, dreq = full
+        return lax.cond(st[6] >= 0, body, lambda f: (f[0], f[1] + 1, f[2]),
+                        full)
 
+    dreq0 = jnp.zeros((4,), jnp.int32)
     if resume_state is not None:
-        st0, jiter0 = resume_state
+        st0, jiter0, _ = resume_state
     else:
         st0 = (H, Z, jnp.zeros((n,), f64), jnp.zeros((n,), f64),
                jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.int32),
                jnp.int32(n - 1), jnp.int32(0), jnp.int32(ziter0), key0)
         jiter0 = jnp.int32(0)
-    fullst, jiter = lax.while_loop(cond, body_guarded, (st0, jiter0))
+    fullst, jiter, dreq = lax.while_loop(cond, body_guarded,
+                                         (st0, jiter0, dreq0))
     (H, Z, alr, ali, be, sc, ilast, _, _, _) = fullst
-    final_state = (fullst, jiter)
+    final_state = (fullst, jiter, dreq)
     czbail = ilast == -5
     ok = (ilast < 0) & (~czbail)
     done = (ilast < 0) | (jiter >= maxit)
@@ -560,6 +585,44 @@ def pqz_real_gen_core_ff(
     if return_state:
         out = out + (final_state, done)
     return out
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _deferred_fns_rg(p: int, n: int, S, want_z: bool):
+    """Lazily-jitted deflation actions for the rg DEFERRED chunked
+    protocol (zero-imaginary CXF shim; see pqz_complex_ff's counterpart)."""
+    ulp = float(ff.EPS)
+    unfl = 1.175494e-38
+    smlnum = unfl * (n / ulp)
+    from .pqz_deflate_ff import make_deflate_cores_ff
+    pos_cx, neg_cx, cz_cx = make_deflate_cores_ff(
+        p=p, n=n, S=S, want_z=want_z, ulp=ulp, smlnum=smlnum)
+
+    def _cx(Hhi, Hlo):
+        zi = jnp.zeros_like(Hhi)
+        return CXF(FF(Hhi, Hlo), FF(zi, zi))
+
+    @jax.jit
+    def run_pos(Hhi, Hlo, Zhi, Zlo, jlo, ldef, jdef, ilast):
+        Hc, Zc = pos_cx(_cx(Hhi, Hlo), _cx(Zhi, Zlo), jlo, ldef, jdef,
+                        ilast)
+        return Hc.re.hi, Hc.re.lo, Zc.re.hi, Zc.re.lo
+
+    @jax.jit
+    def run_neg(Hhi, Hlo, Zhi, Zlo, jlo, ldef, jdef, ilast):
+        Hc, Zc = neg_cx(_cx(Hhi, Hlo), _cx(Zhi, Zlo), jlo, ldef, jdef,
+                        ilast)
+        return Hc.re.hi, Hc.re.lo, Zc.re.hi, Zc.re.lo
+
+    @jax.jit
+    def run_cz(Hhi, Hlo, Zhi, Zlo, jlo, ilast):
+        Hc, Zc, zflag = cz_cx(_cx(Hhi, Hlo), _cx(Zhi, Zlo), jlo, ilast)
+        return Hc.re.hi, Hc.re.lo, Zc.re.hi, Zc.re.lo, zflag
+
+    return run_pos, run_neg, run_cz
 
 
 def pqz_real_gen_core_ff_chunked(
@@ -611,7 +674,7 @@ def pqz_real_gen_core_ff_chunked(
                jnp.zeros((n,), jnp.float64), jnp.zeros((n,), jnp.float32),
                jnp.zeros((n,), jnp.int32), jnp.int32(n - 1), jnp.int32(0),
                jnp.int32(ziter0), jax.random.PRNGKey(seed))
-        return (st0, jnp.int32(0))
+        return (st0, jnp.int32(0), jnp.zeros((4,), jnp.int32))
 
     # ---- aggressive early deflation plumbing (ops/aed.py, rg-ff) --------
     import numpy as _np
@@ -632,7 +695,7 @@ def pqz_real_gen_core_ff_chunked(
 
     def _try_aed(full):
         nonlocal misses, seg
-        st, jiter = full
+        st, jiter, dreq = full
         (Hst, Zst, alre, alim, be, sc, ilast, iiter, ziter, key) = st
         i_cur = int(ilast)
         w = aed_w
@@ -679,7 +742,7 @@ def pqz_real_gen_core_ff_chunked(
               jnp.asarray(aii), jnp.asarray(ben, jnp.float32),
               jnp.asarray(scn, jnp.int32), jnp.int32(i_cur - d),
               jnp.int32(0), ziter_n, key)
-        return (st, jiter)
+        return (st, jiter, dreq)
 
     state = _init(Hhi, Hlo, Z2)
     cap = 0
@@ -693,12 +756,41 @@ def pqz_real_gen_core_ff_chunked(
             Hhi, Hlo, S, Z2, want_z=want_z, want_t=want_t,
             maxitfac=maxitfac, seed=seed, aggressive=aggressive,
             it_cap=jnp.int32(cap), resume_state=state, return_state=True,
-            pallas_sweep=pallas_sweep, interpret=interpret)
+            pallas_sweep=pallas_sweep, interpret=interpret,
+            defer_deflate=True)
         *outs, state, done = out
         if verbosity("main") >= 1:
             print(f"[pqz_rg_ff chunk] jiter={int(state[1])} "
-                  f"ilast={int(state[0][6])} done={bool(done)}", flush=True)
+                  f"ilast={int(state[0][6])} dreq={int(state[2][0])} "
+                  f"done={bool(done)}", flush=True)
         first = False
+        code = int(state[2][0])
+        if code != 0:
+            st, jiter, dreq = state
+            (Hst, Zst, alre, alim, be, sc, ilast, iiter, ziter, key) = st
+            if code == 3 and aggressive:
+                # the reference NotImplements this combination
+                # (src/rgeneralized.jl:245-247): bail with the sentinel
+                st = (Hst, Zst, alre, alim, be, sc, jnp.int32(-5), iiter,
+                      ziter, key)
+                state = (st, jiter, jnp.zeros((4,), jnp.int32))
+                continue
+            run_pos, run_neg, run_cz = _deferred_fns_rg(p, n, S, want_z)
+            if code == 1:
+                Hh, Hl, Zh, Zl = run_pos(Hst.hi, Hst.lo, Zst.hi, Zst.lo,
+                                         dreq[1], dreq[2], dreq[3], ilast)
+            elif code == 2:
+                Hh, Hl, Zh, Zl = run_neg(Hst.hi, Hst.lo, Zst.hi, Zst.lo,
+                                         dreq[1], dreq[2], dreq[3], ilast)
+            else:
+                Hh, Hl, Zh, Zl, zflag = run_cz(Hst.hi, Hst.lo, Zst.hi,
+                                               Zst.lo, dreq[1], ilast)
+                ziter = jnp.where(zflag, jnp.int32(1), jnp.int32(0))
+            Znew = FF(Zh, Zl) if want_z else Zst
+            st = (FF(Hh, Hl), Znew, alre, alim, be, sc, ilast, iiter,
+                  ziter, key)
+            state = (st, jiter, jnp.zeros((4,), jnp.int32))
+            continue
         if bool(done) or cap >= maxit:
             return tuple(outs)
         if aed_on:
