@@ -962,9 +962,10 @@ def _cmatmul(A: CXF, B: CXF) -> CXF:
     return CXF(re, im)
 
 
-@partial(jax.jit, static_argnames=("S", "want_q"))
+@partial(jax.jit, static_argnames=("S", "want_q", "grouped"))
 def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
-                                 S: Tuple[bool, ...], want_q: bool = True):
+                                 S: Tuple[bool, ...], want_q: bool = True,
+                                 grouped: bool = True):
     """ds split-complex generalized Hessenberg-triangular reduction.
 
     Mirrors ops/hessenberg.phessenberg_signed_core (reference
@@ -973,6 +974,14 @@ def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
     reduction of factor 0 with per-factor re-triangularization — all in
     complex float-float arithmetic, so the mixed-signature complex
     pipeline no longer stages through the complex128 host path.
+
+    ``grouped=True`` (default) runs stage 2 through the grouped-chain
+    rewrite (ops/hess_grouped.py): bitwise-identical rotation generation
+    in narrow-band scans plus composed-group slab applications — ~an
+    order of magnitude fewer sequential device dispatches (the
+    rotation-at-a-time stage 2 measured 15.45 s of the 16.59 s complex
+    on-chip record; BASELINE.md).  ``grouped=False`` keeps the
+    rotation-at-a-time reference path.
 
     Returns (H 4-arrays, Q 4-arrays-or-Nones).
     """
@@ -1046,6 +1055,12 @@ def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
 
     if n <= 2:
         return _pack(A, Q)
+
+    if grouped:
+        from .hess_grouped import stage2_grouped
+        Qg = Q if want_q else cxff.zeros((p, 1, 1))
+        A, Qg = stage2_grouped(A, Qg, S_arr, want_q)
+        return _pack(A, Qg if want_q else None)
 
     # ---- stage 2: Givens Hessenberg reduction of factor 0 -----------
     zero_c = cxff.zeros(())

@@ -29,3 +29,41 @@ def test_signed_hess(rng, S, cplx):
         else:
             Ax = Q[ln] @ H[l] @ Q[l].conj().T
         assert np.abs(Ax - A[l]).max() < 200 * EPS * n * np.abs(A[l]).max(), f"factor {l}"
+
+
+@pytest.mark.parametrize("S", [(True,), (True, False, True),
+                               (True, False, False, True)])
+def test_signed_hess_cxff_grouped_matches_interleaved(rng, S):
+    """The grouped-chain stage-2 rewrite (ops/hess_grouped.py) must agree
+    with the rotation-at-a-time interleaved path to ds grade: rotation
+    GENERATION is bitwise-mirrored, only the application summation order
+    differs (group-composed unitaries), so the outputs may differ by
+    O(2^-48)-level roundoff but nothing more."""
+    from periodicschurdecompositions_jl_tpu.ops import cxff
+    from periodicschurdecompositions_jl_tpu.ops.pqz_complex_ff import (
+        phessenberg_signed_core_cxff)
+
+    p, n = len(S), 10
+    A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+    X = cxff.from_f64_split(A.real, A.imag)
+    args = (X.re.hi, X.re.lo, X.im.hi, X.im.lo, S)
+    o_old = phessenberg_signed_core_cxff(*args, want_q=True, grouped=False)
+    o_new = phessenberg_signed_core_cxff(*args, want_q=True, grouped=True)
+
+    def d64(hi, lo):
+        return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+    Hold = d64(o_old[0], o_old[1]) + 1j * d64(o_old[2], o_old[3])
+    Hnew = d64(o_new[0], o_new[1]) + 1j * d64(o_new[2], o_new[3])
+    Qold = d64(o_old[4], o_old[5]) + 1j * d64(o_old[6], o_old[7])
+    Qnew = d64(o_new[4], o_new[5]) + 1j * d64(o_new[6], o_new[7])
+    scale = np.abs(Hold).max()
+    assert np.abs(Hnew - Hold).max() < 1e-12 * scale
+    assert np.abs(Qnew - Qold).max() < 1e-12
+    # structure: exact zeros below the Hessenberg / triangular patterns
+    assert np.abs(np.tril(Hnew[0], -2)).max() == 0.0
+    for l in range(1, p):
+        assert np.abs(np.tril(Hnew[l], -1)).max() == 0.0
+    for l in range(p):
+        assert np.abs(Qnew[l] @ Qnew[l].conj().T
+                      - np.eye(n)).max() < 1e-12
