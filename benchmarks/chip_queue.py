@@ -33,27 +33,32 @@ RETRIES = 6  # tunnel deaths mid-compile dominate failures (2026-08-19)
 # were never cached successfully anyway (the first-chunk compile is the
 # wedge under study), so an isolated dir costs nothing.
 QUEUE = [
-    # banded group-composed kernel B with the fixed scoped-vmem limits
-    # (the first three attempts OOM'd scoped vmem: 46.44M needed vs
-    # 34.83M given at p=16 N=272): per-sweep A/B against the 442 ms
-    # (per-step B) / 150 ms (grouped-seq) records at p=16 n=256
-    ("sweeptime_banded_p16_n256", [sys.executable,
-                                   "benchmarks/probe_sweeptime.py",
-                                   "16", "256", "4"], 2400),
-    # headline-size grouped-B over HBM-staged buffers with the raised
-    # 127 MiB vmem limit: verifies the remote Mosaic compile + measures
-    # the sweep (compile may run ~15-30 min at N=528)
-    ("sweeptime_hbm_p16_n512", [sys.executable,
-                                "benchmarks/probe_sweeptime.py",
-                                "16", "512", "3"], 3600,
-     {"PSD_GROUP_HBM": "1"}),
-    # full headline with banded+HBM-grouped B0/B: the flip gate (backerr
-    # spot-check + wall-clock) and the cache pre-population for bench.py
-    # (cache keys on the HLO: identical once the default flips)
-    ("headline_banded_p16_n512", [sys.executable,
-                                  "benchmarks/probe_headline.py",
-                                  "16", "512"], 5400,
-     {"PSD_GROUP_HBM": "1"}),
+    # === NUMERICAL VERIFICATION of the on-chip Mosaic sweep compiles ===
+    # The 08-20 headline attempts ran 340 iterations WITHOUT A SINGLE
+    # deflation (i stuck at 511) under banded+HBM — interpret-mode tests
+    # pass, so the suspect is the on-chip compilation of the grouped /
+    # banded kernels.  Verify each mode's sweep invariants (orthogonality,
+    # reconstruction, structure) before spending headline-length runs.
+    ("sweepverify_banded_p16_n256", [sys.executable,
+                                     "benchmarks/probe_sweep_verify.py",
+                                     "16", "256"], 2400,
+     {"PSD_GROUP_MODE": "banded"}),
+    ("sweepverify_seq_p16_n256", [sys.executable,
+                                  "benchmarks/probe_sweep_verify.py",
+                                  "16", "256"], 2400,
+     {"PSD_GROUP_MODE": "seq"}),
+    ("sweepverify_step_p16_n256", [sys.executable,
+                                   "benchmarks/probe_sweep_verify.py",
+                                   "16", "256"], 2400,
+     {"PSD_GROUP_MODE": "step"}),
+    ("sweepverify_banded_hbm_p16_n512", [sys.executable,
+                                         "benchmarks/probe_sweep_verify.py",
+                                         "16", "512"], 3600,
+     {"PSD_GROUP_MODE": "banded", "PSD_GROUP_HBM": "1"}),
+    ("sweepverify_seq_hbm_p16_n512", [sys.executable,
+                                      "benchmarks/probe_sweep_verify.py",
+                                      "16", "512"], 3600,
+     {"PSD_GROUP_MODE": "seq", "PSD_GROUP_HBM": "1"}),
     # ds real GPSD record (Pallas chase): the contract-grade counterpart;
     # first on-chip run of the DEFERRED chunked protocol
     ("real_gen_ff_p6_n128", [sys.executable,

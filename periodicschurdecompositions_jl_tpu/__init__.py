@@ -59,10 +59,18 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         # hung real runs.  Distinct machines therefore get distinct dirs.
         import hashlib as _hashlib
         try:
+            # flags ALONE are not enough: two hosts with identical cpuinfo
+            # flag lines produced incompatible XLA:CPU AOT entries (XLA
+            # derives extra tuning features — prefer-no-scatter/gather,
+            # amx splits — from the cpu model), and a mismatched entry
+            # E-logs "could lead to execution errors such as SIGILL" and
+            # has crashed real runs; key on model name + stepping + flags.
             with open("/proc/cpuinfo") as _f:
-                _flags = [ln for ln in _f if ln.startswith("flags")][:1]
+                _lines = [ln for ln in _f
+                          if ln.startswith(("flags", "model name", "model\t",
+                                            "stepping", "cpu family"))]
             _fp = _hashlib.sha1(
-                ("".join(_flags)).encode()).hexdigest()[:10]
+                ("".join(sorted(set(_lines)))).encode()).hexdigest()[:10]
         except Exception:
             import platform as _platform
             _fp = _hashlib.sha1(

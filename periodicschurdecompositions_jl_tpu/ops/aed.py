@@ -42,6 +42,25 @@ def _cpu_device():
     return jax.devices("cpu")[0]
 
 
+def _host_only(fn):
+    """Run the whole analysis under the CPU default device.
+
+    The analyses are host-side by design, but they build small jax arrays
+    (PeriodicSchur fields, ordschur updates); without the pin those land
+    on the accelerator default device and each NEW tiny program needs the
+    remote compile service — observed failing with UNAVAILABLE mid-run
+    (2026-08-20 headline attempts) while the cached chunk executables kept
+    running fine.  AED must never depend on the chip."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_device(_cpu_device()):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def _window_schur(Hwin: np.ndarray):
     """Exact-f64 periodic Schur of the window cycle (CPU core)."""
     from .pqr_real import pqr_real_core
@@ -60,6 +79,7 @@ def _phess_window(Awin: np.ndarray):
     return np.asarray(H), np.asarray(Q)
 
 
+@_host_only
 def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
                 ) -> Optional[Tuple[int, np.ndarray, np.ndarray,
                                     np.ndarray, np.ndarray]]:
@@ -236,6 +256,7 @@ def _phess_window_signed(Awin: np.ndarray, S):
     return np.asarray(H), np.asarray(Q)
 
 
+@_host_only
 def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float):
     """Complex/generalized AED window analysis (host, complex128 f64).
 
@@ -365,6 +386,7 @@ def _window_rgpsd(Hwin: np.ndarray, S):
             np.asarray(be), np.asarray(sc))
 
 
+@_host_only
 def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float):
     """Real generalized AED window analysis (host, f64).
 

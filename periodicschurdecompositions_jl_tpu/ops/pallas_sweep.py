@@ -81,15 +81,21 @@ _ROLL_ROWS = _os.environ.get("PSD_SWEEP_MASKED", "") != "1"
 
 # Kernel-B group application mode (read at import; probe subprocesses set
 # the env before importing):
-#   "banded" (default): compose each 8-step group's overlapping 3x3
+#   "banded": compose each 8-step group's overlapping 3x3
 #     transforms into one banded group operator and apply its 10 affected
 #     rows in parallel — same backward stability, NOT bitwise vs the
 #     per-step chain (summation order differs), ~72 independent FF
 #     mul-adds instead of an 8-deep sequential chain.
 #   "seq": in-register sequential per-step applies within the group
 #     (bitwise-identical to the per-step path).
-#   "step": per-step rolled RMW (the pre-grouping path).
-_GROUP_MODE = _os.environ.get("PSD_GROUP_MODE", "banded")
+#   "step" (default): per-step rolled RMW (the pre-grouping path).
+# DEFAULT is the mode every on-chip accuracy record was measured with:
+# the 2026-08-20 headline attempts under banded(+HBM) ran 340 iterations
+# without one deflation (i stuck at 511) while the same code passes the
+# interpret-mode invariant tests — an on-chip Mosaic miscompile of the
+# grouped paths is the open suspect.  probe_sweep_verify.py (queued per
+# mode in benchmarks/chip_queue.py) gates any default flip.
+_GROUP_MODE = _os.environ.get("PSD_GROUP_MODE", "step")
 # engage the grouped path when inputs are HBM-staged (headline sizes):
 # needs the raised scoped-vmem limit below — default off until the
 # remote Mosaic compile is verified on-chip at N=528
