@@ -33,6 +33,15 @@ RETRIES = 6  # tunnel deaths mid-compile dominate failures (2026-08-19)
 # were never cached successfully anyway (the first-chunk compile is the
 # wedge under study), so an isolated dir costs nothing.
 QUEUE = [
+    # === bench.py dress rehearsal (STEP mode, the known-good config) ===
+    # The 08-20 banded headline attempts never deflated; the default has
+    # been reverted to per-step kernels.  Run the exact bench pipeline
+    # first: confirms convergence post-revert AND pre-populates the
+    # persistent compile cache so the driver's bench.py run is cheap.
+    ("headline_step_p16_n512", [sys.executable,
+                                "benchmarks/probe_headline.py",
+                                "16", "512"], 5400,
+     {"PSD_GROUP_MODE": "step"}),
     # === NUMERICAL VERIFICATION of the on-chip Mosaic sweep compiles ===
     # The 08-20 headline attempts ran 340 iterations WITHOUT A SINGLE
     # deflation (i stuck at 511) under banded+HBM — interpret-mode tests
@@ -95,7 +104,9 @@ def log(msg: str):
         f.write(line + "\n")
 
 
-def chip_up(timeout_s: int = 180) -> bool:
+def chip_up(timeout_s: int = 420) -> bool:
+    # 420 s: axon init alone is ~60 s, and concurrent pytest/compile load
+    # on this 1-CPU box can stretch it severalfold (observed 08-20).
     try:
         r = subprocess.run([sys.executable, "-c", PROBE],
                            capture_output=True, timeout=timeout_s, cwd=REPO)
@@ -124,8 +135,8 @@ def main():
     log(f"chip_queue start: {len(pending)} pending of {len(QUEUE)}")
     while pending:
         if not chip_up():
-            log("tunnel down; sleeping 300 s")
-            time.sleep(300)
+            log("tunnel down; sleeping 120 s")
+            time.sleep(120)
             continue
         name, argv, tmo = pending[0][:3]
         env = dict(os.environ, **(pending[0][3] if len(pending[0]) > 3
