@@ -90,4 +90,7 @@ def check(tag, m, i):
 
 ok1 = check("full-window", 0, n - 1)
 ok2 = check("interior-window", 24, n - 24)
-sys.exit(0 if (ok1 and ok2) else 1)
+# unaligned m (m & 7 != 0): exercises the rolled-slab in-block offset and
+# the first-group inactive-step masks at a non-multiple-of-8 window head
+ok3 = check("unaligned-window", 27, n - 21)
+sys.exit(0 if (ok1 and ok2 and ok3) else 1)
