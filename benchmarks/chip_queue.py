@@ -1,19 +1,22 @@
-"""Resilient runner for queued on-chip measurements.
+"""Resilient runner for queued on-chip measurements (round 3).
 
 The axon tunnel dies unpredictably and HANGS clients instead of raising
 (see bench.py's watchdog).  This runner probes the chip with a tiny
 subprocess matmul; while the tunnel answers it executes the queued
 measurement commands ONE AT A TIME, each in its own subprocess with a
-hard timeout, appending stdout/stderr to ``benchmarks/results_r2.log``.
+hard timeout, appending stdout/stderr to ``benchmarks/results_r3.log``.
 A hung/failed measurement is retried once the tunnel answers again
 (max ``RETRIES`` attempts each).
 
 Usage: python benchmarks/chip_queue.py  (run under nohup/timeout; safe to
-restart — finished items are recorded in the log and skipped via the
-state file /tmp/chip_queue_state.json).
+restart — finished items are recorded in the state file
+/tmp/chip_queue_state_r3.json and skipped).  An fcntl lock on
+/tmp/chip_queue.lock guarantees a single instance (round-2 logs showed
+two concurrent runners interleaving).
 """
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import subprocess
@@ -21,74 +24,49 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOG = os.path.join(REPO, "benchmarks", "results_r2.log")
-STATE = "/tmp/chip_queue_state.json"
-RETRIES = 6  # tunnel deaths mid-compile dominate failures (2026-08-19)
+LOG = os.path.join(REPO, "benchmarks", "results_r3.log")
+STATE = "/tmp/chip_queue_state_r3.json"
+LOCK = "/tmp/chip_queue.lock"
+RETRIES = 6  # tunnel deaths mid-compile dominate failures
 
 # (name, argv, timeout_s[, env_extra]) — ordered by decision value.
-# complex_ff gets a FRESH compilation-cache dir: the shared cache holds an
-# XLA:CPU AOT entry whose machine features mismatch this host (loader
-# E-logs "could lead to execution errors such as SIGILL"), and attempt 1
-# died signal-style right after that load.  The TPU executables it needs
-# were never cached successfully anyway (the first-chunk compile is the
-# wedge under study), so an isolated dir costs nothing.
 QUEUE = [
-    # === bench.py dress rehearsal (STEP mode, the known-good config) ===
-    # The 08-20 banded headline attempts never deflated; the default has
-    # been reverted to per-step kernels.  Run the exact bench pipeline
-    # first: confirms convergence post-revert AND pre-populates the
-    # persistent compile cache so the driver's bench.py run is cheap.
-    ("headline_step_p16_n512", [sys.executable,
-                                "benchmarks/probe_headline.py",
-                                "16", "512"], 5400,
+    # === THE decision measurement: AED off at headline scale ===
+    # Round-2's only headline record (AED on, shipping default) was
+    # 40.47 s / backerr 4.656e-12 — off-contract and 2.6x slower than
+    # BENCH_r01.  aed_timing at p=8 n=128 showed aed=1 costs 3x wall
+    # clock (host window analyses between chunks).  Same probe, same
+    # seed-12345 draw, aed=0: if backerr returns to ~2e-13-grade and
+    # time to ~16 s, AED's ds writeback is the accuracy culprit AND the
+    # wall-clock culprit, and the shipping default flips to aed=False.
+    ("headline_noaed_p16_n512", [sys.executable,
+                                 "benchmarks/probe_headline.py",
+                                 "16", "512", "0"], 5400),
+    # === full-pipeline kernel-B mode A/B at p=16 n=256 (fast, aed=0) ===
+    # probe_sweep_verify passed ALL modes on-chip (08-20 11:40-12:19),
+    # so the single-sweep math is fine; the banded headline failure
+    # (340 iters, zero deflations) must come from pipeline-level
+    # composition.  Same draw in all three (aed_timing seeds 4242):
+    # step = base, seq must be BITWISE (same niter, same backerr),
+    # banded = diagnose.
+    ("fullpipe_step_p16_n256", [sys.executable, "benchmarks/aed_timing.py",
+                                "16", "256", "0:1"], 3600,
      {"PSD_GROUP_MODE": "step"}),
-    # === NUMERICAL VERIFICATION of the on-chip Mosaic sweep compiles ===
-    # The 08-20 headline attempts ran 340 iterations WITHOUT A SINGLE
-    # deflation (i stuck at 511) under banded+HBM — interpret-mode tests
-    # pass, so the suspect is the on-chip compilation of the grouped /
-    # banded kernels.  Verify each mode's sweep invariants (orthogonality,
-    # reconstruction, structure) before spending headline-length runs.
-    ("sweepverify_banded_p16_n256", [sys.executable,
-                                     "benchmarks/probe_sweep_verify.py",
-                                     "16", "256"], 2400,
-     {"PSD_GROUP_MODE": "banded"}),
-    ("sweepverify_seq_p16_n256", [sys.executable,
-                                  "benchmarks/probe_sweep_verify.py",
-                                  "16", "256"], 2400,
+    ("fullpipe_seq_p16_n256", [sys.executable, "benchmarks/aed_timing.py",
+                               "16", "256", "0:1"], 3600,
      {"PSD_GROUP_MODE": "seq"}),
-    ("sweepverify_step_p16_n256", [sys.executable,
-                                   "benchmarks/probe_sweep_verify.py",
-                                   "16", "256"], 2400,
-     {"PSD_GROUP_MODE": "step"}),
-    ("sweepverify_banded_hbm_p16_n512", [sys.executable,
-                                         "benchmarks/probe_sweep_verify.py",
-                                         "16", "512"], 3600,
-     {"PSD_GROUP_MODE": "banded", "PSD_GROUP_HBM": "1"}),
-    ("sweepverify_seq_hbm_p16_n512", [sys.executable,
-                                      "benchmarks/probe_sweep_verify.py",
-                                      "16", "512"], 3600,
+    ("fullpipe_banded_p16_n256", [sys.executable, "benchmarks/aed_timing.py",
+                                  "16", "256", "0:1"], 3600,
+     {"PSD_GROUP_MODE": "banded"}),
+    # === candidate shipping config at headline scale ===
+    # seq grouped kernel B measured 0.34 -> 0.15 ms/step marginal and is
+    # bitwise-identical to step; at n=512 the inputs are HBM-staged so
+    # the grouped path needs PSD_GROUP_HBM=1 (fresh Mosaic compile,
+    # grouped-B was ~12 min at N=272 — generous timeout).
+    ("headline_seq_noaed_p16_n512", [sys.executable,
+                                     "benchmarks/probe_headline.py",
+                                     "16", "512", "0"], 7200,
      {"PSD_GROUP_MODE": "seq", "PSD_GROUP_HBM": "1"}),
-    # ds real GPSD record (Pallas chase): the contract-grade counterpart;
-    # first on-chip run of the DEFERRED chunked protocol
-    ("real_gen_ff_p6_n128", [sys.executable,
-                             "benchmarks/probe_real_gen_ff.py",
-                             "6", "128"], 5400,
-     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
-    # complex ds re-record under the DEFERRED protocol on a FRESH cache:
-    # validates the protocol on-chip and measures the compile-time win
-    # (the in-loop-deflation trace took 1690.9 s to compile on 08-20)
-    ("complex_ff_dd_p6_n128", [sys.executable,
-                               "benchmarks/probe_complex_ff.py",
-                               "6", "128"], 5400,
-     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_cxdd"}),
-    ("mb_timing_p8_n128", [sys.executable, "benchmarks/mb_timing.py",
-                           "8", "128", "1,2,4"], 3600),
-    ("aed_timing_p8_n128", [sys.executable, "benchmarks/aed_timing.py",
-                            "8", "128"], 3600),
-    ("phases_p16_n512", [sys.executable, "benchmarks/probe_phases.py",
-                         "16", "512"], 5400),
-    ("real_gen_p6_n128", [sys.executable, "benchmarks/probe_real_gen.py",
-                          "6", "128"], 3600),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"
@@ -129,6 +107,13 @@ def save_state(st):
 
 
 def main():
+    lock_f = open(LOCK, "w")
+    try:
+        fcntl.flock(lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        print("chip_queue: another instance holds the lock; exiting",
+              flush=True)
+        return
     st = load_state()
     pending = [q for q in QUEUE if st.get(q[0], {}).get("done") is not True
                and st.get(q[0], {}).get("attempts", 0) < RETRIES]
@@ -158,6 +143,8 @@ def main():
             ok = False
         dt = time.time() - t0
         for ln in out.strip().splitlines():
+            if "cpu_aot_loader" in ln or "SIGILL" in ln:
+                continue  # machine-feature E-log spam (harmless, huge)
             log(f"  | {ln}")
         log(f"{name}: {'OK' if ok else 'FAIL'} in {dt:.0f}s")
         if ok:

@@ -6,8 +6,11 @@ Runs the ds pipeline at a configurable size on the chip and reports
  - Z orthogonality,
  - wall-clock of each stage (fresh inputs, host-transfer timing).
 
-Usage: python benchmarks/probe_headline.py [p] [n]
+Usage: python benchmarks/probe_headline.py [p] [n] [aed]
+  aed: 1 (default, shipping config) or 0 — A/B's the AED accuracy/time
+  impact at headline scale on the same seed-12345 draw.
 """
+import dataclasses
 import sys
 import time
 
@@ -15,6 +18,7 @@ import numpy as np
 
 p = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+aed = (int(sys.argv[3]) if len(sys.argv) > 3 else 1) != 0
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +29,11 @@ from periodicschurdecompositions_jl_tpu.ops.hessenberg_ff import \
     phessenberg_core_ff
 from periodicschurdecompositions_jl_tpu.ops.pqr_ff import \
     pqr_real_core_ff_chunked
-from periodicschurdecompositions_jl_tpu.config import setverbosity
+from periodicschurdecompositions_jl_tpu.config import (default_config,
+                                                       setverbosity)
 setverbosity(1)
+cfg = dataclasses.replace(default_config, aed=aed)
+print(f"[probe] config: aed={aed}", flush=True)
 
 tpu = jax.devices()[0]
 rng = np.random.default_rng(12345)
@@ -59,7 +66,7 @@ hi, lo = split(A * 0.5)
 Hh, Hl, Qh, Ql = phessenberg_core_ff(hi, lo, want_q=True)
 t0 = time.time()
 _ = np.asarray(pqr_real_core_ff_chunked(Hh, Hl, Qh, Ql, want_z=True,
-                                        maxitfac=40)[0])
+                                        maxitfac=40, cfg=cfg)[0])
 print(f"[probe] warmup (compile + run): {time.time()-t0:.1f}s", flush=True)
 
 hi, lo = split(A)
@@ -76,23 +83,26 @@ print(f"[probe] reduction: {t_red:.2f}s backerr {e_red:.3e} "
       f"orth {orth_red:.3e}", flush=True)
 
 t0 = time.time()
-out = pqr_real_core_ff_chunked(Hh, Hl, Qh, Ql, want_z=True, maxitfac=40)
-(Th, Tl, Zh, Zl_, wrh, wrl, wih, wil, ok) = out
+out = pqr_real_core_ff_chunked(Hh, Hl, Qh, Ql, want_z=True, maxitfac=40,
+                               cfg=cfg, with_info=True)
+(Th, Tl, Zh, Zl_, wrh, wrl, wih, wil, ok) = out[:9]
+info = out[-1]
 T = tonp(Th, Tl)
 ZT_ = tonp(Zh, Zl_)
 t_it = time.time() - t0
 e_full = backerr(A, T, ZT_, ZT=True)
 orth = max(np.abs(ZT_[l] @ ZT_[l].T - np.eye(n)).max() for l in range(p))
-# iteration-only error: H ?= Z' T Z relative to H
+# iteration-only error: the final Z folds the reduction's Q, so factor Q
+# out first (Ziter[l] = Q[l]' Z[l] = QT[l] @ ZT[l].T) and test
+# H[l] ?= Ziter[l] T[l] Ziter[l+1]' against the reduced H.
 e_it = 0.0
 scale = np.abs(H).max()
 for l in range(p):
-    Hx = (ZT_[l].T @ T[l] @ ZT_[(l + 1) % p]) if False else \
-        ZT_[l].T @ T[l] @ ZT_[(l + 1) % p]
-# Z stored transposed: Z[l] = ZT[l].T; H[l] ?= Z[l] T[l] Z[l+1]'
-for l in range(p):
-    Hx = ZT_[l].T @ T[l] @ ZT_[(l + 1) % p]
+    Zi = QT[l] @ ZT_[l].T
+    Zi1 = QT[(l + 1) % p] @ ZT_[(l + 1) % p].T
+    Hx = Zi @ T[l] @ Zi1.T
     e_it = max(e_it, np.abs(Hx - H[l]).max() / scale)
 print(f"[probe] iteration: {t_it:.2f}s ok={bool(ok)} "
+      f"niter={info['niter']} aed_deflated={info['aed_deflated']} "
       f"full backerr {e_full:.3e} iter-only {e_it:.3e} orth {orth:.3e}",
       flush=True)

@@ -7,8 +7,10 @@ and the size) produces a numerically correct sweep:
   - Z-chain orthogonality,
   - reconstruction H0[l] = Z[l] H'[l] Z[l+1]^T,
   - Hessenberg/triangular structure (exact zeros),
-both for the full window and for an interior window [m, i] (the
-keep-lane boundary-restore paths).
+for the full window, for an interior window [m, i] (the keep-lane
+boundary-restore paths), and for an UNALIGNED interior window
+(m & 7 != 0 — the rolled-slab in-block offset and first-group
+inactive-step masks at a non-8-aligned window head).
 
 Usage: python benchmarks/probe_sweep_verify.py [p] [n]
 """
