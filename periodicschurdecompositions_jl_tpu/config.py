@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os as _os
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,6 +81,19 @@ class AlgoConfig:
     aed: bool = True
     aed_window: int = 0   # 0 = auto: min(48, max(16, n // 10))
     aed_interval: int = 0  # 0 = auto: max(24, n // 6)
+    # Kernel-B application mode of the real ds Pallas sweep
+    # (ops/pallas_sweep.py module note): "step" = per-step rolled RMW,
+    # "seq" = 8-step grouped slab RMW with in-register sequential applies
+    # (bitwise-identical to "step", one slab read-modify-write per 8
+    # steps instead of 8), "banded" = grouped with the 8 transforms
+    # composed into one banded group operator (NOT bitwise — summation
+    # order differs — but equally backward-stable).  The env vars
+    # PSD_GROUP_MODE / PSD_GROUP_HBM seed these DEFAULTS only (probe
+    # subprocess plumbing); per-call selection goes through this config.
+    sweep_mode: str = _os.environ.get("PSD_GROUP_MODE", "step")
+    # allow the grouped/banded kernel-B paths when the slabs are
+    # HBM-staged (headline sizes, > ~96 MiB of buffers)
+    sweep_hbm_grouped: bool = _os.environ.get("PSD_GROUP_HBM", "0") == "1"
 
     def ulp_x(self, ulp: float) -> float:
         """Tightened Ahues-Tisseur relative threshold ``eps^(1+at_pwr16/16)``."""

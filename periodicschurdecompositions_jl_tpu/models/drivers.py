@@ -241,7 +241,11 @@ def pschur(A, lr="R", S: Optional[Sequence[bool]] = None, *,
         "auto" ("ff" unless the default backend is the CPU).  Real plain
         input routes analogously: "f64" (exact-f64 core) vs "ff" (the
         float-float production pipeline: ds reduction + fused Pallas
-        sweeps, chunked, AED), "auto" = "ff" off-CPU.
+        sweeps, chunked, AED), "auto" = "ff" off-CPU.  Real GENERALIZED
+        input likewise: "f64" (exact-f64 signed cores, the CPU path) vs
+        "ff" (ds signed reduction + ds QZ iteration with the fused Pallas
+        rg chase — the contract-grade TPU route, on-chip record 2.9e-13),
+        "auto" = "ff" off-CPU.
 
     Returns:
       PeriodicSchur (S is None) or GeneralizedPeriodicSchur (S given).
@@ -271,10 +275,26 @@ def pschur(A, lr="R", S: Optional[Sequence[bool]] = None, *,
         rb = backend if backend in ("auto", "ff", "f64") else "f64"
         return pschur_real_pipeline(A, orient, want_t=want_t, want_z=want_z,
                                     maxitfac=mif, backend=rb)
+    # real generalized: route off-CPU to the contract-grade ds pipeline
+    # (ops/pqz_real_ff; on-chip record backerr 2.909e-13 at p=6 n=128
+    # mixed S) — the exact-f64 core stays the CPU path.  The reference's
+    # real GPSD core: src/rgeneralized.jl:49-1083.
+    Sb = tuple(bool(x) for x in S)
+    mifg = 120 if maxitfac is None else mif
+    rb = backend if backend in ("ff", "f64") else None
+    if rb is None:
+        dev = jax.config.jax_default_device
+        plat = dev.platform if dev is not None else jax.default_backend()
+        rb = "f64" if plat == "cpu" else "ff"
+    if rb == "ff":
+        from ..ops.pqz_real_ff import pschur_real_gen_pipeline_ff
+        return pschur_real_gen_pipeline_ff(A, Sb, orient, want_t=want_t,
+                                           want_z=want_z, maxitfac=mifg,
+                                           aggressive=aggressive)
     from ..ops.pqz_real import pschur_real_gen_pipeline
-    return pschur_real_gen_pipeline(A, tuple(bool(x) for x in S), orient,
+    return pschur_real_gen_pipeline(A, Sb, orient,
                                     want_t=want_t, want_z=want_z,
-                                    maxitfac=120 if maxitfac is None else mif,
+                                    maxitfac=mifg,
                                     aggressive=aggressive)
 
 

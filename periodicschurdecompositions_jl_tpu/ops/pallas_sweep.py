@@ -79,8 +79,9 @@ import os as _os
 
 _ROLL_ROWS = _os.environ.get("PSD_SWEEP_MASKED", "") != "1"
 
-# Kernel-B group application mode (read at import; probe subprocesses set
-# the env before importing):
+# Kernel-B group application mode — a first-class AlgoConfig switch
+# (config.sweep_mode / config.sweep_hbm_grouped) threaded through
+# chase_sweep_ff into the kernel builders:
 #   "banded": compose each 8-step group's overlapping 3x3
 #     transforms into one banded group operator and apply its 10 affected
 #     rows in parallel — same backward stability, NOT bitwise vs the
@@ -88,17 +89,16 @@ _ROLL_ROWS = _os.environ.get("PSD_SWEEP_MASKED", "") != "1"
 #     mul-adds instead of an 8-deep sequential chain.
 #   "seq": in-register sequential per-step applies within the group
 #     (bitwise-identical to the per-step path).
-#   "step" (default): per-step rolled RMW (the pre-grouping path).
-# DEFAULT is the mode every on-chip accuracy record was measured with:
-# the 2026-08-20 headline attempts under banded(+HBM) ran 340 iterations
-# without one deflation (i stuck at 511) while the same code passes the
-# interpret-mode invariant tests — an on-chip Mosaic miscompile of the
-# grouped paths is the open suspect.  probe_sweep_verify.py (queued per
-# mode in benchmarks/chip_queue.py) gates any default flip.
+#   "step": per-step rolled RMW (the pre-grouping path).
+# The env vars below feed ONLY the AlgoConfig defaults (and the probe
+# subprocesses of benchmarks/, which set them before importing); library
+# callers select the mode per call via AlgoConfig.
+# probe_sweep_verify passed ALL modes on-chip (08-20 11:40-12:19), incl.
+# banded+HBM at n=512; the 08-20 banded headline failure (340 iters, no
+# deflation) is under pipeline-level investigation (chip_queue round 3).
 _GROUP_MODE = _os.environ.get("PSD_GROUP_MODE", "step")
 # engage the grouped path when inputs are HBM-staged (headline sizes):
-# needs the raised scoped-vmem limit below — default off until the
-# remote Mosaic compile is verified on-chip at N=528
+# needs the raised scoped-vmem limit below
 _GROUP_HBM = _os.environ.get("PSD_GROUP_HBM", "0") == "1"
 
 
@@ -783,7 +783,8 @@ def _make_sweep_kernel_mb(p: int, N: int, NB: int, GAP: int,
 
 
 def _make_left_kernel(p: int, N: int, hbm_inputs: bool = False,
-                      NB: int = 1):
+                      NB: int = 1, mode: str = "step",
+                      hbm_ok: bool = False):
     """Kernel B0: apply the logged left chains F^T to H's rows, batched
     over the p factors (one (p, 16, N) slab RMW + 3-row transform per
     step — outside kernel A's sequential factor chain).
@@ -866,8 +867,8 @@ def _make_left_kernel(p: int, N: int, hbm_inputs: bool = False,
             _banded_group_rmw(oHhi, oHlo, b, g, keep_lane=(m - 1, 0))
             return jnp.int32(0)
 
-        if NB == 1 and N > 128 and _GROUP_MODE == "banded" \
-                and (not hbm_inputs or _GROUP_HBM):
+        if NB == 1 and N > 128 and mode == "banded" \
+                and (not hbm_inputs or hbm_ok):
             g0 = pl.multiple_of(m & jnp.int32(-8), 8)
             ngroups = (i - g0 + jnp.int32(7)) >> 3
             lax.fori_loop(jnp.int32(0), ngroups, group, jnp.int32(0))
@@ -974,7 +975,8 @@ def _banded_group_rmw(hi_ref, lo_ref, b, g, hi_lane=None, keep_lane=None):
 
 
 def _make_apply_kernel(p: int, N: int, want_z: bool,
-                       hbm_inputs: bool = False, NB: int = 1):
+                       hbm_inputs: bool = False, NB: int = 1,
+                       mode: str = "step", hbm_ok: bool = False):
     """Kernel B: apply logged right-transform chains to H^T (and Z^T).
 
     Target factor g receives source ((g+1) mod p)'s transforms (the chase
@@ -1149,7 +1151,7 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
             b = pl.multiple_of(g0 + t * jnp.int32(8), 8)
             v = R0[:, pl.ds(b, 8), :]  # (p, 8, 18)
             Mjs = [FF(v[:, j, 0:9], v[:, j, 9:18]) for j in range(8)]
-            if _GROUP_MODE == "banded":
+            if mode == "banded":
                 # composition commutes with the factor roll (both are
                 # per-factor): build G once, roll its rows for H^T
                 g = _compose_group8(Mjs, m, i, b)
@@ -1168,10 +1170,9 @@ def _make_apply_kernel(p: int, N: int, want_z: bool,
         # (headline N=528 p=16) the 4 output buffers plus the group's
         # in-register live rows need ~119.15M of scoped vmem — beyond the
         # default limit, so _apply_call raises vmem_limit_bytes to 127 MiB
-        # for that combination, gated on _GROUP_HBM until the remote
-        # Mosaic compile is verified on-chip
-        if NB == 1 and N > 128 and _GROUP_MODE != "step" \
-                and (not hbm_inputs or _GROUP_HBM):
+        # for that combination, gated on hbm_ok
+        if NB == 1 and N > 128 and mode != "step" \
+                and (not hbm_inputs or hbm_ok):
             g0 = pl.multiple_of(m & jnp.int32(-8), 8)
             ngroups = (i - g0 + jnp.int32(7)) >> 3
             lax.fori_loop(jnp.int32(0), ngroups, group, jnp.int32(0))
@@ -1250,13 +1251,14 @@ def _sweep_call_mb(p: int, N: int, NB: int, GAP: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=32)
-def _left_call(p: int, N: int, interpret: bool, NB: int = 1):
+def _left_call(p: int, N: int, interpret: bool, NB: int = 1,
+               mode: str = "step", hbm_ok: bool = False):
     hbm_inputs = _vmem_bytes(p, N, 4) > 96 * (1 << 20) and not interpret
-    kern = _make_left_kernel(p, N, hbm_inputs, NB)
+    kern = _make_left_kernel(p, N, hbm_inputs, NB, mode, hbm_ok)
     n_res = 2 if hbm_inputs else 4
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
-    if NB == 1 and N > 128 and _GROUP_MODE == "banded" \
-            and (not hbm_inputs or _GROUP_HBM):
+    if NB == 1 and N > 128 and mode == "banded" \
+            and (not hbm_inputs or hbm_ok):
         # banded group live rows + compiler stack: measured scoped need
         # 46.44M at p=16 N=272 (VMEM-resident) and 111.83M at p=16 N=528
         # (HBM-staged) — ask for (nearly) the whole 128 MiB core VMEM;
@@ -1284,16 +1286,17 @@ def _left_call(p: int, N: int, interpret: bool, NB: int = 1):
 
 
 @functools.lru_cache(maxsize=32)
-def _apply_call(p: int, N: int, want_z: bool, interpret: bool, NB: int = 1):
+def _apply_call(p: int, N: int, want_z: bool, interpret: bool, NB: int = 1,
+                mode: str = "step", hbm_ok: bool = False):
     n_out = 4 if want_z else 2
     n_arr = 2 * n_out
     hbm_inputs = _vmem_bytes(p, N, n_arr) > 96 * (1 << 20) and not interpret
-    kern = _make_apply_kernel(p, N, want_z, hbm_inputs, NB)
+    kern = _make_apply_kernel(p, N, want_z, hbm_inputs, NB, mode, hbm_ok)
     n_res = n_out if hbm_inputs else n_arr
     vmem = _vmem_bytes(p, N, n_res) + 2 * p * N * 40 * 4 + (8 << 20)
-    if NB == 1 and N > 128 and _GROUP_MODE != "step" \
-            and (not hbm_inputs or _GROUP_HBM) \
-            and (_GROUP_MODE == "banded" or hbm_inputs):
+    if NB == 1 and N > 128 and mode != "step" \
+            and (not hbm_inputs or hbm_ok) \
+            and (mode == "banded" or hbm_inputs):
         # grouped/banded paths: the group's live rows on top of the VMEM
         # outputs measured 119.15M of scoped vmem at N=528 p=16 (HBM-
         # staged); the banded composition also overruns the proportional
@@ -1322,7 +1325,8 @@ def _apply_call(p: int, N: int, want_z: bool, interpret: bool, NB: int = 1):
 
 
 def chase_sweep_ff(H: FF, ZT, m, i, v0: FF, *, want_z: bool,
-                   interpret: bool = False):
+                   interpret: bool = False, mode: str = None,
+                   hbm_grouped: bool = None):
     """One full double-shift QR sweep over the window [m, i] in ds precision.
 
     Args:
@@ -1332,10 +1336,19 @@ def chase_sweep_ff(H: FF, ZT, m, i, v0: FF, *, want_z: bool,
       v0: FF (3,) normalized first shifted column.
       want_z: static; update ZT.
       interpret: run kernels through the Pallas interpreter (CPU tests).
+      mode: kernel-B application mode ("step"/"seq"/"banded"; see the
+        module note) — sourced from AlgoConfig.sweep_mode by the cores;
+        None falls back to the PSD_GROUP_MODE env default.
+      hbm_grouped: allow the grouped/banded paths when inputs are
+        HBM-staged (AlgoConfig.sweep_hbm_grouped; None = env default).
 
     Returns (H, ZT) updated.  Structural sub-triangular entries are exact
     zeros on output.
     """
+    if mode is None:
+        mode = _GROUP_MODE
+    if hbm_grouped is None:
+        hbm_grouped = _GROUP_HBM
     p, N, _ = H.hi.shape
     scal = jnp.stack([jnp.asarray(m, jnp.int32), jnp.asarray(i, jnp.int32),
                       jnp.int32(1)])
@@ -1345,20 +1358,21 @@ def chase_sweep_ff(H: FF, ZT, m, i, v0: FF, *, want_z: bool,
     # provably does not need them); the surrounding XLA glue keeps them
     with ff.no_barriers():
         (R0,) = _sweep_call(p, N, interpret)(scal, v0f, H.hi, H.lo)
-        Hhi, Hlo = _left_call(p, N, interpret)(scal, H.hi, H.lo, R0)
+        Hhi, Hlo = _left_call(p, N, interpret, 1, mode, hbm_grouped)(
+            scal, H.hi, H.lo, R0)
 
     HThi = jnp.swapaxes(Hhi, 1, 2)
     HTlo = jnp.swapaxes(Hlo, 1, 2)
     if want_z:
         with ff.no_barriers():
-            outs = _apply_call(p, N, True, interpret)(
+            outs = _apply_call(p, N, True, interpret, 1, mode, hbm_grouped)(
                 scal, HThi, HTlo, ZT.hi, ZT.lo, R0)
         HThi, HTlo, ZThi, ZTlo = outs
         ZT = FF(ZThi, ZTlo)
     else:
         with ff.no_barriers():
-            HThi, HTlo = _apply_call(p, N, False, interpret)(
-                scal, HThi, HTlo, R0)
+            HThi, HTlo = _apply_call(p, N, False, interpret, 1, mode,
+                                     hbm_grouped)(scal, HThi, HTlo, R0)
     H = FF(jnp.swapaxes(HThi, 1, 2), jnp.swapaxes(HTlo, 1, 2))
 
     # structural enforcement: deferred-ordering junk lands strictly below

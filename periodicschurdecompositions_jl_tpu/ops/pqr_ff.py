@@ -557,7 +557,9 @@ def pqr_real_core_ff(
 
             if cfg.nbulges <= 1:
                 H, ZT = chase_sweep_ff(H, ZT if want_z else None, m, i, v0,
-                                       want_z=want_z, interpret=interpret)
+                                       want_z=want_z, interpret=interpret,
+                                       mode=cfg.sweep_mode,
+                                       hbm_grouped=cfg.sweep_hbm_grouped)
                 if not want_z:
                     ZT = HZwrwi[1]
                 return H, ZT, wr, wi
