@@ -58,6 +58,28 @@ QUEUE = [
     ("fullpipe_banded_p16_n256", [sys.executable, "benchmarks/aed_timing.py",
                                   "16", "256", "0:1"], 3600,
      {"PSD_GROUP_MODE": "banded"}),
+    # === accuracy-regression bisect (headline 2.28e-13 -> 5.585e-12) ===
+    # Fixed draw (seed 777), AED forced off, p=8 n=128 (fast runs).
+    # Chronology: e285a96 record -> b22e85a three-kernel restructure +
+    # 83d2623 multibulge + 14cb348 run-collapse + 2731bff cond merge ->
+    # AED series + b7c27e5 review fixes -> 669af51/ac00345 generation
+    # fusion -> bcd307d 2x2-retriangularization + e5e75da register-carry.
+    ("bisect_head", [sys.executable, "benchmarks/probe_bisect.py",
+                     "/root/repo", "8", "128", "777"], 3000),
+    ("bisect_e285a96_record", [sys.executable, "benchmarks/probe_bisect.py",
+                               "/tmp/wt_rec", "8", "128", "777"], 3000),
+    ("bisect_2731bff_condmerge", [sys.executable,
+                                  "benchmarks/probe_bisect.py",
+                                  "/tmp/wt_2731bff", "8", "128", "777"],
+     3000),
+    ("bisect_b7c27e5_reviewfix", [sys.executable,
+                                  "benchmarks/probe_bisect.py",
+                                  "/tmp/wt_b7c27e5", "8", "128", "777"],
+     3000),
+    ("bisect_e5e75da_regcarry", [sys.executable,
+                                 "benchmarks/probe_bisect.py",
+                                 "/tmp/wt_e5e75da", "8", "128", "777"],
+     3000),
     # === candidate shipping config at headline scale ===
     # seq grouped kernel B measured 0.34 -> 0.15 ms/step marginal and is
     # bitwise-identical to step; at n=512 the inputs are HBM-staged so
