@@ -89,6 +89,9 @@ QUEUE = [
                                      "benchmarks/probe_headline.py",
                                      "16", "512", "0"], 7200,
      {"PSD_GROUP_MODE": "seq", "PSD_GROUP_HBM": "1"}),
+    # === eigenvalue-only saving (VERDICT #8): want_z=False timing ===
+    ("wantz_p16_n256", [sys.executable, "benchmarks/probe_wantz.py",
+                        "16", "256"], 3600),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"

@@ -78,7 +78,14 @@ class AlgoConfig:
     # beyond the reference, which has no AED).  Runs between device
     # chunks: window analysis is host f64, the writeback transforms apply
     # on-device in ds.  All failures degrade to "no deflation".
-    aed: bool = True
+    # DEFAULT OFF (round-3 on-chip A/B, results_r2/r3.log): AED cuts
+    # device iterations ~2x (niter 1056 -> 578 at p=16 n=512; 255 -> 160
+    # at p=8 n=128) but its HOST overhead (window Schur + transfers +
+    # writeback dispatch between chunks) costs 3-4x total wall-clock
+    # (10.6 s -> 40.5 s at the headline; 1.08 s -> 3.04 s at p=8 n=128)
+    # at essentially equal backward error (5.59e-12 vs 4.66e-12).  Turn
+    # on for convergence-hostile spectra, not for speed.
+    aed: bool = False
     aed_window: int = 0   # 0 = auto: min(48, max(16, n // 10))
     aed_interval: int = 0  # 0 = auto: max(24, n // 6)
     # Kernel-B application mode of the real ds Pallas sweep

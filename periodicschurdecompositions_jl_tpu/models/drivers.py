@@ -118,6 +118,7 @@ def _pschur_complex_ff(A, S, orient, want_t, want_z, maxitfac,
     from ..ops import ff as _ff
     from ..ops.pqz_complex_ff import (phessenberg_core_cxff,
                                       phessenberg_signed_core_cxff,
+                                      phessenberg_signed_core_cxff_chunked,
                                       pqz_complex_core_ff_chunked)
     p = A.shape[0]
     Anp = _np.asarray(A)
@@ -128,8 +129,15 @@ def _pschur_complex_ff(A, S, orient, want_t, want_z, maxitfac,
 
     rhi, rlo = _split4(Anp.real)
     ihi, ilo = _split4(Anp.imag)
+    dev0 = _jax.config.jax_default_device
+    plat0 = dev0.platform if dev0 is not None else _jax.default_backend()
     if all(S):
         out = phessenberg_core_cxff(rhi, rlo, ihi, ilo, want_q=want_z)
+    elif plat0 != "cpu":
+        # host-chunked: the un-chunked signed reduction's single execute
+        # (33 s at p=6 n=128) risks the axon ~60 s kill at larger sizes
+        out = phessenberg_signed_core_cxff_chunked(rhi, rlo, ihi, ilo, S,
+                                                   want_q=want_z)
     else:
         out = phessenberg_signed_core_cxff(rhi, rlo, ihi, ilo, S,
                                            want_q=want_z)

@@ -364,12 +364,17 @@ def _triu_mask(M: CXF) -> CXF:
 # grouped stage 2
 
 
-def stage2_grouped(A: CXF, Q, S_arr, want_q: bool, G: int = 16):
+def stage2_grouped(A: CXF, Q, S_arr, want_q: bool, G: int = 16,
+                   j0=None, j1=None):
     """Givens Hessenberg reduction of factor 0 with per-factor
     re-triangularization; grouped-application rewrite of
     pqz_complex_ff.phessenberg_signed_core_cxff stage 2 (reference
     src/generalized.jl:1034-1079).  A: (p, n, n) CXF with A[0] full and
     A[1:] upper triangular; Q accumulated like the interleaved path.
+
+    ``j0``/``j1`` (traced int32, default the full 0..n-2 range) bound the
+    column loop — the chunk-resume hook of the host-chunked signed
+    reduction (each device execute must stay under the axon ~60 s kill).
     """
     p, n, _ = A.re.hi.shape
     G = max(1, min(G, n - 1))
@@ -427,5 +432,8 @@ def stage2_grouped(A: CXF, Q, S_arr, want_q: bool, G: int = 16):
         return A, Q
 
     if n > 2:
-        A, Q = lax.fori_loop(0, n - 2, col_step, (A, Q))
+        lo_b = jnp.int32(0) if j0 is None else jnp.asarray(j0, jnp.int32)
+        hi_b = jnp.int32(n - 2) if j1 is None else jnp.asarray(j1,
+                                                               jnp.int32)
+        A, Q = lax.fori_loop(lo_b, hi_b, col_step, (A, Q))
     return A, Q

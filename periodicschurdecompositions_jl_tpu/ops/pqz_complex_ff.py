@@ -962,10 +962,13 @@ def _cmatmul(A: CXF, B: CXF) -> CXF:
     return CXF(re, im)
 
 
-@partial(jax.jit, static_argnames=("S", "want_q", "grouped"))
+@partial(jax.jit, static_argnames=("S", "want_q", "grouped", "final",
+                                   "init_q"))
 def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
                                  S: Tuple[bool, ...], want_q: bool = True,
-                                 grouped: bool = True):
+                                 grouped: bool = True, Qin=None,
+                                 s0=None, s1=None, j0=None, j1=None,
+                                 final: bool = True, init_q: bool = True):
     """ds split-complex generalized Hessenberg-triangular reduction.
 
     Mirrors ops/hessenberg.phessenberg_signed_core (reference
@@ -983,14 +986,27 @@ def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
     on-chip record; BASELINE.md).  ``grouped=False`` keeps the
     rotation-at-a-time reference path.
 
+    Chunk-resume hooks (used by
+    :func:`phessenberg_signed_core_cxff_chunked` so each device execute
+    stays under the axon ~60 s kill): ``s0``/``s1`` bound the stage-1
+    factor loop, ``j0``/``j1`` the stage-2 column loop (traced int32;
+    None = the full range), ``init_q`` builds Q as identity vs resuming
+    from ``Qin`` (4 arrays), ``final=False`` returns the RAW carried
+    state (no structural packing) for the next chunk.
+
     Returns (H 4-arrays, Q 4-arrays-or-Nones).
     """
     p, n, _ = Arehi.shape
     assert S[0], "signature entry S[0] must be True"
     A = CXF(FF(Arehi, Arelo), FF(Aimhi, Aimlo))
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (p, n, n))
-    zf = jnp.zeros((p, n, n), jnp.float32)
-    Q = CXF(FF(eye, zf), FF(zf, zf)) if want_q else None
+    if not want_q:
+        Q = None
+    elif init_q:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (p, n, n))
+        zf = jnp.zeros((p, n, n), jnp.float32)
+        Q = CXF(FF(eye, zf), FF(zf, zf))
+    else:
+        Q = CXF(FF(Qin[0], Qin[1]), FF(Qin[2], Qin[3]))
 
     def fset(X: CXF, j, M: CXF) -> CXF:
         return at_set(X, j, M)
@@ -1038,8 +1054,10 @@ def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
         return lax.cond(S_arr[jnp.clip(l, 0, p - 1)], qr_branch, rq_branch,
                         (A, Q, Al))
 
+    sa = jnp.int32(0) if s0 is None else jnp.asarray(s0, jnp.int32)
+    sb = jnp.int32(p - 1) if s1 is None else jnp.asarray(s1, jnp.int32)
     if p > 1:
-        A, Q = lax.fori_loop(0, p - 1, stage1, (A, Q))
+        A, Q = lax.fori_loop(sa, sb, stage1, (A, Q))
 
     def _pack(A, Q):
         def t0(x, k):
@@ -1053,14 +1071,23 @@ def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
             return out + (Q.re.hi, Q.re.lo, Q.im.hi, Q.im.lo)
         return out + (None, None, None, None)
 
+    def _raw(A, Q):
+        out = (A.re.hi, A.re.lo, A.im.hi, A.im.lo)
+        if want_q:
+            return out + (Q.re.hi, Q.re.lo, Q.im.hi, Q.im.lo)
+        return out + (None, None, None, None)
+
+    def _out(A, Q):
+        return _pack(A, Q) if final else _raw(A, Q)
+
     if n <= 2:
-        return _pack(A, Q)
+        return _out(A, Q)
 
     if grouped:
         from .hess_grouped import stage2_grouped
         Qg = Q if want_q else cxff.zeros((p, 1, 1))
-        A, Qg = stage2_grouped(A, Qg, S_arr, want_q)
-        return _pack(A, Qg if want_q else None)
+        A, Qg = stage2_grouped(A, Qg, S_arr, want_q, j0=j0, j1=j1)
+        return _out(A, Qg if want_q else None)
 
     # ---- stage 2: Givens Hessenberg reduction of factor 0 -----------
     zero_c = cxff.zeros(())
@@ -1164,5 +1191,67 @@ def phessenberg_signed_core_cxff(Arehi, Arelo, Aimhi, Aimlo,
         A = fset(A, 0, lax.fori_loop(0, n, c_step, _fget(A, 0)))
         return A, Q
 
-    A, Q = lax.fori_loop(0, n - 2, col_step, (A, Q))
-    return _pack(A, Q)
+    ja = jnp.int32(0) if j0 is None else jnp.asarray(j0, jnp.int32)
+    jb = jnp.int32(n - 2) if j1 is None else jnp.asarray(j1, jnp.int32)
+    A, Q = lax.fori_loop(ja, jb, col_step, (A, Q))
+    return _out(A, Q)
+
+
+def phessenberg_signed_core_cxff_chunked(Arehi, Arelo, Aimhi, Aimlo,
+                                         S: Tuple[bool, ...],
+                                         want_q: bool = True,
+                                         grouped: bool = True,
+                                         stage1_factors: int = None,
+                                         chunk_cols: int = None):
+    """Host-chunked ds signed reduction (bitwise = the single-shot core).
+
+    The un-chunked reduction's single device execute measured 33 s at
+    p=6 n=128 (BASELINE.md) — borderline against the axon runtime's
+    ~60 s execute kill and a guaranteed kill at larger sizes.  This
+    driver splits the SAME core (:func:`phessenberg_signed_core_cxff`)
+    into bounded executes via its fori-range hooks: stage 1 in
+    ``stage1_factors``-factor chunks, stage 2 in ``chunk_cols``-column
+    chunks, raw state carried on-device between calls.  Chunk boundaries
+    only split fori ranges, so the result is bitwise identical to the
+    single-shot run (tested).  Three trace keys total (first / middle /
+    final), independent of the chunk counts.
+    """
+    p, n, _ = Arehi.shape
+    if chunk_cols is None:
+        # stage-2 cost/col ~ c*p*n^2 with c ~ 1.2e-6 s (15.45 s for the
+        # whole p=6 n=128 stage 2 on-chip); target <= ~20 s per execute
+        chunk_cols = max(1, min(n, int(20.0 / (1.2e-6 * p * n * n + 1e-12))))
+    if stage1_factors is None:
+        # stage-1 cost/factor ~ one ds QR ~ 2e-8 * n^3 s
+        stage1_factors = max(1, min(max(p - 1, 1),
+                                    int(20.0 / (2e-8 * n ** 3 + 1e-12))))
+    n1 = max(p - 1, 0)
+    n2 = max(n - 2, 0)
+    # (s-range, j-range) schedule; the final entry carries final=True
+    sched = []
+    t = 0
+    while t < n1:
+        t2 = min(t + stage1_factors, n1)
+        sched.append(((t, t2), (0, 0)))
+        t = t2
+    j = 0
+    while j < n2:
+        j2 = min(j + chunk_cols, n2)
+        sched.append(((n1, n1), (j, j2)))
+        j = j2
+    if not sched:
+        sched = [((0, n1), (0, n2))]
+    state = (Arehi, Arelo, Aimhi, Aimlo)
+    Qst = None
+    for k, ((a, b), (c, d)) in enumerate(sched):
+        last = k == len(sched) - 1
+        out = phessenberg_signed_core_cxff(
+            state[0], state[1], state[2], state[3], S, want_q=want_q,
+            grouped=grouped, Qin=Qst,
+            s0=jnp.int32(a), s1=jnp.int32(b),
+            j0=jnp.int32(c), j1=jnp.int32(d),
+            final=last, init_q=(Qst is None))
+        state = out[:4]
+        if want_q:
+            Qst = out[4:8]
+    return state + (tuple(Qst) if want_q else (None,) * 4)

@@ -839,10 +839,14 @@ def pschur_real_gen_pipeline_ff(A, S, orient, want_t=True, want_z=True,
         Hhi, Hlo = out[0], out[1]
         Z2 = (out[2], out[3]) if want_z else None
     else:
-        from .pqz_complex_ff import phessenberg_signed_core_cxff
+        from .pqz_complex_ff import (phessenberg_signed_core_cxff,
+                                     phessenberg_signed_core_cxff_chunked)
         zi = jnp.zeros_like(Aff.hi)
-        out = phessenberg_signed_core_cxff(Aff.hi, Aff.lo, zi, zi, S,
-                                           want_q=want_z)
+        dev0 = jax.config.jax_default_device
+        plat0 = dev0.platform if dev0 is not None else jax.default_backend()
+        red = (phessenberg_signed_core_cxff_chunked if plat0 != "cpu"
+               else phessenberg_signed_core_cxff)
+        out = red(Aff.hi, Aff.lo, zi, zi, S, want_q=want_z)
         Hhi, Hlo = out[0], out[1]
         Z2 = (out[4], out[5]) if want_z else None
 

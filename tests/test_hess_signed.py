@@ -67,3 +67,25 @@ def test_signed_hess_cxff_grouped_matches_interleaved(rng, S):
     for l in range(p):
         assert np.abs(Qnew[l] @ Qnew[l].conj().T
                       - np.eye(n)).max() < 1e-12
+
+
+def test_signed_hess_cxff_chunked_bitwise(rng):
+    """The host-chunked signed reduction must be BITWISE identical to the
+    single-shot core: chunk boundaries only split the stage-1/stage-2
+    fori ranges, state carries exactly (the chunking exists for the axon
+    ~60 s execute kill, not for numerics)."""
+    from periodicschurdecompositions_jl_tpu.ops import cxff
+    from periodicschurdecompositions_jl_tpu.ops.pqz_complex_ff import (
+        phessenberg_signed_core_cxff, phessenberg_signed_core_cxff_chunked)
+
+    S = (True, False, True)
+    p, n = len(S), 10
+    A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+    X = cxff.from_f64_split(A.real, A.imag)
+    args = (X.re.hi, X.re.lo, X.im.hi, X.im.lo, S)
+    o1 = phessenberg_signed_core_cxff(*args, want_q=True)
+    o2 = phessenberg_signed_core_cxff_chunked(*args, want_q=True,
+                                              stage1_factors=1,
+                                              chunk_cols=3)
+    for a, b in zip(o1, o2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
