@@ -92,6 +92,12 @@ QUEUE = [
     # === eigenvalue-only saving (VERDICT #8): want_z=False timing ===
     ("wantz_p16_n256", [sys.executable, "benchmarks/probe_wantz.py",
                         "16", "256"], 3600),
+    # === on-chip smoke of the host-chunked ds signed reduction ===
+    # (new off-CPU default path of the mixed-S pipelines; bitwise vs
+    # single-shot on CPU, 3-trace protocol needs one remote validation)
+    ("cxred_chunked_p6_n128", [sys.executable,
+                               "benchmarks/probe_cxred_chunked.py",
+                               "6", "128"], 3600),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"
