@@ -80,6 +80,16 @@ QUEUE = [
                                  "benchmarks/probe_bisect.py",
                                  "/tmp/wt_e5e75da", "8", "128", "777"],
      3000),
+    # === POST-FIX confirmation: exact-recip + tau-refit generation ===
+    # The CPU+chip bisect attributed the accuracy regression to the
+    # fused-generation (669af51) and fast-reciprocal (ac00345) commits;
+    # the fix restores record-era generation numerics (CPU pipeline
+    # 2.66e-13 -> 5.59e-14 at p=2 n=12).  Confirm on-chip at both scales.
+    ("bisect_head_fixed", [sys.executable, "benchmarks/probe_bisect.py",
+                           "/root/repo", "8", "128", "777"], 3000),
+    ("headline_noaed_fixed_p16_n512", [sys.executable,
+                                       "benchmarks/probe_headline.py",
+                                       "16", "512", "0"], 5400),
     # === candidate shipping config at headline scale ===
     # seq grouped kernel B measured 0.34 -> 0.15 ms/step marginal and is
     # bitwise-identical to step; at n=512 the inputs are HBM-staged so

@@ -62,7 +62,24 @@ def _host_only(fn):
 
 
 def _window_schur(Hwin: np.ndarray):
-    """Exact-f64 periodic Schur of the window cycle (CPU core)."""
+    """Exact-f64 periodic Schur of the window cycle (host).
+
+    Native-first: the C++ backend (native/pschur_cpu.cpp) solves the
+    window in ~milliseconds with no compile, where the jitted XLA:CPU
+    core measured ~seconds per execute at headline windows (p=16, w=48)
+    on the 1-vCPU axon box — the overhead that made AED 3-4x slower in
+    wall-clock despite halving device iterations (results_r3.log).
+    Falls back to the jitted exact-f64 core when the native library is
+    unavailable; both produce A = Z T Z' with identical conventions.
+    """
+    from .. import native
+    if native.available():
+        try:
+            T, Z, wr, wi = native.pschur_real_cpu(np.asarray(Hwin,
+                                                             np.float64))
+            return T, Z, wr, wi
+        except (RuntimeError, ValueError):
+            return None  # non-convergence degrades to "no deflation"
     from .pqr_real import pqr_real_core
     with jax.default_device(_cpu_device()):
         T, Z, wr, wi, ok = pqr_real_core(jnp.asarray(Hwin), want_z=True)

@@ -157,7 +157,7 @@ def givens_cxff(f: CXF, g: CXF):
     # shared-denominator divides become one fast reciprocal + muls each:
     # zlartg IS the sequential generation chain of the split-complex QZ
     # sweep, where div's two extra dependent divides are pure latency
-    scinv = ff.recip_fast(sc)
+    scinv = ff.recip(sc)
     fsr = ff.mul(f.re, scinv)
     fsi = ff.mul(f.im, scinv)
     gsr = ff.mul(g.re, scinv)
@@ -169,8 +169,8 @@ def givens_cxff(f: CXF, g: CXF):
     d = ff.sqrt(d2)
     dsafe = ff.where(ff.eq0(d), one, d)
     afsafe = ff.where(ff.eq0(af), one, af)
-    dinv = ff.recip_fast(dsafe)
-    afinv = ff.recip_fast(afsafe)
+    dinv = ff.recip(dsafe)
+    afinv = ff.recip(afsafe)
     c_gen = ff.mul(af, dinv)
     fsign = CXF(ff.mul(fsr, afinv), ff.mul(fsi, afinv))
     dsc = ff.mul(d, sc)

@@ -266,10 +266,12 @@ def recip_fast(y: FF) -> FF:
     q1 = fl(1/y.hi) and r = 1 - y q1 captured by EFT — ``1 - p`` is exact
     by Sterbenz (p = fl(y.hi q1) lies in [0.5, 2]), so the residual is
     accurate to ~2^-48 and the corrected quotient to ~1.5 ulp of ds.
-    The reciprocal sits on the sequential reflector/Givens generation
-    chain of the sweep kernels (the issue-bound cost of kernel A), where
-    ``div``'s two extra dependent divides are pure latency.  Caller
-    guards y != 0 (y.hi == 0 returns junk, like an unguarded divide).
+    NOT used on the reflector/Givens generation chains: its ~7 ulp_ds
+    worst-case lands directly in generated r/beta values that are WRITTEN
+    INTO H, which the round-3 accuracy bisect measured at 2.4x end-to-end
+    backward error — generation uses the exact ``recip``.  Kept for
+    non-accuracy-critical consumers.  Caller guards y != 0 (y.hi == 0
+    returns junk, like an unguarded divide).
     """
     yh = jnp.where(y.hi == 0, _f32(1.0), y.hi)
     q1 = _bar(_f32(1.0) / yh)

@@ -79,7 +79,7 @@ def reflector_ff(x: FF):
 
     beta = ff.neg(ff.copysign(ff.hypot2(alpha, xnorm), alpha.hi))
     denom = _safe(ff.sub(alpha, beta))
-    dinv = ff.recip_fast(denom)
+    dinv = ff.recip(denom)
     vtail = ff.mul(tail, FF(jnp.broadcast_to(dinv.hi, tail.hi.shape),
                             jnp.broadcast_to(dinv.lo, tail.lo.shape)))
     # tau refit: 2 / ||w||^2 makes P = I - tau w w^T an EXACT reflection
@@ -90,7 +90,7 @@ def reflector_ff(x: FF):
     # orthogonality defect is what accumulates into Z drift / backward
     # error over the sweep chains.
     w2 = ff.add_f(ff.sum_(ff.sq(vtail), 0), jnp.float32(1.0))
-    tau = ff.mul_pow2(ff.recip_fast(w2), jnp.float32(2.0))
+    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
 
     tau = ff.where(trivial, ff.zeros(()), tau)
     vtail = ff.where(trivial, ff.zeros(vtail.hi.shape), vtail)
@@ -126,13 +126,13 @@ def reflector3s_ff(x: FF):
     xnorm = ff.hypot2(x1, x2)
     trivial = ff.eq0(xnorm)
     beta = ff.neg(ff.copysign(ff.hypot2(x0, xnorm), x0.hi))
-    dinv = ff.recip_fast(_safe(ff.sub(x0, beta)))
+    dinv = ff.recip(_safe(ff.sub(x0, beta)))
     v1 = ff.mul(x1, dinv)
     v2 = ff.mul(x2, dinv)
     # tau refit to 2/||w||^2: exact-reflection orthogonality (~1 ulp
     # defect) — see reflector_ff
     w2 = ff.add_f(ff.add(ff.sq(v1), ff.sq(v2)), jnp.float32(1.0))
-    tau = ff.mul_pow2(ff.recip_fast(w2), jnp.float32(2.0))
+    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
     tau = ff.where(trivial, ff.zeros(()), tau)
     beta = ff.where(trivial, x0, beta)
     beta = FF(beta.hi * inv_, beta.lo * inv_)
@@ -162,13 +162,13 @@ def reflector3b_ff(x0: FF, x1: FF, x2: FF):
     xnorm = ff.hypot2(x1, x2)
     trivial = ff.eq0(xnorm)
     beta = ff.neg(ff.copysign(ff.hypot2(x0, xnorm), x0.hi))
-    dinv = ff.recip_fast(_safe(ff.sub(x0, beta)))
+    dinv = ff.recip(_safe(ff.sub(x0, beta)))
     v1 = ff.mul(x1, dinv)
     v2 = ff.mul(x2, dinv)
     # tau refit to 2/||w||^2: exact-reflection orthogonality (~1 ulp
     # defect) — see reflector_ff
     w2 = ff.add_f(ff.add(ff.sq(v1), ff.sq(v2)), jnp.float32(1.0))
-    tau = ff.mul_pow2(ff.recip_fast(w2), jnp.float32(2.0))
+    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
     zero = ff.zeros(x0.hi.shape)
     tau = ff.where(trivial, zero, tau)
     beta = ff.where(trivial, x0, beta)
@@ -210,15 +210,14 @@ def refl3_fused_flat(x0: FF, x1: FF, x2: FF):
     chains).
 
     Same reflection as reflector3s_ff + refl_mat_s_ff (xLARFG semantics,
-    reference src/householder.jl:66-108) and the same exact-reflection
-    orthogonality grade as the tau-refit form — s is computed directly
-    from ||u||^2 = 2 r (r + |x0|) (exact identity for beta = -sign(x0) r),
-    so P is an exact reflection for the computed u up to one ds rounding —
-    at roughly HALF the sequential ds chain: one sqrt + one reciprocal
-    replace the two max-scaled hypots and three reciprocals (the
-    generation chain is the issue-bound cost of the Pallas sweep).  The
-    max-scaling divides are replaced by an exact power-of-two prescale
-    that keeps every square in the normal f32 range.
+    reference src/householder.jl:66-108), in the TAU-REFIT parametrization
+    (w = [1, v1, v2], tau = 2/(1 + ||v||^2)) with exact ds reciprocals —
+    the record-era generation numerics.  The fused layout still saves the
+    two max-scaled hypots (one sqrt on prescaled squares) and builds the
+    3x3 directly; only the once-tried s = 2/(r (r + |x0|)) shortcut and
+    the fast one-divide reciprocal are gone (each cost ~2x end-to-end
+    backward error; round-3 bisect, STATUS.md).  The exact power-of-two
+    prescale keeps every square in the normal f32 range.
     """
     m = jnp.maximum(jnp.abs(x0.hi), jnp.maximum(jnp.abs(x1.hi),
                                                 jnp.abs(x2.hi)))
@@ -231,23 +230,34 @@ def refl3_fused_flat(x0: FF, x1: FF, x2: FF):
     r = ff.sqrt(ff.add(ff.sq(x0), t))          # ||x||
     beta = ff.neg(ff.copysign(r, x0.hi))
     u0 = ff.sub(x0, beta)                      # |u0| = |x0| + r: no cancel
-    # ||u||^2 = u0^2 + t = 2 r (r + |x0|) exactly; s = 2/||u||^2
-    den = ff.mul(r, ff.add(r, ff.abs_(x0)))
-    sc = ff.recip_fast(_safe(den))
+    # tau-refit parametrization (w = [1, v1, v2], tau = 2/(1 + ||v||^2)):
+    # the exact leading '1 +' anchors tau's dominant term, so for graded
+    # columns (tiny tails) the reflection defect scales with ||v||^2
+    # instead of a full-magnitude ds product chain.  The earlier
+    # s = 2/(r (r + |x0|)) form measured 2x worse end-to-end (round-3
+    # accuracy bisect: pipeline 5.5e-14 -> 1.09e-13 at p=2 n=12), and
+    # the fast one-divide reciprocal another 2.4x on top — generation is
+    # ~0.09 ms/step of the sweep's 0.47, so exactness wins here.
+    dinv = ff.recip(_safe(u0))
+    v1 = ff.mul(x1, dinv)
+    v2 = ff.mul(x2, dinv)
+    w2 = ff.add_f(ff.add(ff.sq(v1), ff.sq(v2)), jnp.float32(1.0))
+    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
     zero = ff.zeros(x0.hi.shape)
-    sc = ff.where(trivial, zero, sc)
+    tau = ff.where(trivial, zero, tau)
+    v1 = ff.where(trivial, zero, v1)
+    v2 = ff.where(trivial, zero, v2)
     beta = ff.where(trivial, x0, beta)
     beta = FF(beta.hi * inv_, beta.lo * inv_)
-    su0 = ff.mul(sc, u0)
-    su1 = ff.mul(sc, x1)
-    su2 = ff.mul(sc, x2)
+    tv1 = ff.mul(tau, v1)
+    tv2 = ff.mul(tau, v2)
     one = jnp.float32(1.0)
-    m00 = ff.add_f(ff.neg(ff.mul(su0, u0)), one)
-    m01 = ff.neg(ff.mul(su0, x1))
-    m02 = ff.neg(ff.mul(su0, x2))
-    m11 = ff.add_f(ff.neg(ff.mul(su1, x1)), one)
-    m12 = ff.neg(ff.mul(su1, x2))
-    m22 = ff.add_f(ff.neg(ff.mul(su2, x2)), one)
+    m00 = ff.add_f(ff.neg(tau), one)
+    m01 = ff.neg(tv1)
+    m02 = ff.neg(tv2)
+    m11 = ff.add_f(ff.neg(ff.mul(tv1, v1)), one)
+    m12 = ff.neg(ff.mul(tv1, v2))
+    m22 = ff.add_f(ff.neg(ff.mul(tv2, v2)), one)
     # P is symmetric: m10 = m01, m20 = m02, m21 = m12
     return [m00, m01, m02, m01, m11, m12, m02, m12, m22], beta
 
@@ -268,19 +278,22 @@ def refl2_fused_flat(x0: FF, x1: FF, active=None):
     r = ff.sqrt(ff.add(ff.sq(x0), t))
     beta = ff.neg(ff.copysign(r, x0.hi))
     u0 = ff.sub(x0, beta)
-    den = ff.mul(r, ff.add(r, ff.abs_(x0)))
-    sc = ff.recip_fast(_safe(den))
+    # tau-refit parametrization — see refl3_fused_flat (round-3 bisect)
+    dinv = ff.recip(_safe(u0))
+    v1 = ff.mul(x1, dinv)
+    w2 = ff.add_f(ff.sq(v1), jnp.float32(1.0))
+    tau = ff.mul_pow2(ff.recip(w2), jnp.float32(2.0))
     zero = ff.zeros(x0.hi.shape)
     dead = trivial if active is None else (trivial | (~active))
-    sc = ff.where(dead, zero, sc)
+    tau = ff.where(dead, zero, tau)
+    v1 = ff.where(dead, zero, v1)
     beta = ff.where(trivial, x0, beta)
     beta = FF(beta.hi * inv_, beta.lo * inv_)
-    su0 = ff.mul(sc, u0)
-    su1 = ff.mul(sc, x1)
+    tv1 = ff.mul(tau, v1)
     one = jnp.float32(1.0)
-    e00 = ff.add_f(ff.neg(ff.mul(su0, u0)), one)
-    e01 = ff.neg(ff.mul(su0, x1))
-    e11 = ff.add_f(ff.neg(ff.mul(su1, x1)), one)
+    e00 = ff.add_f(ff.neg(tau), one)
+    e01 = ff.neg(tv1)
+    e11 = ff.add_f(ff.neg(ff.mul(tv1, v1)), one)
     return [e00, e01, e01, e11], beta
 
 
@@ -410,15 +423,17 @@ def givens_ff(f: FF, g: FF):
     af, ag = ff.abs_(f), ff.abs_(g)
     scale = ff.maximum(af, ag)
     sc = _safe(scale)
-    # shared-denominator divides become one fast reciprocal + muls: the
-    # Givens chain is sequential latency inside the repair/deflation
-    # fori loops (and the complex cores' sweeps via the cxff mirror)
-    scinv = ff.recip_fast(sc)
+    # shared-denominator reciprocal + muls; EXACT ds recip — the fast
+    # one-divide variant put ~7 ulp_ds into r, which is WRITTEN INTO H
+    # (the orthogonality renorm below fixes c/s but not r; round-3
+    # accuracy bisect measured the fast-recip commit at 2.4x end-to-end
+    # backward error)
+    scinv = ff.recip(sc)
     fs, gs = ff.mul(f, scinv), ff.mul(g, scinv)
     d = ff.mul(sc, ff.sqrt(ff.add(ff.sq(fs), ff.sq(gs))))
     dsafe = _safe(d)
     r_gen = ff.where(f.hi >= 0, d, ff.neg(d))
-    dinv = ff.recip_fast(dsafe)
+    dinv = ff.recip(dsafe)
     c_gen = ff.mul(af, dinv)
     # s = g / r with r = sign(f) d: fold the sign into the reciprocal
     s_gen = ff.mul(g, ff.where(f.hi >= 0, dinv, ff.neg(dinv)))

@@ -149,6 +149,7 @@ def test_recip_div_fast(rng):
     q = _to64(ff.div_fast(xf, yf))
     assert (np.abs(q - x / y) <= 16 * 2.0 ** -48 * np.abs(x / y)).all()
     # measured worst case ~7 ulp_ds across +-20 decades (vs ~3 for
-    # the 3-divide ff.div); generation-grade per the recip_fast docstring
+    # the 3-divide ff.div); NOT generation-grade — generation uses the
+    # exact recip/div (round-3 accuracy bisect)
     # zero-numerator exactness (div contract)
     assert _to64(ff.div_fast(ff.zeros(()), ff.ff(jnp.float32(3.0)))) == 0.0
