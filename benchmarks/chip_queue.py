@@ -90,6 +90,14 @@ QUEUE = [
     ("headline_noaed_fixed_p16_n512", [sys.executable,
                                        "benchmarks/probe_headline.py",
                                        "16", "512", "0"], 5400),
+    # === AED re-decision with the native window Schur + move budget ===
+    # _window_schur now runs the native C++ backend (32 ms vs ~5 s per
+    # event at p=16 w=48 on this box) and failed-block moves are budgeted
+    # (aed_max_moves=4): if aed=1 now beats aed=0 in wall-clock, the
+    # default flips back on (expected ~6-7 s iteration at the headline:
+    # niter 578 vs 1056 for ~1 s of host overhead).
+    ("aed_native_ab_p16_n512", [sys.executable, "benchmarks/aed_timing.py",
+                                "16", "512", "0:1,1:1"], 7200),
     # === candidate shipping config at headline scale ===
     # seq grouped kernel B measured 0.34 -> 0.15 ms/step marginal and is
     # bitwise-identical to step; at n=512 the inputs are HBM-staged so

@@ -88,6 +88,13 @@ class AlgoConfig:
     aed: bool = False
     aed_window: int = 0   # 0 = auto: min(48, max(16, n // 10))
     aed_interval: int = 0  # 0 = auto: max(24, n // 6)
+    # Max failed-block reorder moves per AED analysis.  Moving a failed
+    # block to the window head costs an O(w) host ordschur swap chain
+    # (~0.5 s at p=16 w=48 in scalar numpy); an adversarial window can
+    # fail ~w/2 blocks and burn ~20 s host time for nothing.  The budget
+    # keeps the harvested trailing run plus a few rescued blocks and
+    # stops; -1 = unlimited (the classical xLAQR3 behavior).
+    aed_max_moves: int = 4
     # Kernel-B application mode of the real ds Pallas sweep
     # (ops/pallas_sweep.py module note): "step" = per-step rolled RMW,
     # "seq" = 8-step grouped slab RMW with in-register sequential applies

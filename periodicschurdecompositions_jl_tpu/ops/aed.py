@@ -97,7 +97,8 @@ def _phess_window(Awin: np.ndarray):
 
 
 @_host_only
-def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
+def aed_analyze(Hwin: np.ndarray, beta: float, tol: float,
+                max_moves: Optional[int] = None
                 ) -> Optional[Tuple[int, np.ndarray, np.ndarray,
                                     np.ndarray, np.ndarray]]:
     """Analyze a trailing window for early deflations (host, f64).
@@ -142,6 +143,7 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
     T0 = np.asarray(PS.Ts)[0]
     kbot = w
     kept = 0
+    moves = 0
     while kbot > kept:
         # block size from T[0]'s ACTUAL subdiagonal, NOT the eigenvalue
         # imaginary parts: ordschur's 2x2 re-solve can round a tiny pair
@@ -156,6 +158,8 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
         if kept == kbot - bs:
             kept += bs  # already at the top of the undecided region
             continue
+        if max_moves is not None and moves >= max_moves:
+            break  # move budget spent: keep the harvested tail
         # move the failed block out of the way (to position `kept`)
         select = np.zeros(w, bool)
         select[:kept] = True
@@ -167,6 +171,7 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float
         spike = spike_of(PS)
         T0 = np.asarray(PS.Ts)[0]
         kept += bs
+        moves += 1
     d = w - kbot
     stats["passes"] += 1
     if d == 0:
@@ -274,7 +279,8 @@ def _phess_window_signed(Awin: np.ndarray, S):
 
 
 @_host_only
-def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float):
+def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float,
+                   max_moves: Optional[int] = None):
     """Complex/generalized AED window analysis (host, complex128 f64).
 
     Mirror of :func:`aed_analyze` for the signed complex QZ: the window
@@ -307,6 +313,7 @@ def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float):
     spike = spike_of(GPS)
     kbot = w
     kept = 0
+    moves = 0
     while kbot > kept:
         if abs(spike[kbot - 1]) <= tol:
             kbot -= 1
@@ -314,6 +321,8 @@ def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float):
         if kept == kbot - 1:
             kept += 1
             continue
+        if max_moves is not None and moves >= max_moves:
+            break  # move budget spent: keep the harvested tail
         select = np.zeros(w, bool)
         select[:kept] = True
         select[kbot - 1] = True
@@ -323,6 +332,7 @@ def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float):
             break
         spike = spike_of(GPS)
         kept += 1
+        moves += 1
     d = w - kbot
     stats["passes"] += 1
     if d == 0:
@@ -404,7 +414,8 @@ def _window_rgpsd(Hwin: np.ndarray, S):
 
 
 @_host_only
-def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float):
+def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float,
+                   max_moves: Optional[int] = None):
     """Real generalized AED window analysis (host, f64).
 
     Real quasi-triangular blocks (2x2 pairs) + signatures: the window
@@ -433,6 +444,7 @@ def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float):
     T0 = np.asarray(GPS.Ts)[0]
     kbot = w
     kept = 0
+    moves = 0
     while kbot > kept:
         # block size from T[0]'s subdiagonal (see aed_analyze note)
         bs = 2 if (kbot >= 2 and T0[kbot - 1, kbot - 2] != 0) else 1
@@ -444,6 +456,8 @@ def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float):
         if kept == kbot - bs:
             kept += bs
             continue
+        if max_moves is not None and moves >= max_moves:
+            break  # move budget spent: keep the harvested tail
         select = np.zeros(w, bool)
         select[:kept] = True
         select[kbot - bs:kbot] = True
@@ -454,6 +468,7 @@ def aed_analyze_rg(Hwin: np.ndarray, S, beta: float, tol: float):
         spike = spike_of(GPS)
         T0 = np.asarray(GPS.Ts)[0]
         kept += bs
+        moves += 1
     d = w - kbot
     stats["passes"] += 1
     if d == 0:

@@ -221,7 +221,8 @@ def pqr_real_core_ff_chunked(
                      _np.asarray(H.lo[0, s, s - 1], _np.float64)) \
             if s >= 1 else 0.0
         try:
-            res = aed_analyze(Hwin, beta, aed_tol)
+            res = aed_analyze(Hwin, beta, aed_tol,
+                              max_moves=None if cfg.aed_max_moves < 0 else cfg.aed_max_moves)
         except Exception as e:  # pragma: no cover - defensive host path
             if verbosity("main") >= 1:
                 print(f"[pqr_ff aed] analysis failed ({e!r}); skipping")

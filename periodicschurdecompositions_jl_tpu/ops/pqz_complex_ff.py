@@ -790,7 +790,8 @@ def pqz_complex_core_ff_chunked(
         else:
             beta = 0.0
         try:
-            res = aed_analyze_cx(Hwin, S, beta, aed_tol)
+            res = aed_analyze_cx(Hwin, S, beta, aed_tol,
+                                 max_moves=None if cfg.aed_max_moves < 0 else cfg.aed_max_moves)
         except Exception as e:  # pragma: no cover - defensive host path
             if verbosity("main") >= 1:
                 print(f"[pqz_ff aed] analysis failed ({e!r}); skipping")

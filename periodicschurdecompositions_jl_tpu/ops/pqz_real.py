@@ -774,7 +774,8 @@ def pqz_real_gen_core_chunked(
         Hwin = _np.asarray(Hs[:, s:s + w, s:s + w], _np.float64)
         bcp = float(_np.asarray(Hs[0, s, s - 1])) if s >= 1 else 0.0
         try:
-            res = aed_analyze_rg(Hwin, S, bcp, aed_tol)
+            res = aed_analyze_rg(Hwin, S, bcp, aed_tol,
+                                 max_moves=None if cfg.aed_max_moves < 0 else cfg.aed_max_moves)
         except Exception as e:  # pragma: no cover - defensive host path
             if verbosity("main") >= 1:
                 print(f"[pqz_rg aed] analysis failed ({e!r}); skipping")
