@@ -110,6 +110,15 @@ QUEUE = [
     # === eigenvalue-only saving (VERDICT #8): want_z=False timing ===
     ("wantz_p16_n256", [sys.executable, "benchmarks/probe_wantz.py",
                         "16", "256"], 3600),
+    # === isolate the grouped+HBM pipeline failure (jit-chained sweeps) ===
+    # seq+HBM headline: niter=20480, backerr 3.5e-1, orth 2.1e-13 — H and
+    # Z got INCONSISTENT transforms inside the jitted while loop while the
+    # standalone per-sweep verify passes; jit2 chains two sweeps in one
+    # program to test the XLA-buffer-reuse hypothesis.
+    ("sweepverify_jit2_seq_hbm_n512", [sys.executable,
+                                       "benchmarks/probe_sweep_verify.py",
+                                       "16", "512"], 3600,
+     {"PSD_GROUP_MODE": "seq", "PSD_GROUP_HBM": "1"}),
     # === on-chip smoke of the host-chunked ds signed reduction ===
     # (new off-CPU default path of the mixed-S pipelines; bitwise vs
     # single-shot on CPU, 3-trace protocol needs one remote validation)

@@ -95,4 +95,49 @@ ok2 = check("interior-window", 24, n - 24)
 # unaligned m (m & 7 != 0): exercises the rolled-slab in-block offset and
 # the first-group inactive-step masks at a non-multiple-of-8 window head
 ok3 = check("unaligned-window", 27, n - 21)
-sys.exit(0 if (ok1 and ok2 and ok3) else 1)
+
+
+def check_jit2(tag, m, i):
+    """TWO chained sweeps inside ONE jitted program.
+
+    The full pipeline calls the sweep inside a jitted while-loop body,
+    where XLA manages buffer reuse across the pallas_calls; the seq+HBM
+    headline failed with ORTHOGONAL Z but H/Z INCONSISTENT (backerr
+    3.5e-1, orth 2.1e-13, results_r3.log 14:58) while the standalone
+    single-sweep checks above pass — the discriminating hypothesis is an
+    XLA buffer-aliasing interaction (pltpu.ANY inputs + kernel outputs)
+    that only materializes when sweeps chain inside one program."""
+    H, ZT = mk(m=m, i=i)
+    H0 = np.asarray(H.hi, np.float64) + np.asarray(H.lo, np.float64)
+
+    @jax.jit
+    def two(Hh, Hl, Zh, Zl):
+        Hx, Zx = ps.chase_sweep_ff(FF(Hh, Hl), FF(Zh, Zl), jnp.int32(m),
+                                   jnp.int32(i), v0, want_z=True)
+        Hy, Zy = ps.chase_sweep_ff(Hx, Zx, jnp.int32(m), jnp.int32(i), v0,
+                                   want_z=True)
+        return Hy.hi, Hy.lo, Zy.hi, Zy.lo
+
+    t0 = time.time()
+    Hh, Hl, Zh, Zl = two(H.hi, H.lo, ZT.hi, ZT.lo)
+    Hd = np.asarray(Hh, np.float64) + np.asarray(Hl, np.float64)
+    Zd = np.asarray(Zh, np.float64) + np.asarray(Zl, np.float64)
+    dt = time.time() - t0
+    orth = max(np.abs(Zd[l][:n, :n] @ Zd[l][:n, :n].T - np.eye(n)).max()
+               for l in range(p))
+    rec = 0.0
+    scale = np.abs(H0).max()
+    for l in range(p):
+        Zl_ = Zd[l][:n, :n].T
+        Zn_ = Zd[(l + 1) % p][:n, :n].T
+        rec = max(rec, np.abs(Zl_.T @ H0[l][:n, :n] @ Zn_
+                              - Hd[l][:n, :n]).max() / scale)
+    ok = orth < 1e-11 and rec < 1e-11
+    print(f"[sweepverify] {tag}: {'OK' if ok else 'BAD'} "
+          f"orth={orth:.3e} rec={rec:.3e} ({dt:.1f}s incl. compile+fetch)",
+          flush=True)
+    return ok
+
+
+ok4 = check_jit2("jit2-chained", 0, n - 1)
+sys.exit(0 if (ok1 and ok2 and ok3 and ok4) else 1)
