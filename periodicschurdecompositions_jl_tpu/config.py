@@ -88,6 +88,16 @@ class AlgoConfig:
     aed: bool = False
     aed_window: int = 0   # 0 = auto: min(48, max(16, n // 10))
     aed_interval: int = 0  # 0 = auto: max(24, n // 6)
+    # Host-tail finish (chunked ds real core): once the active window has
+    # shrunk to <= host_tail, ONE native-backend window Schur (beta = 0,
+    # everything deflates) finishes the remaining problem in f64 on the
+    # host and writes back through the AED apply path — replacing the
+    # last ~2*host_tail small-window device iterations with ~50 ms of
+    # host work AND making the trailing eigenvalues exact-f64 grade.
+    # 0 = auto: min(64, n // 8) when the native backend is available
+    # (never more than 1/8 of the problem — the TPU pipeline remains the
+    # decomposition engine, the tail is a finisher); -1 = off.
+    host_tail: int = 0
     # Max failed-block reorder moves per AED analysis.  Moving a failed
     # block to the window head costs an O(w) host ordschur swap chain
     # (~0.5 s at p=16 w=48 in scalar numpy); an adversarial window can

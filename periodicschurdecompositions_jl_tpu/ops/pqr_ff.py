@@ -207,6 +207,70 @@ def pqr_real_core_ff_chunked(
         seg = chunk_iters
     aed_total = 0
 
+    # ---- host-tail finish plumbing (cfg.host_tail; ops/aed.py) ----------
+    if cfg.host_tail >= 0:
+        from .. import native as _native
+        if cfg.host_tail > 0:
+            tail_n = min(cfg.host_tail, n)
+        else:
+            tail_n = min(64, n // 8) if _native.available() else 0
+    else:
+        tail_n = 0
+    if tail_n >= 2:
+        from .aed import aed_analyze as _tail_analyze
+        from .aed import aed_apply_ff as _tail_apply
+        ulp_t = float(ff.EPS)
+        h0t = _np.asarray(Hhi[0], _np.float64) + _np.asarray(Hlo[0],
+                                                             _np.float64)
+        tail_tol = ulp_t * float(n) ** 0.5 * float(_np.abs(h0t).max())
+
+    def _try_tail(state):
+        """Finish the leading window [0, i] on the host (beta = 0: the
+        whole remaining problem deflates through one native window Schur).
+
+        The window transforms are EMBEDDED block-diagonally in the fixed
+        (p, tail_n) shape so every tail size reuses ONE compiled apply
+        (aed_apply_ff is shape-keyed on w); rows [m, tail_n) get an exact
+        identity.  Failures degrade to continuing the ds iteration."""
+        nonlocal aed_total
+        i_cur = int(state[4])
+        m = i_cur + 1
+        wfix = tail_n
+        H = state[0]
+        Hbig = (_np.asarray(H.hi[:, :wfix, :wfix], _np.float64) +
+                _np.asarray(H.lo[:, :wfix, :wfix], _np.float64))
+        try:
+            res = _tail_analyze(Hbig[:, :m, :m], 0.0, tail_tol)
+        except Exception as e:  # pragma: no cover - defensive host path
+            if verbosity("main") >= 1:
+                print(f"[pqr_ff tail] analysis failed ({e!r}); skipping")
+            res = None
+        if res is None or res[0] != m:
+            return state, False
+        d, Wf, Zt, lams, _sph = res
+        # embed: V = blockdiag(Zt_l, I), window block transformed in f64
+        Vp = _np.broadcast_to(_np.eye(wfix), (p, wfix, wfix)).copy()
+        Wp = Hbig.copy()
+        for l in range(p):
+            Vp[l][:m, :m] = Zt[l]
+            Wp[l][:m, :m] = Wf[l]
+            # right-block columns [m, wfix) of the transformed rows, f64
+            Wp[l][:m, m:] = Zt[l].T @ Hbig[l][:m, m:]
+        ZT = state[1]
+        Hh, Hl, Zh, Zl = _tail_apply(
+            H.hi, H.lo, ZT.hi, ZT.lo, jnp.asarray(Vp), jnp.asarray(Wp),
+            jnp.zeros((wfix,)), jnp.int32(0), want_z=want_z)
+        wr = _np.asarray(state[2]).copy()
+        wi = _np.asarray(state[3]).copy()
+        wr[:m] = lams.real
+        wi[:m] = lams.imag
+        aed_total += d
+        if verbosity("main") >= 1:
+            print(f"[pqr_ff tail] host-finished the leading {m}-window")
+        return (FF(Hh, Hl), FF(Zh, Zl), jnp.asarray(wr), jnp.asarray(wi),
+                jnp.int32(-1), jnp.int32(0), jnp.int32(1),
+                state[7], state[8]), True
+
     def _try_aed(state):
         nonlocal misses, seg, aed_total
         i_cur = int(state[4])
@@ -270,6 +334,12 @@ def pqr_real_core_ff_chunked(
                 return tuple(outs) + ({"niter": int(state[-1]),
                                        "aed_deflated": aed_total},)
             return tuple(outs)
+        if tail_n >= 2 and 2 <= int(state[4]) + 1 <= tail_n:
+            state, finished = _try_tail(state)
+            if finished:
+                # one more (cheap) core call packages outs from the
+                # done state through the single resume trace
+                continue
         if aed_on:
             state = _try_aed(state)
 

@@ -147,3 +147,52 @@ def test_pqr_ff_multibulge(p, n, nb):
     wi = np.asarray(wih, np.float64) + np.asarray(wil, np.float64)
     assert bool(ok)
     _check(A, T, Z, wr, wi)
+
+
+def test_pqr_ff_chunked_host_tail():
+    """Host-tail finish (cfg.host_tail): once the active window shrinks
+    below the threshold, ONE native-backend window Schur finishes the
+    problem (beta = 0, full deflation) through the embedded fixed-shape
+    AED apply.  Not bitwise vs the pure-ds run (the tail becomes exact
+    f64), but the decomposition oracle and eigenvalues must hold."""
+    import dataclasses
+
+    from periodicschurdecompositions_jl_tpu import native
+    from periodicschurdecompositions_jl_tpu.config import default_config
+    from periodicschurdecompositions_jl_tpu.ops.pqr_ff import (
+        pqr_real_core_ff_chunked)
+    if not native.available():
+        import pytest
+        pytest.skip("native host backend unavailable")
+    p, n = 2, 10
+    rng = np.random.default_rng(21)
+    A = rng.standard_normal((p, n, n))
+    H64, Q64 = phessenberg_core(jnp.asarray(A), want_q=True)
+    Hff = ff.from_f64(jnp.asarray(np.asarray(H64)))
+    QTff = ff.from_f64(jnp.asarray(np.swapaxes(np.asarray(Q64), 1, 2)))
+    cfg = dataclasses.replace(default_config, host_tail=6)
+    out = pqr_real_core_ff_chunked(Hff.hi, Hff.lo, QTff.hi, QTff.lo,
+                                   want_z=True, interpret=True,
+                                   chunk_iters=7, cfg=cfg, with_info=True)
+    info = out[-1]
+    assert bool(out[8])
+    assert info["aed_deflated"] >= 2, "tail never fired"
+    T = np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)
+    ZT = np.asarray(out[2], np.float64) + np.asarray(out[3], np.float64)
+    # the state carries the reduction Q (initial ZT = Q^T), so the
+    # reconstruction target is the ORIGINAL A, not the reduced H
+    sc = np.abs(A).max()
+    for l in range(p):
+        R = ZT[l].T @ T[l] @ ZT[(l + 1) % p] - A[l]
+        assert np.abs(R).max() / sc < 1e-12, (l, np.abs(R).max() / sc)
+    # eigenvalues match the f64 reference core's
+    from periodicschurdecompositions_jl_tpu.ops.pqr_real import (
+        pqr_real_core)
+    _, _, wr64, wi64, ok64 = pqr_real_core(jnp.asarray(np.asarray(H64)),
+                                           want_z=True)
+    w_ref = np.sort_complex(np.asarray(wr64) + 1j * np.asarray(wi64))
+    w = np.sort_complex(
+        np.asarray(out[4], np.float64) + np.asarray(out[5], np.float64) +
+        1j * (np.asarray(out[6], np.float64) +
+              np.asarray(out[7], np.float64)))
+    assert np.abs(w - w_ref).max() < 1e-9 * max(np.abs(w_ref).max(), 1.0)
