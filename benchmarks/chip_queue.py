@@ -90,6 +90,14 @@ QUEUE = [
     ("headline_noaed_fixed_p16_n512", [sys.executable,
                                        "benchmarks/probe_headline.py",
                                        "16", "512", "0"], 5400),
+    # === DIAGNOSE the draw-dependent n=512 no-deflation stall ===
+    # The seed-12345 A*0.5 warmup draw stalls at i=511 for the full
+    # 20480-iteration budget in EVERY kernel mode (and the measured
+    # draw joined it after the bit-level generation change) — the same
+    # signature as the 08-20 "banded" headline failures.  State-level
+    # host analysis of subdiagonals / deflation tests / shifts.
+    ("stall_diag_p16_n512", [sys.executable, "benchmarks/probe_stall.py",
+                             "16", "512", "0.5"], 3600),
     # === AED re-decision with the native window Schur + move budget ===
     # _window_schur now runs the native C++ backend (32 ms vs ~5 s per
     # event at p=16 w=48 on this box) and failed-block moves are budgeted
