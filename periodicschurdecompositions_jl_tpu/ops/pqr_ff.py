@@ -485,6 +485,22 @@ def pqr_real_core_ff(
                 smlnum64, ulpx * (bb * (aa / stmps)))
             found_k = (jnp.abs(hh21) <= smlnum64) | \
                 ((jnp.abs(hh21) <= ulp * tst1) & at_ok)
+            # Stagnation relaxation: certain draws reach a window foot
+            # whose product band is so graded that (a) the tightened
+            # Ahues-Tisseur product test rejects a ulp-negligible
+            # coupling forever, and (b) the Francis first column
+            # degenerates to e1 (its tail's SQUARE underflows f32 in the
+            # generation kernel), making every sweep an exact no-op —
+            # measured: seed-12345 A*0.5 at p=16 n=512 froze at i=511
+            # for the full 20480-iteration budget (probe_stall,
+            # results_r3.log 15:38).  After 16 fruitless iterations in a
+            # window (1.5 exceptional-shift cycles), fall back to the
+            # PLAIN dlahqr criterion — zeroing such a coupling perturbs
+            # the product band by <= ulp * |neighbors|, inside the ds
+            # contract (LAPACK deflates on this test alone; the AT
+            # tightening is an accuracy nicety, not a safety need).
+            found_k |= (its >= jnp.int32(16)) & \
+                (jnp.abs(hh21) <= jnp.maximum(ulp * tst1, smlnum64))
         in_range = (iv >= l + 1) & (iv <= i)
         found_k &= in_range
         anyf = jnp.any(found_k)

@@ -182,6 +182,13 @@ def pqr_real_core(
                 smlnum, ulpx * (bb * (aa / stmps)))
             found_k = (jnp.abs(hh21) <= smlnum) | \
                       ((jnp.abs(hh21) <= ulp * tst1) & at_ok)
+            # stagnation relaxation to the plain dlahqr criterion after
+            # 16 fruitless iterations in a window — the tightened AT
+            # product test can reject a ulp-negligible coupling forever
+            # on extreme-graded product bands while the Francis column
+            # degenerates to e1 (see ops/pqr_ff.py, probe_stall)
+            found_k |= (its >= jnp.int32(16)) & \
+                (jnp.abs(hh21) <= jnp.maximum(ulp * tst1, smlnum))
         in_range = (iv >= l + 1) & (iv <= i)
         found_k &= in_range
         anyf = jnp.any(found_k)
