@@ -98,6 +98,13 @@ QUEUE = [
     # host analysis of subdiagonals / deflation tests / shifts.
     ("stall_diag_p16_n512", [sys.executable, "benchmarks/probe_stall.py",
                              "16", "512", "0.5"], 3600),
+    # === STALL FIX validation: both previously-stalling draws ===
+    # After the stagnation-relaxed deflation criterion (9cd947a), the
+    # seed-12345 warmup (A*0.5) and measured (A) draws must converge.
+    # This is also the BENCH draw — the round's headline number.
+    ("headline_stallfix_p16_n512", [sys.executable,
+                                    "benchmarks/probe_headline.py",
+                                    "16", "512", "0"], 5400),
     # === AED re-decision with the native window Schur + move budget ===
     # _window_schur now runs the native C++ backend (32 ms vs ~5 s per
     # event at p=16 w=48 on this box) and failed-block moves are budgeted

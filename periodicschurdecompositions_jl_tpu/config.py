@@ -78,14 +78,16 @@ class AlgoConfig:
     # beyond the reference, which has no AED).  Runs between device
     # chunks: window analysis is host f64, the writeback transforms apply
     # on-device in ds.  All failures degrade to "no deflation".
-    # DEFAULT OFF (round-3 on-chip A/B, results_r2/r3.log): AED cuts
-    # device iterations ~2x (niter 1056 -> 578 at p=16 n=512; 255 -> 160
-    # at p=8 n=128) but its HOST overhead (window Schur + transfers +
-    # writeback dispatch between chunks) costs 3-4x total wall-clock
-    # (10.6 s -> 40.5 s at the headline; 1.08 s -> 3.04 s at p=8 n=128)
-    # at essentially equal backward error (5.59e-12 vs 4.66e-12).  Turn
-    # on for convergence-hostile spectra, not for speed.
-    aed: bool = False
+    # DEFAULT ON (round-3 on-chip A/B after the native-backend window
+    # Schur + move budget, results_r3.log 15:24): at the p=16 n=512
+    # headline, aed=1 measured 12.07 s / niter 578 / backerr 1.80e-13 —
+    # the accuracy, wall-clock, AND robustness winner (the spike test
+    # also rescues the graded-band stagnation mode that freezes the
+    # subdiagonal test; see the stagnation relaxation in ops/pqr_ff.py).
+    # The earlier default-off round was measured with the jitted XLA:CPU
+    # window Schur, whose ~5 s/event on a 1-vCPU host made AED 3-4x
+    # slower; the native C++ analysis runs the same window in ~32 ms.
+    aed: bool = True
     aed_window: int = 0   # 0 = auto: min(48, max(16, n // 10))
     aed_interval: int = 0  # 0 = auto: max(24, n // 6)
     # Host-tail finish (chunked ds real core): once the active window has
