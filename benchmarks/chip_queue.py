@@ -106,13 +106,27 @@ QUEUE = [
                                     "benchmarks/probe_headline.py",
                                     "16", "512", "0"], 5400),
     # === AED re-decision with the native window Schur + move budget ===
-    # _window_schur now runs the native C++ backend (32 ms vs ~5 s per
-    # event at p=16 w=48 on this box) and failed-block moves are budgeted
-    # (aed_max_moves=4): if aed=1 now beats aed=0 in wall-clock, the
-    # default flips back on (expected ~6-7 s iteration at the headline:
-    # niter 578 vs 1056 for ~1 s of host overhead).
+    # RESULT (15:24): aed=0 STALLS (64 s, niter cap, ok=False); aed=1 is
+    # 12.07 s / niter 578 / backerr 1.80e-13 — accuracy + speed + stall
+    # rescue.  Default flipped back ON (b59857b).
     ("aed_native_ab_p16_n512", [sys.executable, "benchmarks/aed_timing.py",
                                 "16", "512", "0:1,1:1"], 7200),
+    # === bench dress rehearsal with the FINAL defaults ===
+    # The exact bench.py pipeline (aed on, native analysis, stall fix):
+    # validates the seed-12345 bench draws end-to-end and pre-populates
+    # the compile cache for the driver's round-end bench run.
+    ("bench_dress", [sys.executable, "bench.py"], 7200),
+    # small-scale AED A/B with the native analysis (updates the p=8
+    # n=128 numbers recorded with the slow jitted analysis)
+    ("aed_native_ab_p8_n128", [sys.executable, "benchmarks/aed_timing.py",
+                               "8", "128", "0:1,1:1"], 3600),
+    # seq+HBM headline RETRY after the stall fix: the earlier failure is
+    # now attributed to the stall (mode-independent); if seq converges
+    # and beats step wall-clock, it becomes the shipping kernel-B mode.
+    ("headline_seq_stallfix_p16_n512", [sys.executable,
+                                        "benchmarks/probe_headline.py",
+                                        "16", "512", "1"], 7200,
+     {"PSD_GROUP_MODE": "seq", "PSD_GROUP_HBM": "1"}),
     # === candidate shipping config at headline scale ===
     # seq grouped kernel B measured 0.34 -> 0.15 ms/step marginal and is
     # bitwise-identical to step; at n=512 the inputs are HBM-staged so
