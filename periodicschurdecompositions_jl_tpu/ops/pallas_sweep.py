@@ -34,6 +34,17 @@ ops/pqr_real.py's `chase_step`, reorganized for the TPU's memory model
 
 `interpret=True` runs the same kernels through the Pallas interpreter
 (used by the CPU test suite; the TPU path compiles via Mosaic).
+
+Eigenvalue-only runs / `want_t` windowing (reference
+src/generalized.jl:202-227,756-775 restricts updates to the active
+window when T is unwanted): on the TPU the analogous lever does NOT
+exist at kernel level — Mosaic has no dynamic LANE slicing, so a
+row/column update is a full-N-lane slab op whether or not the columns
+outside the window are maintained, and the per-step work is already
+window-restricted in the sublane dimension.  What CAN be skipped is the
+entire Z maintenance: `want_z=False` compiles kernel B without the Z^T
+targets — measured 22% faster end-to-end at p=16 n=256 (2.43 s vs
+3.11 s, results_r3.log 15:49).
 """
 from __future__ import annotations
 
