@@ -5,7 +5,10 @@ fresh inputs per measured run, forced host transfers; prints wall-clock,
 iterations, AED harvest, and backward error.
 
 Usage: python benchmarks/aed_timing.py [p] [n] [combos]
-  combos: comma-separated aed:nb pairs, e.g. "0:1,1:1,1:4" (default).
+  combos: comma-separated aed:nb[:interval[:window]] tuples, e.g.
+  "0:1,1:1,1:4" or "1:1:40,1:1:24:32" (default "0:1,1:1,1:4");
+  interval/window 0 = auto.  Interval and window are HOST-side knobs —
+  every combo reuses the same compiled device programs.
 """
 from __future__ import annotations
 
@@ -20,7 +23,7 @@ import numpy as np
 
 P = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-COMBOS = [tuple(int(x) for x in c.split(":"))
+COMBOS = [tuple(int(x) for x in c.split(":")) + (0, 0)
           for c in (sys.argv[3].split(",") if len(sys.argv) > 3
                     else ["0:1", "1:1", "1:4"])]
 MAXITFAC = 40
@@ -68,8 +71,10 @@ def backerr(A_np, T, Z):
     return worst
 
 
-for aed, nb in COMBOS:
-    cfg = dataclasses.replace(default_config, aed=bool(aed), nbulges=nb)
+for combo in COMBOS:
+    aed, nb, itv, win = combo[:4]
+    cfg = dataclasses.replace(default_config, aed=bool(aed), nbulges=nb,
+                              aed_interval=itv, aed_window=win)
     A = rng.standard_normal((P, N, N))
     t0 = time.time()
     run(A * 0.5, cfg)  # compile + warm
@@ -79,7 +84,7 @@ for aed, nb in COMBOS:
     T, Z, ok, info = run(A, cfg)
     dt = time.time() - t0
     err = backerr(A, T, Z)
-    print(f"[aed_nb] p={P} n={N} aed={aed} nb={nb}: {dt:.2f}s "
-          f"(compile+warm {tc:.1f}s) niter={info['niter']} "
+    print(f"[aed_nb] p={P} n={N} aed={aed} nb={nb} itv={itv} win={win}: "
+          f"{dt:.2f}s (compile+warm {tc:.1f}s) niter={info['niter']} "
           f"aed_deflated={info['aed_deflated']} ok={ok} "
           f"backerr={err:.2e}", flush=True)

@@ -120,6 +120,12 @@ QUEUE = [
     # n=128 numbers recorded with the slow jitted analysis)
     ("aed_native_ab_p8_n128", [sys.executable, "benchmarks/aed_timing.py",
                                "8", "128", "0:1,1:1"], 3600),
+    # AED interval/window sweep at the headline (host-side knobs: every
+    # combo reuses the compiled programs — ~1 min/combo): denser
+    # harvests may cut niter below 578 for ~150 ms/event
+    ("aed_itv_sweep_p16_n512", [sys.executable, "benchmarks/aed_timing.py",
+                                "16", "512",
+                                "1:1:40,1:1:24,1:1:120,1:1:40:64"], 5400),
     # seq+HBM headline RETRY after the stall fix: the earlier failure is
     # now attributed to the stall (mode-independent); if seq converges
     # and beats step wall-clock, it becomes the shipping kernel-B mode.
