@@ -133,6 +133,10 @@ QUEUE = [
                                         "benchmarks/probe_headline.py",
                                         "16", "512", "1"], 7200,
      {"PSD_GROUP_MODE": "seq", "PSD_GROUP_HBM": "1"}),
+    # bench rerun with the aed_min_n gate: throughput at p=8 n=128 no
+    # longer pays AED's ~2 s host overhead per problem (0.77 s vs
+    # 2.63 s measured) — expect ~3x problems/min; headline unchanged
+    ("bench_dress2", [sys.executable, "bench.py"], 7200),
     # === candidate shipping config at headline scale ===
     # seq grouped kernel B measured 0.34 -> 0.15 ms/step marginal and is
     # bitwise-identical to step; at n=512 the inputs are HBM-staged so

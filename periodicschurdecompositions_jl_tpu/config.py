@@ -90,6 +90,14 @@ class AlgoConfig:
     aed: bool = True
     aed_window: int = 0   # 0 = auto: min(48, max(16, n // 10))
     aed_interval: int = 0  # 0 = auto: max(24, n // 6)
+    # AED engages only at n >= aed_min_n: each event costs ~0.3 s of
+    # host round-trips (state pulls + writeback dispatch over the
+    # tunnel), which wins big at n=512 (12.07 s vs a 64 s stall /
+    # 10.6 s baseline) but LOSES at n=128 (2.63 s vs 0.77 s — round-3
+    # A/B, results_r3.log 16:29).  Below the gate the stagnation
+    # relaxation covers the graded-band stall class on its own.  An
+    # EXPLICIT aed_window (> 0) bypasses the gate — explicit intent.
+    aed_min_n: int = 192
     # Host-tail finish (chunked ds real core): once the active window has
     # shrunk to <= host_tail, ONE native-backend window Schur (beta = 0,
     # everything deflates) finishes the remaining problem in f64 on the

@@ -187,7 +187,8 @@ def pqr_real_core_ff_chunked(
     # sees fresh windows often enough to pay.
     aed_w = cfg.aed_window if cfg.aed_window else min(48, max(16, n // 10))
     aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 6)
-    aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4
+    aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4 \
+        and (n >= cfg.aed_min_n or cfg.aed_window > 0)
     if aed_on:
         from .aed import aed_analyze, aed_apply_ff
         ulp = float(ff.EPS)
