@@ -137,6 +137,21 @@ QUEUE = [
     # longer pays AED's ~2 s host overhead per problem (0.77 s vs
     # 2.63 s measured) — expect ~3x problems/min; headline unchanged
     ("bench_dress2", [sys.executable, "bench.py"], 7200),
+    # post-fix re-records for the other two ds cores (the generation fix
+    # applies to cxff/rg generation too; the chunked signed reduction is
+    # now the default mixed-S route)
+    ("complex_ff_rerecord_p6_n128", [sys.executable,
+                                     "benchmarks/probe_complex_ff.py",
+                                     "6", "128"], 5400,
+     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_cxdd"}),
+    ("real_gen_ff_rerecord_p6_n128", [sys.executable,
+                                      "benchmarks/probe_real_gen_ff.py",
+                                      "6", "128"], 5400,
+     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
+    # first on-chip Krylov smoke: device-resident partial_pschur
+    ("krylov_chip_p4_n512", [sys.executable,
+                             "benchmarks/probe_krylov_chip.py",
+                             "4", "512", "4"], 3600),
     # === candidate shipping config at headline scale ===
     # seq grouped kernel B measured 0.34 -> 0.15 ms/step marginal and is
     # bitwise-identical to step; at n=512 the inputs are HBM-staged so
