@@ -186,7 +186,11 @@ def pqr_real_core_ff_chunked(
     # the AED interval (adaptively backed off on misses) so the analysis
     # sees fresh windows often enough to pay.
     aed_w = cfg.aed_window if cfg.aed_window else min(48, max(16, n // 10))
-    aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 6)
+    # auto interval n//4: the round-3 on-chip interval sweep (itv 24 /
+    # 40 / 85 / 120 -> 12.65 / 12.75 / 12.07 / 10.43 s at the headline,
+    # all contract-grade) showed the ~0.3-0.5 s host cost per event
+    # outweighs the extra device iterations a denser harvest saves
+    aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 4)
     aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4 \
         and (n >= cfg.aed_min_n or cfg.aed_window > 0)
     if aed_on:
