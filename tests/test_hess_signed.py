@@ -74,12 +74,19 @@ def test_signed_hess_cxff_chunked_bitwise(rng):
     single-shot core: chunk boundaries only split the stage-1/stage-2
     fori ranges, state carries exactly (the chunking exists for the axon
     ~60 s execute kill, not for numerics)."""
+    import jax
+
     from periodicschurdecompositions_jl_tpu.ops import cxff
     from periodicschurdecompositions_jl_tpu.ops.pqz_complex_ff import (
         phessenberg_signed_core_cxff, phessenberg_signed_core_cxff_chunked)
 
+    # this test compiles the signed core 4x (single-shot + the chunked
+    # driver's first/middle/final traces) on top of the module's earlier
+    # compiles — clear the accumulated XLA:CPU executables first (the
+    # allocator abort CLAUDE.md describes killed the full suite here)
+    jax.clear_caches()
     S = (True, False, True)
-    p, n = len(S), 10
+    p, n = len(S), 8
     A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
     X = cxff.from_f64_split(A.real, A.imag)
     args = (X.re.hi, X.re.lo, X.im.hi, X.im.lo, S)
