@@ -385,18 +385,27 @@ def _small_pschur(B: List[np.ndarray], active: int, kmax: int, dtype):
     sub = slice(active, kmax)
     mats = [np.triu(B[p - 1][sub, sub], -1)] + \
         [np.triu(B[l][sub, sub]) for l in range(p - 2, -1, -1)]
-    H = jnp.asarray(np.stack(mats))
-    if np.issubdtype(dtype, np.complexfloating):
-        T, Z, al, be, sc, ok = pqz_complex_core(H, (True,) * p)
-        values = np.asarray(al) / np.asarray(be) * np.exp2(
-            np.asarray(sc).astype(float))
-    else:
-        T, Z, wr, wi, ok = pqr_real_core(H)
-        values = np.asarray(wr) + 1j * np.asarray(wi)
-    if not bool(ok):
-        raise PKSFailure("projected periodic Schur failed to converge")
-    return PeriodicSchur(Ts=T, Zs=Z, values=jnp.asarray(values),
-                         orientation="R", schurindex=0)
+    # HOST-side dense solve: pin to the CPU device — without the pin the
+    # projected cores' small fresh programs need the remote accelerator
+    # compile service, which fails UNAVAILABLE mid-run while the cached
+    # operator programs keep executing (observed killing the on-chip
+    # Krylov smoke, results_r3.log 17:48; same hardening as ops/aed.py)
+    import jax as _jax
+    with _jax.default_device(_jax.devices("cpu")[0]):
+        H = jnp.asarray(np.stack(mats))
+        if np.issubdtype(dtype, np.complexfloating):
+            T, Z, al, be, sc, ok = pqz_complex_core(H, (True,) * p)
+            values = np.asarray(al) / np.asarray(be) * np.exp2(
+                np.asarray(sc).astype(float))
+        else:
+            T, Z, wr, wi, ok = pqr_real_core(H)
+            values = np.asarray(wr) + 1j * np.asarray(wi)
+        if not bool(ok):
+            raise PKSFailure("projected periodic Schur failed to converge")
+        return PeriodicSchur(Ts=jnp.asarray(np.asarray(T)),
+                             Zs=jnp.asarray(np.asarray(Z)),
+                             values=jnp.asarray(values),
+                             orientation="R", schurindex=0)
 
 
 def _slot_q(PS: PeriodicSchur) -> List[np.ndarray]:
