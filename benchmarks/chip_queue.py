@@ -149,9 +149,12 @@ QUEUE = [
                                       "6", "128"], 5400,
      {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
     # first on-chip Krylov smoke: device-resident partial_pschur
-    ("krylov_chip_p4_n512", [sys.executable,
+    # (n=256: the n=512 attempt spent ~26 min in tunnel round-trips
+    # before the remote compile service dropped it; the CPU pin d1fc688
+    # removes the failure mode, the smaller size bounds the wall)
+    ("krylov_chip_p4_n256", [sys.executable,
                              "benchmarks/probe_krylov_chip.py",
-                             "4", "512", "4"], 3600),
+                             "4", "256", "4"], 3600),
     # === candidate shipping config at headline scale ===
     # seq grouped kernel B measured 0.34 -> 0.15 ms/step marginal and is
     # bitwise-identical to step; at n=512 the inputs are HBM-staged so
