@@ -285,7 +285,20 @@ def ordschur(P, select: Sequence[bool], want_z: bool = True,
     ``cfg``: optional AlgoConfig; ``cfg.iterative_2x2`` switches the 2x2
     eigenvalue re-solve to the iterative MB03BB-style scheme (reference
     src/rpschur2x2.jl:9-235).
+
+    Reordering is HOST-side by design (sequential accept/reject swap
+    decisions in numpy); the whole call runs pinned to the CPU device —
+    its small fresh jnp programs must never depend on the remote
+    accelerator compile service, which fails UNAVAILABLE mid-run on the
+    axon platform (observed killing the on-chip Krylov smoke inside a
+    trial-reorder, results_r3.log 18:31; same hardening as ops/aed.py).
     """
+    import jax as _jax
+    with _jax.default_device(_jax.devices("cpu")[0]):
+        return _ordschur_host(P, select, want_z, cfg)
+
+
+def _ordschur_host(P, select, want_z, cfg):
     from ..config import default_config
     if cfg is None:
         cfg = default_config
