@@ -1,0 +1,106 @@
+"""End-to-end PUBLIC-API journey on the chip.
+
+Everything a reference user does, through `pschur`/`ordschur`/`eigvecs`
+on the default (TPU) device: real plain, complex mixed-S, and real
+mixed-S input classes, each followed by the built-in oracle, a
+reordering, and (real plain) eigenvector extraction.  This validates
+the API ROUTING on hardware — the ds pipelines off-CPU, host-pinned
+reordering on chip-resident outputs — not just the cores.
+
+Usage: python benchmarks/probe_e2e_chip.py
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import periodicschurdecompositions_jl_tpu as psd  # noqa: E402
+
+rng = np.random.default_rng(2024)
+dev = jax.devices()[0]
+print(f"[e2e] default device: {dev}", flush=True)
+fails = 0
+
+
+def step(tag, fn):
+    global fails
+    t0 = time.time()
+    try:
+        msg = fn()
+        print(f"[e2e] {tag}: OK {msg} ({time.time()-t0:.1f}s)", flush=True)
+    except Exception as e:
+        fails += 1
+        print(f"[e2e] {tag}: FAIL {type(e).__name__}: {e} "
+              f"({time.time()-t0:.1f}s)", flush=True)
+
+
+def real_plain():
+    p, n = 4, 64
+    A = rng.standard_normal((p, n, n))
+    P = psd.pschur(jnp.asarray(A), "R")
+    ok, rep = psd.check_psd(P, A, qtol=500.0, tol=2000.0)
+    assert ok and rep["residual_rel"] < 1e-12, rep
+    # reorder the largest quarter to the top
+    v = np.abs(np.asarray(P.values))
+    sel = list(v >= np.sort(v)[-n // 4])
+    P2 = psd.ordschur(P, sel)
+    ok2, rep2 = psd.check_psd(P2, A, qtol=500.0, tol=2000.0)
+    assert ok2, rep2
+    top = np.sort(np.abs(np.asarray(P2.values))[:sum(sel)])
+    want = np.sort(v[np.asarray(sel)])
+    assert np.allclose(top, want, rtol=1e-8)
+    # eigenvectors of the two largest: right orientation satisfies
+    # A[l] V[(l+1)%p] = mu V[l] with mu = lam^(1/p) (tests/test_vectors)
+    v2 = np.abs(np.asarray(P2.values))
+    sel2 = list(v2 >= np.sort(v2)[-2])
+    Vs = psd.eigvecs(P2, sel2)
+    lams = np.asarray(P2.values)[np.asarray(sel2)]
+    for ki in range(Vs[0].shape[1]):
+        mu = complex(lams[ki]) ** (1.0 / p)
+        for l in range(p):
+            lhs = A[l] @ np.asarray(Vs[(l + 1) % p])[:, ki]
+            rhs = mu * np.asarray(Vs[l])[:, ki]
+            ref = abs(mu) * np.linalg.norm(rhs) + 1e-30
+            assert np.linalg.norm(lhs - rhs) < 1e-7 * max(ref, 1), (ki, l)
+    return f"resid {rep['residual_rel']:.1e}, reorder+eigvecs ok"
+
+
+def complex_mixed():
+    p, n = 4, 32
+    A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
+    for l in range(p):
+        A[l] += np.sign(np.linalg.det(A[l]).real or 1.0) * 3 * np.eye(n)
+    S = (True, False, True, False)
+    G = psd.pschur(jnp.asarray(A), "R", S=S)
+    ok, rep = psd.check_psd(G, A, qtol=500.0, tol=2000.0)
+    assert ok and rep["residual_rel"] < 1e-12, rep
+    v = np.abs(np.asarray(G.values))
+    sel = list(v >= np.sort(v)[-4])
+    G2 = psd.ordschur(G, sel)
+    ok2, rep2 = psd.check_psd(G2, A, qtol=500.0, tol=2000.0)
+    assert ok2, rep2
+    return f"resid {rep['residual_rel']:.1e}, reorder ok"
+
+
+def real_mixed():
+    p, n = 4, 32
+    A = rng.standard_normal((p, n, n))
+    for l in range(p):
+        A[l] += np.sign(np.linalg.det(A[l])) * 3 * np.eye(n)
+    S = (True, False, True, False)
+    G = psd.pschur(jnp.asarray(A), "R", S=S)   # ds rg pipeline off-CPU
+    ok, rep = psd.check_psd(G, A, qtol=500.0, tol=2000.0)
+    assert ok and rep["residual_rel"] < 1e-12, rep
+    return f"resid {rep['residual_rel']:.1e} (ds rg route)"
+
+
+step("real plain pschur+ordschur+eigvecs (p=4 n=64)", real_plain)
+step("complex mixed-S pschur+ordschur (p=4 n=32)", complex_mixed)
+step("real mixed-S pschur via ds rg route (p=4 n=32)", real_mixed)
+print(f"[e2e] {'ALL OK' if fails == 0 else f'{fails} FAILURES'}",
+      flush=True)
+sys.exit(0 if fails == 0 else 1)

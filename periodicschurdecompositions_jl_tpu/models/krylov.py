@@ -850,13 +850,20 @@ def partial_pschur(
     Vc = np.stack([PK.V[l][:, :nconv] for l in range(p)])
     Tc = np.stack([np.triu(PK.B[l][:nconv, :nconv],
                            -1 if l == p - 1 else 0) for l in range(p)])
-    # stacked factor order: slot l holds B[l]; Schur factor is slot p-1
-    ps = PartialPeriodicSchur(
-        Ts=jnp.asarray(Tc),
-        Vs=jnp.asarray(Vc),
-        values=jnp.asarray(lams_all[:nconv]),
-        residuals=jnp.asarray(rs_all[:nconv]),
-        orientation="L", schurindex=p - 1)
+    # stacked factor order: slot l holds B[l]; Schur factor is slot p-1.
+    # Output packaging stays CPU-committed: these are host-produced
+    # arrays, and an unpinned device_put of fresh shapes needs the remote
+    # accelerator service, whose UNAVAILABLE hiccups killed an otherwise
+    # COMPLETED on-chip run at this very line (results_r3.log 19:27) —
+    # callers wanting device copies device_put explicitly.
+    import jax as _jax
+    with _jax.default_device(_jax.devices("cpu")[0]):
+        ps = PartialPeriodicSchur(
+            Ts=jnp.asarray(Tc),
+            Vs=jnp.asarray(Vc),
+            values=jnp.asarray(lams_all[:nconv]),
+            residuals=jnp.asarray(rs_all[:nconv]),
+            orientation="L", schurindex=p - 1)
     hist = ArnoldiHistory(nprods=nprods, nconverged=nconv,
                           converged=nconv >= nev, nev=nev)
     return ps, hist
