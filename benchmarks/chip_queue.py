@@ -148,6 +148,13 @@ QUEUE = [
                                       "benchmarks/probe_real_gen_ff.py",
                                       "6", "128"], 5400,
      {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
+    # public-API journey on-chip (pschur -> check -> ordschur ->
+    # eigvecs).  NOTE: the 08-20 evening attempts died UNAVAILABLE —
+    # the axon REMOTE COMPILE SERVICE was degraded and dropped every
+    # fresh program (cached programs executed fine all evening); rerun
+    # in a healthy window.  PSD_E2E_ALL=1 adds the cx/rg legs.
+    ("e2e_public_api", [sys.executable, "benchmarks/probe_e2e_chip.py"],
+     3600),
     # first on-chip Krylov smoke: device-resident partial_pschur
     # (n=256: the n=512 attempt spent ~26 min in tunnel round-trips
     # before the remote compile service dropped it; the CPU pin d1fc688
