@@ -196,3 +196,36 @@ def test_pqr_ff_chunked_host_tail():
         1j * (np.asarray(out[6], np.float64) +
               np.asarray(out[7], np.float64)))
     assert np.abs(w - w_ref).max() < 1e-9 * max(np.abs(w_ref).max(), 1.0)
+
+
+def test_stagnation_relaxation_converges():
+    """Regression test for the graded-band stall fix (round 3): with the
+    Ahues-Tisseur tightening cranked to at_pwr16=12 (threshold
+    ~ulp^1.75 ~ 4e-26 — rejects essentially every product-level
+    deflation), the stagnation relaxation must still drive the
+    iteration to convergence through the plain dlahqr criterion after
+    16 fruitless iterations per window.  Without the relaxation this
+    configuration exhausts the iteration budget (the on-chip stall
+    class froze whole n=512 draws the same way)."""
+    import dataclasses
+
+    from periodicschurdecompositions_jl_tpu.config import default_config
+    from periodicschurdecompositions_jl_tpu.ops.pqr_ff import (
+        pqr_real_core_ff_chunked)
+    p, n = 2, 10
+    rng = np.random.default_rng(33)
+    A = rng.standard_normal((p, n, n))
+    H64, Q64 = phessenberg_core(jnp.asarray(A), want_q=True)
+    Hff = ff.from_f64(jnp.asarray(np.asarray(H64)))
+    QTff = ff.from_f64(jnp.asarray(np.swapaxes(np.asarray(Q64), 1, 2)))
+    cfg = dataclasses.replace(default_config, at_pwr16=12, host_tail=-1)
+    out = pqr_real_core_ff_chunked(Hff.hi, Hff.lo, QTff.hi, QTff.lo,
+                                   want_z=True, interpret=True,
+                                   maxitfac=40, cfg=cfg)
+    assert bool(out[8]), "relaxation failed to rescue the tightened test"
+    T = np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)
+    ZT = np.asarray(out[2], np.float64) + np.asarray(out[3], np.float64)
+    sc = np.abs(A).max()
+    for l in range(p):
+        R = ZT[l].T @ T[l] @ ZT[(l + 1) % p] - A[l]
+        assert np.abs(R).max() / sc < 1e-12, (l, np.abs(R).max() / sc)
