@@ -666,6 +666,244 @@ int pqr_real(int p, int n, double* H, double* Z, double* wr, double* wi,
 
 }  // namespace
 
+// ===========================================================================
+// Complex single-shift periodic QZ (MB03BZ shape) for NONSINGULAR windows.
+//
+// Independent C++ rewrite of the algorithm the JAX core
+// ../periodicschurdecompositions_jl_tpu/ops/pqz_complex.py implements
+// (reference behavior: /root/reference/src/generalized.jl:166-931) for the
+// AED window analyses (ops/aed.py): input H[0] upper Hessenberg,
+// H[1..p-1] upper triangular, signature S[l] in {+1,-1}, S[0] = +1.
+// SCOPE: the common nonsingular fast path only — a negligible diagonal in
+// any triangular factor (the deflate_pos/neg + controlled-zero-shift
+// machinery) returns rc=2 and the caller falls back to the jitted exact
+// core; non-convergence returns rc=1.  Eigenvalues in the decomposed
+// (alpha, beta in {0,1} -- always 1 here, 2^scale) form.
+
+#include <complex>
+
+namespace pqzcx {
+
+using cd = std::complex<double>;
+
+inline cd* cmat(cd* H, int f, int n) { return H + (size_t)f * n * n; }
+
+// Complex Givens with real c >= 0: [c s; -conj(s) c] [f; g] = [r; 0].
+// g == 0 -> (1, 0, f); f == 0 -> (0, conj(g)/|g|, |g|).
+inline void zgivens(cd f, cd g, double& c, cd& s, cd& r) {
+  if (g == cd(0.0, 0.0)) { c = 1.0; s = cd(0.0, 0.0); r = f; return; }
+  if (f == cd(0.0, 0.0)) {
+    double ag = std::abs(g);
+    c = 0.0; s = std::conj(g) / ag; r = cd(ag, 0.0); return;
+  }
+  double sc = std::max(std::max(fabs(f.real()), fabs(f.imag())),
+                       std::max(fabs(g.real()), fabs(g.imag())));
+  cd fs = f / sc, gs = g / sc;
+  double d2 = std::norm(fs) + std::norm(gs);
+  double d = sqrt(d2), af = std::abs(fs);
+  c = af / d;
+  cd fsign = fs / af;
+  r = fsign * d * sc;
+  s = fsign * std::conj(gs) / d;
+}
+
+// rows k, k+1 of Hf, columns [lo, hi): left rotation [c s; -conj(s) c]
+inline void zrowrot(cd* Hf, int n, int k, double c, cd s, int lo, int hi) {
+  cd* r0 = Hf + (size_t)k * n;
+  cd* r1 = Hf + (size_t)(k + 1) * n;
+  for (int j = lo; j < hi; ++j) {
+    cd a = r0[j], b = r1[j];
+    r0[j] = c * a + s * b;
+    r1[j] = -std::conj(s) * a + c * b;
+  }
+}
+
+// cols k, k+1 of Hf, rows [lo, hi): right multiply by rmat_adj(c, s) =
+// [[c, -s], [conj(s), c]]  (new_c0 = c*c0 + conj(s)*c1; new_c1 = -s*c0 + c*c1)
+inline void zcolrot(cd* Hf, int n, int k, double c, cd s, int lo, int hi) {
+  for (int i = lo; i < hi; ++i) {
+    cd* row = Hf + (size_t)i * n;
+    cd a = row[k], b = row[k + 1];
+    row[k] = c * a + std::conj(s) * b;
+    row[k + 1] = -s * a + c * b;
+  }
+}
+
+inline void renorm(cd& alpha, int& scale) {
+  double mag = std::abs(alpha);
+  if (mag == 0.0) { scale = 0; return; }
+  int e;
+  std::frexp(mag, &e);           // mag = m * 2^e, m in [0.5, 1)
+  alpha = std::ldexp(1.0, 1 - e) * alpha;
+  scale += e - 1;
+}
+
+// tiny deterministic PRNG for the exceptional shifts
+inline double xrand(unsigned long long& st) {
+  st ^= st << 13; st ^= st >> 7; st ^= st << 17;
+  return (double)(st % 2000001) / 1000000.0 - 1.0;
+}
+
+int pqz_complex(int p, int n, cd* H, const int* S, cd* Z, cd* alpha,
+                double* beta, int* scal, int maxitfac, int want_z) {
+  const double ulp = 2.220446049250313e-16;
+  const double unfl = 2.2250738585072014e-308;
+  const double smlnum = unfl * ((double)n / ulp);
+  const double safmin = unfl;
+  const long maxit = (long)maxitfac * n;
+  unsigned long long rng = 0x9E3779B97F4A7C15ull;
+
+  int ilast = n - 1;
+  long iiter = 0;
+  for (long jiter = 0; jiter < maxit && ilast >= 0; ++jiter) {
+    cd* H0 = cmat(H, 0, n);
+    // ---- test 1: bottom-most negligible Hessenberg subdiagonal --------
+    int jlo = 0;
+    for (int j = ilast; j >= 1; --j) {
+      double tol = std::max(ulp * (std::abs(H0[(size_t)(j - 1) * n + j - 1])
+                                   + std::abs(H0[(size_t)j * n + j])),
+                            smlnum);
+      if (std::abs(H0[(size_t)j * n + j - 1]) <= tol) {
+        H0[(size_t)j * n + j - 1] = cd(0.0, 0.0);
+        jlo = j;
+        break;                    // largest such j (scan from ilast down)
+      }
+    }
+    if (ilast == 0 || jlo == ilast) {
+      // ---- split a 1x1 at ilast (safeprod over the cycle diagonal) ----
+      cd a(1.0, 0.0); double b = 1.0; int sc = 0;
+      for (int l = 0; l < p; ++l) {
+        cd d = cmat(H, l, n)[(size_t)ilast * n + ilast];
+        if (S[l] > 0) a *= d;
+        else {
+          if (d == cd(0.0, 0.0)) { b = 0.0; }
+          else a /= d;
+        }
+        renorm(a, sc);
+      }
+      alpha[ilast] = a; beta[ilast] = b; scal[ilast] = sc;
+      --ilast; iiter = 0;
+      continue;
+    }
+    // ---- tests 2/3: negligible triangular diagonal -> fall back -------
+    for (int l = 1; l < p; ++l) {
+      cd* Hl = cmat(H, l, n);
+      for (int j = jlo; j <= ilast; ++j) {
+        double t;
+        if (j == ilast) t = std::abs(Hl[(size_t)(j - 1) * n + j]);
+        else if (j == jlo) t = std::abs(Hl[(size_t)j * n + j + 1]);
+        else t = std::abs(Hl[(size_t)(j - 1) * n + j])
+               + std::abs(Hl[(size_t)j * n + j + 1]);
+        if (std::abs(Hl[(size_t)j * n + j]) <= std::max(ulp * t, smlnum))
+          return 2;               // singular-factor machinery: jitted path
+      }
+    }
+    // ---- single-shift QZ sweep ---------------------------------------
+    ++iiter;
+    int ifirst = jlo;
+    double c; cd s, r;
+    if (iiter % 10 == 0) {        // exceptional: random rotation
+      cd f(xrand(rng), xrand(rng)), g(xrand(rng), xrand(rng));
+      zgivens(f, g, c, s, r);
+    } else {
+      zgivens(cd(1.0, 0.0), cd(1.0, 0.0), c, s, r);
+      for (int l = p - 1; l >= 1; --l) {
+        cd hf = cmat(H, l, n)[(size_t)ifirst * n + ifirst];
+        cd hl = cmat(H, l, n)[(size_t)ilast * n + ilast];
+        if (S[l] > 0) zgivens(hf * c, hl * std::conj(s), c, s, r);
+        else { zgivens(hl * c, -hf * std::conj(s), c, s, r); s = -s; }
+      }
+      cd h0f = H0[(size_t)ifirst * n + ifirst];
+      cd h0l = H0[(size_t)ilast * n + ilast];
+      cd h0sub = H0[(size_t)(ifirst + 1) * n + ifirst];
+      zgivens(h0f * c - h0l * std::conj(s), h0sub * c, c, s, r);
+    }
+    for (int k = ifirst; k <= ilast - 1; ++k) {
+      if (k > ifirst) {
+        cd f = H0[(size_t)k * n + k - 1];
+        cd g = H0[(size_t)(k + 1) * n + k - 1];
+        zgivens(f, g, c, s, r);
+        H0[(size_t)k * n + k - 1] = r;
+        H0[(size_t)(k + 1) * n + k - 1] = cd(0.0, 0.0);
+      }
+      zrowrot(H0, n, k, c, s, k, n);
+      if (want_z) zcolrot(cmat(Z, 0, n), n, k, c, s, 0, n);
+      for (int l = p - 1; l >= 1; --l) {
+        cd* Hl = cmat(H, l, n);
+        if (S[l] > 0) {
+          zcolrot(Hl, n, k, c, s, 0, k + 2);
+          cd f = Hl[(size_t)k * n + k], g = Hl[(size_t)(k + 1) * n + k];
+          double cn; cd sn;
+          zgivens(f, g, cn, sn, r);
+          Hl[(size_t)k * n + k] = r;
+          Hl[(size_t)(k + 1) * n + k] = cd(0.0, 0.0);
+          zrowrot(Hl, n, k, cn, sn, k + 1, n);
+          c = cn; s = sn;
+        } else {
+          zrowrot(Hl, n, k, c, s, k, n);
+          // annihilate Hl[k+1][k] from the RIGHT: rotation from the row
+          // pair (Hl[k+1][k+1], Hl[k+1][k]) -- python: givens(row[k+1],
+          // row[k]); then columns (k, k+1) get lmat(cn, sn); sn = -sn
+          cd f = Hl[(size_t)(k + 1) * n + k + 1];
+          cd g = Hl[(size_t)(k + 1) * n + k];
+          double cn; cd sn;
+          zgivens(f, g, cn, sn, r);
+          Hl[(size_t)(k + 1) * n + k + 1] = r;
+          Hl[(size_t)(k + 1) * n + k] = cd(0.0, 0.0);
+          // columns (k, k+1), rows [0, k+1): right-multiply by
+          // lmat(cn, sn) = [[cn, sn], [-conj(sn), cn]]:
+          // new_c0 = cn*c0 - conj(sn)*c1 ; new_c1 = sn*c0 + cn*c1
+          for (int i = 0; i < k + 1; ++i) {
+            cd* row = Hl + (size_t)i * n;
+            cd a = row[k], bb = row[k + 1];
+            row[k] = cn * a - std::conj(sn) * bb;
+            row[k + 1] = sn * a + cn * bb;
+          }
+          c = cn; s = -sn;
+        }
+        if (want_z) zcolrot(cmat(Z, l, n), n, k, c, s, 0, n);
+      }
+      int hi = std::min(k + 3, n);
+      zcolrot(H0, n, k, c, s, 0, hi);
+    }
+  }
+  if (ilast >= 0) return 1;       // budget exhausted
+
+  // ---- postprocess: real-nonnegative triangular diagonals ------------
+  for (int l = p - 1; l >= 1; --l) {
+    cd* Hl = cmat(H, l, n);
+    cd* Hm = cmat(H, l - 1, n);
+    for (int j = 0; j < n; ++j) {
+      cd d = Hl[(size_t)j * n + j];
+      double ad = std::abs(d);
+      if (ad <= safmin) continue;
+      cd z = std::conj(d) / ad;
+      if (S[l] > 0) {             // scale row j of Hl by z
+        for (int col = 0; col < n; ++col) Hl[(size_t)j * n + col] *= z;
+      } else {                    // scale col j of Hl by z
+        for (int row = 0; row < n; ++row) Hl[(size_t)row * n + j] *= z;
+      }
+      Hl[(size_t)j * n + j] = cd(ad, 0.0);
+      cd sf = (S[l] > 0) ? z : std::conj(z);
+      if (want_z) {               // Z[l] col j *= conj(sf)
+        cd* Zl = cmat(Z, l, n);
+        for (int row = 0; row < n; ++row)
+          Zl[(size_t)row * n + j] *= std::conj(sf);
+      }
+      if (S[l - 1] > 0) {         // neighbor: col j *= conj(sf)
+        for (int row = 0; row < n; ++row)
+          Hm[(size_t)row * n + j] *= std::conj(sf);
+      } else {                    // neighbor: row j *= sf
+        for (int col = 0; col < n; ++col)
+          Hm[(size_t)j * n + col] *= sf;
+      }
+    }
+  }
+  return 0;
+}
+
+}  // namespace pqzcx
+
 extern "C" {
 
 // Full real periodic Schur pipeline: reduction + iteration.
@@ -682,6 +920,31 @@ int pschur_real_cpu(int p, int n, double* A, double* Z, double* wr,
 // Reduction only (for tests).
 void phessenberg_cpu(int p, int n, double* A, double* Q, int want_q) {
   phessenberg(p, n, A, Q, want_q);
+}
+
+
+// Complex periodic QZ of a Hessenberg+triangular cycle (AED windows).
+// H: (p, n, n) row-major complex128 (interleaved) in/out; S: (p,) int
+// (+1 direct / -1 or 0 inverted); Z: (p, n, n) complex128 out (identity-
+// initialized here); alpha complex128 (n,), beta double (n,), scal int (n,).
+// Returns 0 ok, 1 non-convergence, 2 singular-factor case (caller falls
+// back to the full-machinery path).
+int pqz_complex_cpu(int p, int n, double* H, const int* S, double* Z,
+                    double* alpha, double* beta, int* scal, int maxitfac,
+                    int want_z) {
+  using pqzcx::cd;
+  cd* Hc = reinterpret_cast<cd*>(H);
+  cd* Zc = reinterpret_cast<cd*>(Z);
+  if (want_z) {
+    for (int l = 0; l < p; ++l)
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j)
+          Zc[(size_t)l * n * n + (size_t)i * n + j] =
+              (i == j) ? cd(1.0, 0.0) : cd(0.0, 0.0);
+  }
+  return pqzcx::pqz_complex(p, n, Hc, S, Zc,
+                            reinterpret_cast<cd*>(alpha), beta, scal,
+                            maxitfac, want_z);
 }
 
 }  // extern "C"

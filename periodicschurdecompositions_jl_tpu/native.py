@@ -30,24 +30,38 @@ _SO = os.path.join(os.path.dirname(_HERE), "native", "libpschur_cpu.so")
 _lib = None
 
 
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _SO, _SRC],
+            check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
     if not os.path.exists(_SO):
-        if not os.path.exists(_SRC):
-            return None
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _SO, _SRC],
-                check=True, capture_output=True)
-        except (OSError, subprocess.CalledProcessError):
+        if not _build():
             return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
+    if not hasattr(lib, "pqz_complex_cpu"):
+        # stale .so from before the complex QZ landed: rebuild once
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
     lib.pschur_real_cpu.restype = ctypes.c_int
     lib.pschur_real_cpu.argtypes = [
         ctypes.c_int, ctypes.c_int,
@@ -59,6 +73,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int]
+    lib.pqz_complex_cpu.restype = ctypes.c_int
+    lib.pqz_complex_cpu.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -115,3 +136,38 @@ def phessenberg_cpu(A, want_q: bool = True
     Q = np.zeros_like(H)
     lib.phessenberg_cpu(p, n, _dp(H), _dp(Q), int(bool(want_q)))
     return H, (Q if want_q else None)
+
+
+def pqz_complex_cpu(H, S, maxitfac: int = 30, want_z: bool = True):
+    """Complex periodic QZ of a Hessenberg+triangular cycle (native C++).
+
+    The common NONSINGULAR fast path for the AED window analyses
+    (ops/aed.py): input ``H`` (p, n, n) complex128 with H[0] upper
+    Hessenberg and H[1:] upper triangular, ``S`` the signature.
+
+    Returns (T, Z, alpha, beta, scal) or None when the native core
+    declined (rc=2: a negligible triangular diagonal needs the full
+    singular-factor machinery; rc=1: budget exhausted) — the caller
+    falls back to the jitted exact core.
+
+    Raises RuntimeError when the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native host library unavailable (g++ missing?)")
+    T = np.array(H, np.complex128, order="C", copy=True)
+    p, n, _ = T.shape
+    Sa = np.ascontiguousarray(
+        [1 if bool(s) else -1 for s in S], dtype=np.int32)
+    Z = np.zeros_like(T)
+    alpha = np.zeros(n, np.complex128)
+    beta = np.zeros(n, np.float64)
+    scal = np.zeros(n, np.int32)
+    dpz = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa
+    ipz = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))  # noqa
+    rc = lib.pqz_complex_cpu(p, n, dpz(T), ipz(Sa), dpz(Z), dpz(alpha),
+                             dpz(beta), ipz(scal), int(maxitfac),
+                             int(bool(want_z)))
+    if rc != 0:
+        return None
+    return T, (Z if want_z else None), alpha, beta, scal

@@ -260,7 +260,22 @@ def aed_analyze(Hwin: np.ndarray, beta: float, tol: float,
 
 
 def _window_gpsd(Hwin: np.ndarray, S):
-    """Exact-f64 complex periodic QZ of the window cycle (CPU core)."""
+    """Exact-f64 complex periodic QZ of the window cycle (host).
+
+    Native-first (see _window_schur): the C++ single-shift pQZ solves
+    the common nonsingular window in ~20 ms at (p=16, w=48) with no
+    compile; it DECLINES (returns None) on singular-factor windows and
+    non-convergence, in which case the jitted exact core — with the
+    full deflate_pos/neg + controlled-zero-shift machinery — takes
+    over.
+    """
+    from .. import native
+    if native.available():
+        out = native.pqz_complex_cpu(np.asarray(Hwin, np.complex128), S)
+        if out is not None:
+            T, Z, al, be, sc = out
+            return T, Z, al, be, sc
+        # declined: fall through to the full-machinery jitted core
     from .pqz_complex import pqz_complex_core
     with jax.default_device(_cpu_device()):
         T, Z, al, be, sc, ok = pqz_complex_core(jnp.asarray(Hwin), S,
