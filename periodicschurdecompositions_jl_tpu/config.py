@@ -89,7 +89,13 @@ class AlgoConfig:
     # slower; the native C++ analysis runs the same window in ~32 ms.
     aed: bool = True
     aed_window: int = 0   # 0 = auto: min(48, max(16, n // 10))
-    aed_interval: int = 0  # 0 = auto: max(24, n // 6)
+    # 0 = auto.  The real ds chunked core uses max(24, n // 4) (round-3
+    # retune: with the ~32 ms native window analysis a denser interval
+    # harvests earlier; ops/pqr_ff.py); the complex and real-generalized
+    # chunked cores keep the original max(24, n // 6) — their windows are
+    # costlier to analyze (native cx pQZ / jitted rg core) and their AED
+    # has only been driven at n=128-class sizes so far.
+    aed_interval: int = 0
     # AED engages only at n >= aed_min_n: each event costs ~0.3 s of
     # host round-trips (state pulls + writeback dispatch over the
     # tunnel), which wins big at n=512 (12.07 s vs a 64 s stall /
@@ -124,10 +130,15 @@ class AlgoConfig:
     # order differs — but equally backward-stable).  The env vars
     # PSD_GROUP_MODE / PSD_GROUP_HBM seed these DEFAULTS only (probe
     # subprocess plumbing); per-call selection goes through this config.
-    sweep_mode: str = _os.environ.get("PSD_GROUP_MODE", "step")
+    # default_factory: the env is read when an AlgoConfig is CONSTRUCTED
+    # (so setting it after import still takes effect for new configs) —
+    # note ``default_config`` below is built at import time regardless.
+    sweep_mode: str = dataclasses.field(
+        default_factory=lambda: _os.environ.get("PSD_GROUP_MODE", "step"))
     # allow the grouped/banded kernel-B paths when the slabs are
     # HBM-staged (headline sizes, > ~96 MiB of buffers)
-    sweep_hbm_grouped: bool = _os.environ.get("PSD_GROUP_HBM", "0") == "1"
+    sweep_hbm_grouped: bool = dataclasses.field(
+        default_factory=lambda: _os.environ.get("PSD_GROUP_HBM", "0") == "1")
 
     def ulp_x(self, ulp: float) -> float:
         """Tightened Ahues-Tisseur relative threshold ``eps^(1+at_pwr16/16)``."""

@@ -54,9 +54,12 @@ def _pschur_complex_gen(A, S, orient, want_t, want_z, maxitfac,
     """Right-orientation complex GPSD pipeline on a stacked cycle.
 
     backend: "complex" runs the complex128 core (exact f64; CPU-only — the
-    axon TPU has no complex dtype), "split" runs the split-complex (re, im)
-    pair core (ops/pqz_complex_split.py) that executes on the TPU, "auto"
-    picks split whenever the default JAX backend is not the CPU.
+    axon TPU has no complex dtype); "split" runs the split-complex (re, im)
+    pair core in emulated f64 (ops/pqz_complex_split.py, executes on the
+    TPU but keeps f64-emulation's weak-add floor); "ff" runs the
+    production split-complex float-float chunked core with the fused cx
+    Pallas sweeps (ops/pqz_complex_ff.py — contract-grade on-chip);
+    "auto" picks "complex" when the default DEVICE is the CPU, else "ff".
     """
     import jax as _jax
     p = A.shape[0]

@@ -117,6 +117,10 @@ def _reinitialize(PK: _PKrylov, l: int, j: int,
                   eta: float = ETA_ORTH) -> bool:
     """Random re-start of basis column j of slot l, orthogonalized
     (reference :152-181)."""
+    from ..config import verbosity as _verby
+    if _verby("krylov") >= 1:
+        print(f"[krylov] breakdown: reinitializing basis column {j} "
+              f"of slot {l} with a random vector", flush=True)
     v = PK.vrand(PK.n)
     rnorm = np.linalg.norm(v)
     if j > 0:
@@ -829,6 +833,15 @@ def partial_pschur(
         # verify locks against the actual foot (reference `_verify_locks!`)
         nlock = _verify_locks(PK, lams_all, rs_all, nlock, conv, isreal_t)
         active = nlock
+        # restart tracing on the ``krylov`` channel (the reference prints
+        # per-restart lock/residual progress via _kry_verby,
+        # src/diagnostics.jl:5-31 + src/krylov.jl verbosity hooks)
+        from ..config import verbosity as _verby
+        if _verby("krylov") >= 1:
+            best = np.sort(rs_all[:maxdim])[:max(nev, 1)]
+            print(f"[krylov] restart {it + 1}: locked {active}/{nev} "
+                  f"k={k} nprods={nprods} best resid "
+                  + np.array2string(best, precision=2), flush=True)
         if not pa_ok:
             # singularity budget exhausted while extending: keep the locks
             # verified THIS restart (an exactly-deflating rank-deficient

@@ -176,6 +176,15 @@ def _swap_blocks(T, Z, S, i1, nb1, nb2):
     return swapadjqr(T, Z, S, i1, nb1, nb2)
 
 
+def _move_log(jsrc, here):
+    """Block-move failure tracing on the ``rordschur`` channel (the
+    reference's _moveblock! diagnostics, src/rordschur.jl:100,141-251)."""
+    from ..config import verbosity
+    if verbosity("rordschur") >= 1:
+        print(f"[rordschur] block move from {jsrc} stuck at {here}: "
+              "swap rejected by stability tests", flush=True)
+
+
 def _moveblock(T, Z, S, jsrc, jdest):
     """Move the block starting at jsrc up to jdest (reference
     `_moveblock!`, src/rordschur.jl:141-251).  Returns (jsrc, jdest, ok)."""
@@ -198,6 +207,7 @@ def _moveblock(T, Z, S, jsrc, jdest):
             nbnext = 2 if (here >= 2 and A1[here - 1, here - 2] != 0) else 1
             ok = _swap_blocks(T, Z, S, here - nbnext, nbnext, nbsrc)
             if not ok:
+                _move_log(jsrc, here)
                 return jsrc, here, False
             here -= nbnext
             if nbsrc == 2 and A1[here + 1, here] == 0:
@@ -206,10 +216,12 @@ def _moveblock(T, Z, S, jsrc, jdest):
             nbnext = 2 if (here >= 2 and A1[here - 1, here - 2] != 0) else 1
             ok = _swap_blocks(T, Z, S, here - nbnext, nbnext, 1)
             if not ok:
+                _move_log(jsrc, here)
                 return jsrc, here, False
             if nbnext == 1:
                 ok = _swap_blocks(T, Z, S, here, nbnext, 1)
                 if not ok:
+                    _move_log(jsrc, here)
                     return jsrc, here, False
             else:
                 if A1[here, here - 1] == 0:
@@ -217,14 +229,17 @@ def _moveblock(T, Z, S, jsrc, jdest):
                 if nbnext == 2:
                     ok = _swap_blocks(T, Z, S, here - 1, 2, 1)
                     if not ok:
+                        _move_log(jsrc, here)
                         return jsrc, here, False
                     here -= 2
                 else:
                     ok = _swap_blocks(T, Z, S, here, 1, 1)
                     if not ok:
+                        _move_log(jsrc, here)
                         return jsrc, here, False
                     ok = _swap_blocks(T, Z, S, here - 1, 1, 1)
                     if not ok:
+                        _move_log(jsrc, here)
                         return jsrc, here, False
                     here -= 2
                 continue

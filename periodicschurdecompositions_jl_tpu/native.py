@@ -17,51 +17,126 @@ plain C ABI + ctypes).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import sys
 from typing import Optional, Tuple
 
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(os.path.dirname(_HERE), "native", "pschur_cpu.cpp")
-_SO = os.path.join(os.path.dirname(_HERE), "native", "libpschur_cpu.so")
+# legacy checked-in binary: built with -march=native on SOME host, so it can
+# SIGILL on a different CPU.  It is only ever used after a subprocess
+# self-test passes (the crash kills the probe child, not this process).
+_SO_REPO = os.path.join(os.path.dirname(_HERE), "native", "libpschur_cpu.so")
 
 _lib = None
+_load_failed = False
 
 
-def _build() -> bool:
+def _host_key() -> str:
+    """Cache key covering the source AND the host CPU (-march=native)."""
+    h = hashlib.sha1()
+    try:
+        with open(_SRC, "rb") as f:
+            h.update(f.read())
+    except OSError:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    h.update(line.encode())
+                    if line.startswith("flags"):
+                        break
+    except OSError:
+        import platform
+        h.update(platform.processor().encode())
+    return h.hexdigest()[:16]
+
+
+def _cache_so() -> str:
+    d = os.environ.get("PSD_NATIVE_CACHE",
+                       os.path.expanduser("~/.cache/psd_native"))
+    return os.path.join(d, f"libpschur_cpu-{_host_key()}.so")
+
+
+def _selftest(so_path: str) -> bool:
+    """Probe the binary in a subprocess (a foreign-host -march=native build
+    dies with SIGILL there instead of taking this process down)."""
+    code = (
+        "import ctypes, numpy as np\n"
+        f"lib = ctypes.CDLL({so_path!r})\n"
+        "assert hasattr(lib, 'pqz_complex_cpu')\n"
+        "dp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))\n"
+        "T = np.random.default_rng(0).standard_normal((2, 4, 4))\n"
+        "H = np.zeros_like(T); Q = np.zeros_like(T)\n"
+        "H[:] = T\n"
+        "lib.phessenberg_cpu(2, 4, dp(H), dp(Q), 1)\n"
+        "Z = np.zeros_like(H); wr = np.zeros(4); wi = np.zeros(4)\n"
+        "rc = lib.pschur_real_cpu(2, 4, dp(H), dp(Z), dp(wr), dp(wi), 30, 1)\n"
+        "assert rc == 0\n"
+        "print('NATIVE_OK')\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=120)
+        return r.returncode == 0 and b"NATIVE_OK" in r.stdout
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _build(out_so: str) -> bool:
     if not os.path.exists(_SRC):
         return False
     try:
+        os.makedirs(os.path.dirname(out_so), exist_ok=True)
+        tmp = out_so + f".tmp.{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _SO, _SRC],
+             "-o", tmp, _SRC],
             check=True, capture_output=True)
+        os.replace(tmp, out_so)
         return True
     except (OSError, subprocess.CalledProcessError):
         return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
-        if not _build():
+    if _load_failed:
+        return None
+    # 1) host-keyed cache build (source hash + CPU model/flags in the key,
+    #    so a binary never outlives its host or its source);
+    # 2) else the checked-in repo .so, but only past a subprocess self-test;
+    # 3) else build into the cache.  Any failure -> None (callers fall back
+    #    to the jitted exact-f64 cores).
+    so = _cache_so()
+    if not os.path.exists(so):
+        if os.path.exists(_SO_REPO) and _selftest(_SO_REPO):
+            # record the pass: copy into the host-keyed cache so later
+            # processes skip the ~2 s subprocess probe
+            try:
+                import shutil
+                os.makedirs(os.path.dirname(so), exist_ok=True)
+                shutil.copyfile(_SO_REPO, so + f".tmp.{os.getpid()}")
+                os.replace(so + f".tmp.{os.getpid()}", so)
+            except OSError:
+                so = _SO_REPO
+        elif not (_build(so) and _selftest(so)):
+            _load_failed = True
             return None
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
     except OSError:
+        _load_failed = True
         return None
     if not hasattr(lib, "pqz_complex_cpu"):
-        # stale .so from before the complex QZ landed: rebuild once
-        if not _build():
-            return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError:
-            return None
+        _load_failed = True
+        return None
     lib.pschur_real_cpu.restype = ctypes.c_int
     lib.pschur_real_cpu.argtypes = [
         ctypes.c_int, ctypes.c_int,

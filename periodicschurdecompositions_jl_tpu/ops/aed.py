@@ -79,7 +79,9 @@ def _window_schur(Hwin: np.ndarray):
                                                              np.float64))
             return T, Z, wr, wi
         except (RuntimeError, ValueError):
-            return None  # non-convergence degrades to "no deflation"
+            pass  # native non-convergence: fall through to the jitted
+            # exact-f64 core (mirrors _window_gpsd's decline handling —
+            # it may still converge and deliver the deflations)
     from .pqr_real import pqr_real_core
     with jax.default_device(_cpu_device()):
         T, Z, wr, wi, ok = pqr_real_core(jnp.asarray(Hwin), want_z=True)

@@ -134,7 +134,8 @@ def pqr_real_core_ff_chunked(
         out1 = pqr_real_core_ff(Hhi, Hlo, ZThi, ZTlo, want_z=want_z,
                                 maxitfac=maxitfac, cfg=cfg,
                                 interpret=interpret)
-        return out1 + ({"niter": 0, "aed_deflated": 0},) if with_info \
+        return out1 + ({"niter": 0, "aed_deflated": 0,
+                        "host_tail_finished": 0},) if with_info \
             else out1
     maxit = maxitfac * n
     if chunk_iters is None:
@@ -211,6 +212,7 @@ def pqr_real_core_ff_chunked(
     else:
         seg = chunk_iters
     aed_total = 0
+    tail_total = 0  # host-tail finishes, reported separately from AED
 
     # ---- host-tail finish plumbing (cfg.host_tail; ops/aed.py) ----------
     if cfg.host_tail >= 0:
@@ -237,7 +239,7 @@ def pqr_real_core_ff_chunked(
         (p, tail_n) shape so every tail size reuses ONE compiled apply
         (aed_apply_ff is shape-keyed on w); rows [m, tail_n) get an exact
         identity.  Failures degrade to continuing the ds iteration."""
-        nonlocal aed_total
+        nonlocal tail_total
         i_cur = int(state[4])
         m = i_cur + 1
         wfix = tail_n
@@ -269,7 +271,7 @@ def pqr_real_core_ff_chunked(
         wi = _np.asarray(state[3]).copy()
         wr[:m] = lams.real
         wi[:m] = lams.imag
-        aed_total += d
+        tail_total += d
         if verbosity("main") >= 1:
             print(f"[pqr_ff tail] host-finished the leading {m}-window")
         return (FF(Hh, Hl), FF(Zh, Zl), jnp.asarray(wr), jnp.asarray(wi),
@@ -337,7 +339,8 @@ def pqr_real_core_ff_chunked(
                 # `with_info` mirrors the other cores' iteration counters
                 # (reference prints niter tallies at verbosity > 0)
                 return tuple(outs) + ({"niter": int(state[-1]),
-                                       "aed_deflated": aed_total},)
+                                       "aed_deflated": aed_total,
+                                       "host_tail_finished": tail_total},)
             return tuple(outs)
         if tail_n >= 2 and 2 <= int(state[4]) + 1 <= tail_n:
             state, finished = _try_tail(state)

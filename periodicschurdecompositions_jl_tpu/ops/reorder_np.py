@@ -26,6 +26,14 @@ import numpy as np
 from ..types import IllConditionedException
 
 
+def _swap_log(msg: str) -> None:
+    """Swap-rejection tracing on the ``sylswap`` verbosity channel (the
+    reference warns on stability-test failures, src/sylswap.jl:126,308)."""
+    from ..config import verbosity
+    if verbosity("sylswap") >= 1:
+        print(f"[sylswap] {msg}", flush=True)
+
+
 # ---------------------------------------------------------------------------
 # BABD QR (reference src/babd.jl, Granat et al. BIT 2007)
 
@@ -290,6 +298,8 @@ def swapadj1x1(T: List[np.ndarray], Z, S, i1, threshfac=20.0) -> bool:
         Txx[0] = G.conj().T @ Txx[0] @ G
         ws = abs(Txx[0][1, 0])
         if ws > thresh:
+            _swap_log(f"1x1 swap at {i1} rejected (k=1 weak test "
+                      f"{ws:.2e} > {thresh:.2e})")
             return False
         T[0][:, i1:i1 + 2] = T[0][:, i1:i1 + 2] @ G
         T[0][i1:i1 + 2, :] = G.conj().T @ T[0][i1:i1 + 2, :]
@@ -328,6 +338,8 @@ def swapadj1x1(T: List[np.ndarray], Z, S, i1, threshfac=20.0) -> bool:
     # rotations, and 'ws > thresh' is False for NaN — the corrupted swap
     # would be ACCEPTED
     if not (ws <= thresh):
+        _swap_log(f"1x1 swap at {i1} rejected (weak test "
+                  f"{ws:.2e} !<= {thresh:.2e})")
         return False
     # strong test: reconstruct the original blocks
     ss = 0.0
@@ -340,6 +352,8 @@ def swapadj1x1(T: List[np.ndarray], Z, S, i1, threshfac=20.0) -> bool:
         Torig = np.array([[T11[l], T12[l]], [0.0, T22[l]]], dtype=dt)
         ss = np.hypot(ss, np.linalg.norm(Trec - Torig))
     if not (ss <= thresh):
+        _swap_log(f"1x1 swap at {i1} rejected (strong test "
+                  f"{ss:.2e} !<= {thresh:.2e})")
         return False
 
     for l in range(k):
@@ -415,6 +429,8 @@ def swapadjqr(T: List[np.ndarray], Z, S, i1, p1, p2, tol=100.0) -> bool:
     # comparison would be False, ACCEPTING the corrupted swap)
     ws = max(np.linalg.norm(Txx[l][p2:m, 0:p2]) for l in range(k))
     if not (ws <= thresh):
+        _swap_log(f"({p1},{p2}) swap at {i1} rejected (weak test "
+                  f"{ws:.2e} !<= {thresh:.2e})")
         return False
 
     # fill-in detection + repair (2x2 blocks may come back non-triangular)
@@ -459,6 +475,8 @@ def swapadjqr(T: List[np.ndarray], Z, S, i1, p1, p2, tol=100.0) -> bool:
     junk = max(np.abs(np.tril(Txx[l], -1)).max() for l in range(1, k)) \
         if k > 1 else 0.0
     if not (junk <= 10 * thresh):
+        _swap_log(f"({p1},{p2}) swap at {i1} rejected (structural test "
+                  f"{junk:.2e} !<= {10 * thresh:.2e})")
         return False
 
     # strong test: reconstruct original window
@@ -477,6 +495,8 @@ def swapadjqr(T: List[np.ndarray], Z, S, i1, p1, p2, tol=100.0) -> bool:
             Trec = Qs[l] @ Tl @ Qs[l1].conj().T
         ss = max(ss, np.linalg.norm(Trec - T[l][i1:i3 + 1, i1:i3 + 1]))
     if not (ss <= thresh):
+        _swap_log(f"({p1},{p2}) swap at {i1} rejected (strong test "
+                  f"{ss:.2e} !<= {thresh:.2e})")
         return False
 
     # accepted: apply to the full matrices
@@ -588,6 +608,14 @@ def rpeigvals2x2_np(W, S, maxit: int = 80, seed: int = 1903):
         B[0] = B[0] @ _gmat(c, s).conj().T
 
     converged = conv()
+    if not converged:
+        # ``r2x2`` channel: the reference's _rpeigvals2x2 prints its punt
+        # on non-convergence (src/rpschur2x2.jl:2,5 + verbosity ref)
+        from ..config import verbosity
+        if verbosity("r2x2") >= 1:
+            print(f"[r2x2] 2x2 periodic QZ did not converge in {maxit} "
+                  f"sweeps (residual {abs(B[0][1, 0]):.2e}); caller falls "
+                  f"back to the one-shot product", flush=True)
     if converged:
         B[0][1, 0] = 0.0
     beta = 1.0
