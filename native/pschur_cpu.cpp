@@ -904,6 +904,676 @@ int pqz_complex(int p, int n, cd* H, const int* S, cd* Z, cd* alpha,
 
 }  // namespace pqzcx
 
+// ===========================================================================
+// Real generalized periodic QZ (MB03BD scope) for NONSINGULAR windows.
+//
+// Independent C++ rewrite of the algorithm the JAX core
+// ../periodicschurdecompositions_jl_tpu/ops/pqz_real.py implements
+// (reference behavior: /root/reference/src/rgeneralized.jl:49-1083) for the
+// AED window analyses (ops/aed.py real-generalized variant): input H[0]
+// upper Hessenberg, H[1..p-1] upper triangular, signature S[l] in {+1,-1},
+// S[0] = +1, p >= 2.  Same re-designed shift scheme as the JAX core: exact
+// trailing-2x2 window-product Wilkinson shifts + exact leading-3x3 opening
+// vector, random exceptional rotations every 10 sweeps, trailing 2x2 attack
+// via the real single-shift 2x2 periodic QZ (MB03BF semantics).
+// SCOPE: nonsingular fast path only — a negligible triangular diagonal
+// (deflate_pos/neg + controlled-zero-shift machinery) returns rc=2 and the
+// caller falls back to the jitted exact core; non-convergence returns rc=1.
+// Eigenvalues in the decomposed (alpha_r + i alpha_i, beta in {0,1},
+// 2^scale) form with standardized conjugate pairs.
+
+namespace pqzrg {
+
+using std::fabs;
+using std::sqrt;
+
+inline double* rmat_(double* H, int f, int n) { return H + (size_t)f * n * n; }
+
+// givens_real semantics (ops/rotations.py:62-84): [c s; -s c][f; g] = [r, 0]
+// with c >= 0; g == 0 -> (1, 0, f); f == 0 -> (0, sign(g), |g|).
+inline void givensr(double f, double g, double& c, double& s, double& r) {
+  if (g == 0.0) { c = 1.0; s = 0.0; r = f; return; }
+  if (f == 0.0) { c = 0.0; s = (g >= 0.0) ? 1.0 : -1.0; r = fabs(g); return; }
+  double scale = std::max(fabs(f), fabs(g));
+  double fs = f / scale, gs = g / scale;
+  double d = scale * sqrt(fs * fs + gs * gs);
+  r = (f >= 0.0) ? d : -d;
+  c = fabs(f) / d;
+  s = g / r;
+}
+
+// rows (i, i+1) of M, columns [lo, hi): left-multiply by lmat(c, s) =
+// [[c, s], [-s, c]].
+inline void rot_rows(double* M, int n, int i, double c, double s,
+                     int lo, int hi) {
+  double* r0 = M + (size_t)i * n;
+  double* r1 = M + (size_t)(i + 1) * n;
+  for (int j = lo; j < hi; ++j) {
+    double a = r0[j], b = r1[j];
+    r0[j] = c * a + s * b;
+    r1[j] = -s * a + c * b;
+  }
+}
+
+// cols (j, j+1) of M, rows [lo, hi): right-multiply by rmat_adj(c, s) =
+// [[c, -s], [s, c]].
+inline void rot_cols(double* M, int n, int j, double c, double s,
+                     int lo, int hi) {
+  for (int i = lo; i < hi; ++i) {
+    double* row = M + (size_t)i * n;
+    double a = row[j], b = row[j + 1];
+    row[j] = c * a + s * b;
+    row[j + 1] = -s * a + c * b;
+  }
+}
+
+inline void renorm_sc(double* P, int m, int& e) {
+  double mx = 0.0;
+  for (int t = 0; t < m; ++t) mx = std::max(mx, fabs(P[t]));
+  if (mx == 0.0) return;
+  int ee;
+  std::frexp(mx, &ee);
+  double f = std::ldexp(1.0, 1 - ee);
+  for (int t = 0; t < m; ++t) P[t] *= f;
+  e += ee - 1;
+}
+
+inline double xrand(unsigned long long& st) {
+  st ^= st << 13; st ^= st >> 7; st ^= st << 17;
+  return (double)(st % 2000001) / 1000000.0 - 1.0;
+}
+
+// lanv2 lives in the anonymous namespace above; re-declare a local copy to
+// keep this namespace self-contained (identical dlanv2 contract).
+void lanv2rg(double& a, double& b, double& c, double& d, double& cs,
+             double& sn, double& w1r, double& w1i, double& w2r, double& w2i) {
+  const double eps = 2.220446049250313e-16;
+  if (c == 0.0) {
+    cs = 1.0; sn = 0.0;
+  } else if (b == 0.0) {
+    cs = 0.0; sn = 1.0;
+    double t = d; d = a; a = t;
+    b = -c; c = 0.0;
+  } else if ((a - d) == 0.0 && ((b < 0) != (c < 0))) {
+    cs = 1.0; sn = 0.0;
+  } else {
+    double temp = a - d;
+    double pp = 0.5 * temp;
+    double bcmax = std::max(fabs(b), fabs(c));
+    double bcmis = std::min(fabs(b), fabs(c)) *
+                   (b >= 0 ? 1.0 : -1.0) * (c >= 0 ? 1.0 : -1.0);
+    double scale = std::max(fabs(pp), bcmax);
+    double z = (pp / scale) * pp + (bcmax / scale) * bcmis;
+    if (z >= 4.0 * eps) {
+      double zz = pp + copysign(sqrt(scale) * sqrt(z), pp);
+      a = d + zz;
+      d -= (bcmax / zz) * bcmis;
+      double tau = std::hypot(c, zz);
+      cs = zz / tau;
+      sn = c / tau;
+      b -= c;
+      c = 0.0;
+    } else {
+      double sigma = b + c;
+      double tau = std::hypot(sigma, temp);
+      cs = sqrt(0.5 * (1.0 + fabs(sigma) / tau));
+      sn = -(pp / (tau * cs)) * (sigma >= 0 ? 1.0 : -1.0);
+      double aa = a * cs + b * sn, bb = -a * sn + b * cs;
+      double cc = c * cs + d * sn, dd = -c * sn + d * cs;
+      a = aa * cs + cc * sn;
+      b = bb * cs + dd * sn;
+      c = -aa * sn + cc * cs;
+      d = -bb * sn + dd * cs;
+      double mid = 0.5 * (a + d);
+      a = mid; d = mid;
+      if (c != 0.0) {
+        if (b != 0.0) {
+          if ((b < 0) == (c < 0)) {
+            double sab = sqrt(fabs(b)), sac = sqrt(fabs(c));
+            double p2 = copysign(sab * sac, c);
+            double t2 = 1.0 / sqrt(fabs(b + c));
+            a = mid + p2; d = mid - p2;
+            b -= c; c = 0.0;
+            double cs1 = sab * t2, sn1 = sac * t2;
+            double csr = cs * cs1 - sn * sn1, snr = cs * sn1 + sn * cs1;
+            cs = csr; sn = snr;
+          }
+        } else {
+          b = -c; c = 0.0;
+          double t = cs; cs = -sn; sn = t;
+        }
+      }
+    }
+  }
+  w1r = a; w2r = d;
+  if (c == 0.0) {
+    w1i = 0.0; w2i = 0.0;
+  } else {
+    w1i = sqrt(fabs(b)) * sqrt(fabs(c));
+    w2i = -w1i;
+  }
+}
+
+// --------------------------------------------------------------------------
+// 2x2 cycle machinery (mirrors ops/pqz_real.py:57-193)
+
+// Opening rotation for the single-shift 2x2 periodic QZ sweep; B is p 2x2
+// blocks with the Hessenberg block LAST (row-major 4 doubles each).
+void qzrot2x2(int p, const double* B, const int* S2, double& c_out,
+              double& s_out) {
+  const double* Hl = B + (size_t)(p - 1) * 4;
+  double c1, s1, r, c2, s2, rr;
+  givensr(Hl[0], Hl[2], c1, s1, r);
+  givensr(r, 1.0, c2, s2, rr);
+  for (int l = p - 2; l >= 0; --l) {
+    Hl = B + (size_t)l * 4;
+    if (S2[l] > 0) {
+      double al = c2 * (c1 * Hl[0] + s1 * Hl[1]);
+      double be = s1 * c2 * Hl[3];
+      double ga = s2 * Hl[3];
+      givensr(al, be, c1, s1, r);
+      givensr(r, ga, c2, s2, rr);
+    } else {
+      double al = c1 * s2 * Hl[0];
+      double ga = s1 * Hl[0];
+      double be = s2 * (c1 * Hl[1] + s1 * Hl[3]);
+      double de = c1 * Hl[3] - s1 * Hl[1];
+      givensr(de, ga, c1, s1, rr);
+      al = c1 * al + s1 * be;
+      be = c2 * Hl[3];
+      givensr(be, al, c2, s2, r);
+    }
+  }
+  Hl = B + (size_t)(p - 1) * 4;
+  double al = s2 * Hl[3] - c1 * c2;
+  double be = -s1 * c2;
+  givensr(al, be, c1, s1, rr);
+  c_out = c1; s_out = s1;
+}
+
+// Real single-shift 2x2 periodic QZ (MB03BF semantics); returns true when
+// the Hessenberg block's subdiagonal became negligible (two real eigvals).
+bool rp2x2ssr(int p, double* B, const int* S2, int maxit) {
+  const double ulp = 2.220446049250313e-16;
+  for (int t = 0; t < maxit; ++t) {
+    double* Hp = B + (size_t)(p - 1) * 4;
+    if (fabs(Hp[2]) < ulp * std::max(std::max(fabs(Hp[0]), fabs(Hp[1])),
+                                     fabs(Hp[3])))
+      return true;
+    double c, s, r;
+    qzrot2x2(p, B, S2, c, s);
+    // B[p-1] = B[p-1] @ rmat_adj(c, s)
+    {
+      double a = Hp[0], b = Hp[1], cc = Hp[2], d = Hp[3];
+      Hp[0] = c * a + s * b;  Hp[1] = -s * a + c * b;
+      Hp[2] = c * cc + s * d; Hp[3] = -s * cc + c * d;
+    }
+    for (int l = 0; l < p - 1; ++l) {
+      double* Hl = B + (size_t)l * 4;
+      if (S2[l] > 0) {
+        // Hl = lmat(c, s) @ Hl, then re-triangularize from the right
+        double a = Hl[0], b = Hl[1], cc = Hl[2], d = Hl[3];
+        Hl[0] = c * a + s * cc;  Hl[1] = c * b + s * d;
+        Hl[2] = -s * a + c * cc; Hl[3] = -s * b + c * d;
+        givensr(Hl[3], -Hl[2], c, s, r);
+        double h00 = Hl[0], h01 = Hl[1];
+        Hl[0] = c * h00 + s * h01;
+        Hl[1] = c * h01 - s * h00;
+        Hl[2] = 0.0;
+        Hl[3] = r;
+      } else {
+        // Hl = Hl @ rmat_adj(c, s), then re-triangularize from the left
+        double a = Hl[0], b = Hl[1], cc = Hl[2], d = Hl[3];
+        Hl[0] = c * a + s * b;  Hl[1] = -s * a + c * b;
+        Hl[2] = c * cc + s * d; Hl[3] = -s * cc + c * d;
+        givensr(Hl[0], Hl[2], c, s, r);
+        double h01 = Hl[1], h11 = Hl[3];
+        Hl[0] = r;
+        Hl[1] = c * h01 + s * h11;
+        Hl[2] = 0.0;
+        Hl[3] = c * h11 - s * h01;
+      }
+    }
+    // B[p-1] = lmat(c, s) @ B[p-1]
+    {
+      double a = Hp[0], b = Hp[1], cc = Hp[2], d = Hp[3];
+      Hp[0] = c * a + s * cc;  Hp[1] = c * b + s * d;
+      Hp[2] = -s * a + c * cc; Hp[3] = -s * b + c * d;
+    }
+  }
+  double* Hp = B + (size_t)(p - 1) * 4;
+  return fabs(Hp[2]) < ulp * std::max(std::max(fabs(Hp[0]), fabs(Hp[1])),
+                                      fabs(Hp[3]));
+}
+
+// Eigenvalues of the signed product of p 2x2 window blocks (scaled signed
+// product standardized by dlanv2; mirrors ops/pqz_real.py:151-193).
+void eig2x2_product(int p, const double* W, const int* S, double& w1r,
+                    double& w1i, double& w2r, double& w2i, int& s1,
+                    int& s2, double& beta) {
+  double P[4] = {1.0, 0.0, 0.0, 1.0};
+  int e = 0;
+  beta = 1.0;
+  for (int l = 0; l < p; ++l) {
+    const double* Wl = W + (size_t)l * 4;
+    double M[4];
+    if (S[l] > 0) {
+      // full block: the Hessenberg window (l == 0) carries its subdiagonal
+      M[0] = Wl[0]; M[1] = Wl[1]; M[2] = Wl[2]; M[3] = Wl[3];
+    } else {
+      double a = Wl[0], b = Wl[1], d = Wl[3];
+      if (a == 0.0 || d == 0.0) beta = 0.0;
+      double as = (a == 0.0) ? 1.0 : a;
+      double ds = (d == 0.0) ? 1.0 : d;
+      M[0] = 1.0 / as; M[1] = -b / (as * ds); M[2] = 0.0; M[3] = 1.0 / ds;
+    }
+    double Q[4];
+    Q[0] = P[0] * M[0] + P[1] * M[2];
+    Q[1] = P[0] * M[1] + P[1] * M[3];
+    Q[2] = P[2] * M[0] + P[3] * M[2];
+    Q[3] = P[2] * M[1] + P[3] * M[3];
+    std::memcpy(P, Q, sizeof(Q));
+    renorm_sc(P, 4, e);
+  }
+  double a = P[0], b = P[1], c = P[2], d = P[3], cs, sn;
+  lanv2rg(a, b, c, d, cs, sn, w1r, w1i, w2r, w2i);
+  // norm_one: mantissa to [1, 2), per-eigenvalue scale
+  auto norm_one = [&](double& wr, double& wi, int& sc) {
+    double m = std::hypot(wr, wi);
+    if (m == 0.0) { sc = 0; return; }
+    int ee;
+    std::frexp(m, &ee);
+    double f = std::ldexp(1.0, 1 - ee);
+    wr *= f; wi *= f;
+    sc = ee - 1;
+  };
+  norm_one(w1r, w1i, s1);
+  norm_one(w2r, w2i, s2);
+  s1 += e;
+  s2 += e;
+}
+
+// --------------------------------------------------------------------------
+// shared single-rotation "510" chain (mirrors ops/pqz_real.py:367-388)
+void chain510(int p, int n, double* H, const int* S, double* Z, int j,
+              double c1, double s1, int want_z) {
+  double r;
+  double* H0 = rmat_(H, 0, n);
+  rot_rows(H0, n, j, c1, s1, j, n);
+  if (want_z) rot_cols(rmat_(Z, 0, n), n, j, c1, s1, 0, n);
+  for (int l = p - 1; l >= 1; --l) {
+    double* Hl = rmat_(H, l, n);
+    if (S[l] > 0) {
+      rot_cols(Hl, n, j, c1, s1, 0, j + 2);
+      givensr(Hl[(size_t)j * n + j], Hl[(size_t)(j + 1) * n + j], c1, s1, r);
+      Hl[(size_t)j * n + j] = r;
+      Hl[(size_t)(j + 1) * n + j] = 0.0;
+      rot_rows(Hl, n, j, c1, s1, j + 1, n);
+    } else {
+      rot_rows(Hl, n, j, c1, s1, j, n);
+      givensr(Hl[(size_t)(j + 1) * n + j + 1],
+              -Hl[(size_t)(j + 1) * n + j], c1, s1, r);
+      Hl[(size_t)(j + 1) * n + j + 1] = r;
+      Hl[(size_t)(j + 1) * n + j] = 0.0;
+      rot_cols(Hl, n, j, c1, s1, 0, j + 1);
+    }
+    if (want_z) rot_cols(rmat_(Z, l, n), n, j, c1, s1, 0, n);
+  }
+  rot_cols(H0, n, j, c1, s1, 0, n);
+}
+
+// upper-triangular 3x3 inverse with guarded diagonals
+// (mirrors ops/pqz_real.py:_tri3inv)
+inline void tri3inv(const double* B, double* I) {
+  double a = B[0], b = B[1], c = B[2];
+  double d = B[4], ee = B[5];
+  double f = B[8];
+  double a_ = (a == 0.0) ? 1.0 : a;
+  double d_ = (d == 0.0) ? 1.0 : d;
+  double f_ = (f == 0.0) ? 1.0 : f;
+  I[0] = 1.0 / a_; I[1] = -b / (a_ * d_); I[2] = (b * ee - c * d) / (a_ * d_ * f_);
+  I[3] = 0.0;      I[4] = 1.0 / d_;       I[5] = -ee / (d_ * f_);
+  I[6] = 0.0;      I[7] = 0.0;            I[8] = 1.0 / f_;
+}
+
+// opening rotations for the double-implicit-shift sweep
+// (mirrors ops/pqz_real.py:_opening_rotations, minus the PRNG plumbing)
+void opening_rotations(int p, int n, const double* H, const int* S, int j,
+                       int ilast, long iiter, unsigned long long& rng,
+                       double& c1, double& s1, double& c2, double& s2) {
+  double r2;
+  if (iiter % 10 == 0) {
+    double rr0 = xrand(rng), rr1 = xrand(rng);
+    double rr2 = xrand(rng), rr3 = xrand(rng);
+    double r;
+    givensr(rr0, rr1, c1, s1, r);
+    givensr(rr2, rr3, c2, s2, r);
+    return;
+  }
+  // leading 3x3 triangular-chain product (factors 1..p-1), scaled
+  double T3[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+  int eT = 0;
+  for (int l = 1; l < p; ++l) {
+    const double* Hl = H + (size_t)l * n * n;
+    double blk[9], M[9];
+    for (int a = 0; a < 3; ++a)
+      for (int b = 0; b < 3; ++b)
+        blk[a * 3 + b] = (b >= a) ? Hl[(size_t)(j + a) * n + (j + b)] : 0.0;
+    if (S[l] > 0) std::memcpy(M, blk, sizeof(blk));
+    else tri3inv(blk, M);
+    double Q[9];
+    for (int a = 0; a < 3; ++a)
+      for (int b = 0; b < 3; ++b) {
+        double sacc = 0.0;
+        for (int t = 0; t < 3; ++t) sacc += T3[a * 3 + t] * M[t * 3 + b];
+        Q[a * 3 + b] = sacc;
+      }
+    std::memcpy(T3, Q, sizeof(Q));
+    renorm_sc(T3, 9, eT);
+  }
+  const double* H0 = H;
+  double H0w[9];
+  for (int a = 0; a < 3; ++a)
+    for (int b = 0; b < 3; ++b)
+      H0w[a * 3 + b] = H0[(size_t)(j + a) * n + (j + b)];
+  H0w[6] = 0.0;  // (2, 0) is outside the Hessenberg band
+  double y1[3], t1[3], y2[3];
+  for (int a = 0; a < 3; ++a)
+    y1[a] = T3[a * 3] * H0w[0] + T3[a * 3 + 1] * H0w[3] + T3[a * 3 + 2] * H0w[6];
+  for (int a = 0; a < 3; ++a)
+    t1[a] = H0w[a * 3] * y1[0] + H0w[a * 3 + 1] * y1[1] + H0w[a * 3 + 2] * y1[2];
+  for (int a = 0; a < 3; ++a)
+    y2[a] = T3[a * 3] * t1[0] + T3[a * 3 + 1] * t1[1] + T3[a * 3 + 2] * t1[2];
+
+  // exact trailing 2x2 of the rotated product, scaled
+  int it = ilast - 1;
+  double B2[4] = {1, 0, 0, 1};
+  int eB = 0;
+  for (int l = 1; l < p; ++l) {
+    const double* Hl = H + (size_t)l * n * n;
+    double a = Hl[(size_t)it * n + it];
+    double b = Hl[(size_t)it * n + it + 1];
+    double d = Hl[(size_t)(it + 1) * n + it + 1];
+    double M[4];
+    if (S[l] > 0) { M[0] = a; M[1] = b; M[2] = 0.0; M[3] = d; }
+    else {
+      double a_ = (a == 0.0) ? 1.0 : a;
+      double d_ = (d == 0.0) ? 1.0 : d;
+      M[0] = 1.0 / a_; M[1] = -b / (a_ * d_); M[2] = 0.0; M[3] = 1.0 / d_;
+    }
+    double Q[4];
+    Q[0] = B2[0] * M[0] + B2[1] * M[2];
+    Q[1] = B2[0] * M[1] + B2[1] * M[3];
+    Q[2] = B2[2] * M[0] + B2[3] * M[2];
+    Q[3] = B2[2] * M[1] + B2[3] * M[3];
+    std::memcpy(B2, Q, sizeof(Q));
+    renorm_sc(B2, 4, eB);
+  }
+  {
+    double a = H0[(size_t)it * n + it];
+    double b = H0[(size_t)it * n + it + 1];
+    double cc = H0[(size_t)(it + 1) * n + it];
+    double d = H0[(size_t)(it + 1) * n + it + 1];
+    double Q[4];
+    Q[0] = B2[0] * a + B2[1] * cc;
+    Q[1] = B2[0] * b + B2[1] * d;
+    Q[2] = B2[2] * a + B2[3] * cc;
+    Q[3] = B2[2] * b + B2[3] * d;
+    std::memcpy(B2, Q, sizeof(Q));
+    renorm_sc(B2, 4, eB);
+  }
+  double trc = B2[0] + B2[3];
+  double det = B2[0] * B2[3] - B2[1] * B2[2];
+  double d_exp = (double)std::max(std::min(eB - eT, 500), -500);
+  double f = std::exp2(d_exp);
+  double v[3];
+  v[0] = y2[0] - trc * f * y1[0] + det * f * f;
+  v[1] = y2[1] - trc * f * y1[1];
+  v[2] = y2[2] - trc * f * y1[2];
+  givensr(v[1], v[2], c2, s2, r2);
+  double rr;
+  givensr(v[0], r2, c1, s1, rr);
+}
+
+// --------------------------------------------------------------------------
+int pqz_real_gen(int p, int n, double* H, const int* S, double* Z,
+                 double* alr, double* ali, double* beta, int* scal,
+                 int maxitfac, int want_z) {
+  const double ulp = 2.220446049250313e-16;
+  const double unfl = 2.2250738585072014e-308;
+  const double smlnum = unfl * ((double)n / ulp);
+  const long maxit = (long)maxitfac * n;
+  unsigned long long rng = 0xD1B54A32D192ED03ull;
+  if (p < 2 || S[0] <= 0) return 2;  // caller falls back
+
+  double* H0 = rmat_(H, 0, n);
+  std::vector<double> W(4 * p), B(4 * p);
+  std::vector<int> S2(p);
+
+  int ilast = n - 1;
+  long iiter = 0;
+  for (long jiter = 0; jiter < maxit && ilast >= 0; ++jiter) {
+    // ---- test 1: bottom-most negligible Hessenberg subdiagonal ---------
+    int jlo = 0;
+    for (int j = ilast; j >= 1; --j) {
+      double tol = std::max(ulp * (fabs(H0[(size_t)(j - 1) * n + j - 1]) +
+                                   fabs(H0[(size_t)j * n + j])),
+                            smlnum);
+      if (fabs(H0[(size_t)j * n + j - 1]) <= tol) {
+        H0[(size_t)j * n + j - 1] = 0.0;
+        jlo = j;
+        break;
+      }
+    }
+    if (ilast == 0 || jlo == ilast) {
+      // ---- split a 1x1 at ilast (signed safeprod over the diagonal) ----
+      double a = 1.0, b = 1.0;
+      int sc = 0;
+      for (int l = 0; l < p; ++l) {
+        double d = rmat_(H, l, n)[(size_t)ilast * n + ilast];
+        if (S[l] > 0) a *= d;
+        else {
+          if (d == 0.0) b = 0.0;
+          else a /= d;
+        }
+        renorm_sc(&a, 1, sc);
+      }
+      alr[ilast] = a; ali[ilast] = 0.0; beta[ilast] = b; scal[ilast] = sc;
+      --ilast; iiter = 0;
+      continue;
+    }
+    // ---- tests 2/3: negligible triangular diagonal -> fall back --------
+    for (int l = 1; l < p; ++l) {
+      const double* Hl = rmat_(H, l, n);
+      for (int j = jlo; j <= ilast; ++j) {
+        double t;
+        if (j == ilast) t = fabs(Hl[(size_t)(j - 1) * n + j]);
+        else if (j == jlo) t = fabs(Hl[(size_t)j * n + j + 1]);
+        else t = fabs(Hl[(size_t)(j - 1) * n + j]) +
+                 fabs(Hl[(size_t)j * n + j + 1]);
+        if (fabs(Hl[(size_t)j * n + j]) <= std::max(ulp * t, smlnum))
+          return 2;  // singular-factor machinery: jitted path
+      }
+    }
+    if (jlo == ilast - 1) {
+      // ---- trailing 2x2 attack (mirrors act_attack) --------------------
+      int j = ilast - 1;
+      for (int l = 0; l < p; ++l) {
+        const double* Hl = rmat_(H, l, n);
+        W[(size_t)l * 4 + 0] = Hl[(size_t)j * n + j];
+        W[(size_t)l * 4 + 1] = Hl[(size_t)j * n + j + 1];
+        W[(size_t)l * 4 + 2] = Hl[(size_t)(j + 1) * n + j];
+        W[(size_t)l * 4 + 3] = Hl[(size_t)(j + 1) * n + j + 1];
+      }
+      for (int t = 0; t < p; ++t) {
+        int src = (t + 1) % p;  // Hessenberg block last
+        std::memcpy(&B[(size_t)t * 4], &W[(size_t)src * 4],
+                    4 * sizeof(double));
+        S2[t] = S[src];
+      }
+      bool done2 = rp2x2ssr(p, B.data(), S2.data(), 40);
+      if (done2) {
+        // perfect-shift cascade (reference :695-709 semantics)
+        double c1 = 1.0, s1 = 1.0, r;
+        for (int l = p - 1; l >= 1; --l) {
+          double rbl = B[(size_t)(l - 1) * 4 + 3];
+          double hjj = rmat_(H, l, n)[(size_t)j * n + j];
+          if (S[l] > 0) givensr(c1 * hjj, s1 * rbl, c1, s1, r);
+          else givensr(c1 * rbl, s1 * hjj, c1, s1, r);
+        }
+        double rb = B[(size_t)(p - 1) * 4 + 3];
+        givensr(c1 * H0[(size_t)j * n + j] - rb * s1,
+                c1 * H0[(size_t)(j + 1) * n + j], c1, s1, r);
+        chain510(p, n, H, S, Z, j, c1, s1, want_z);
+        // the split 1x1s deflate via test 1 on the next iterations
+      } else {
+        double w1r, w1i, w2r, w2i, bflag;
+        int s1c, s2c;
+        eig2x2_product(p, W.data(), S, w1r, w1i, w2r, w2i, s1c, s2c, bflag);
+        double wi_abs = fabs(w1i);
+        alr[j] = w1r; alr[j + 1] = w1r;
+        ali[j] = wi_abs; ali[j + 1] = -wi_abs;
+        beta[j] = bflag; beta[j + 1] = bflag;
+        scal[j] = s1c; scal[j + 1] = s2c;
+        ilast -= 2;
+        iiter = 0;
+      }
+      continue;
+    }
+    // ---- double-implicit-shift sweep (mirrors act_sweep) ---------------
+    ++iiter;
+    int ifirst = jlo;
+    double c1, s1, c2, s2, r;
+    opening_rotations(p, n, H, S, ifirst, ilast, iiter, rng, c1, s1, c2, s2);
+    {
+      // opening (reference :890-943); j = ifirst
+      int j = ifirst;
+      rot_cols(H0, n, j + 1, c2, s2, 0, ilast + 1);
+      rot_cols(H0, n, j, c1, s1, 0, ilast + 1);
+      if (want_z) {
+        rot_cols(rmat_(Z, 1 % p, n), n, j + 1, c2, s2, 0, n);
+        rot_cols(rmat_(Z, 1 % p, n), n, j, c1, s1, 0, n);
+      }
+      double c2l = c2, s2l = s2, c1l = c1, s1l = s1;
+      for (int l = 1; l < p; ++l) {
+        double* Hl = rmat_(H, l, n);
+        if (S[l] > 0) {
+          rot_rows(Hl, n, j + 1, c2l, s2l, j, n);
+          givensr(Hl[(size_t)(j + 2) * n + j + 2],
+                  -Hl[(size_t)(j + 2) * n + j + 1], c2l, s2l, r);
+          Hl[(size_t)(j + 2) * n + j + 2] = r;
+          Hl[(size_t)(j + 2) * n + j + 1] = 0.0;
+          rot_cols(Hl, n, j + 1, c2l, s2l, 0, j + 2);
+          rot_rows(Hl, n, j, c1l, s1l, j, n);
+          givensr(Hl[(size_t)(j + 1) * n + j + 1],
+                  -Hl[(size_t)(j + 1) * n + j], c1l, s1l, r);
+          Hl[(size_t)(j + 1) * n + j + 1] = r;
+          Hl[(size_t)(j + 1) * n + j] = 0.0;
+          rot_cols(Hl, n, j, c1l, s1l, 0, j + 1);
+        } else {
+          rot_cols(Hl, n, j + 1, c2l, s2l, 0, j + 3);
+          givensr(Hl[(size_t)(j + 1) * n + j + 1],
+                  Hl[(size_t)(j + 2) * n + j + 1], c2l, s2l, r);
+          Hl[(size_t)(j + 1) * n + j + 1] = r;
+          Hl[(size_t)(j + 2) * n + j + 1] = 0.0;
+          rot_rows(Hl, n, j + 1, c2l, s2l, j + 2, n);
+          rot_cols(Hl, n, j, c1l, s1l, 0, j + 2);
+          givensr(Hl[(size_t)j * n + j], Hl[(size_t)(j + 1) * n + j],
+                  c1l, s1l, r);
+          Hl[(size_t)j * n + j] = r;
+          Hl[(size_t)(j + 1) * n + j] = 0.0;
+          rot_rows(Hl, n, j, c1l, s1l, j + 1, n);
+        }
+        if (want_z) {
+          int ln = (l + 1) % p;
+          rot_cols(rmat_(Z, ln, n), n, j + 1, c2l, s2l, 0, n);
+          rot_cols(rmat_(Z, ln, n), n, j, c1l, s1l, 0, n);
+        }
+      }
+      rot_rows(H0, n, j + 1, c2l, s2l, j, n);
+      rot_rows(H0, n, j, c1l, s1l, j, n);
+    }
+    // chase (reference :953-1014)
+    for (int j = ifirst + 1; j <= ilast - 2; ++j) {
+      double col0 = H0[(size_t)j * n + j - 1];
+      double col1 = H0[(size_t)(j + 1) * n + j - 1];
+      double col2 = H0[(size_t)(j + 2) * n + j - 1];
+      double r2v, r1v;
+      givensr(col1, col2, c2, s2, r2v);
+      givensr(col0, r2v, c1, s1, r1v);
+      H0[(size_t)j * n + j - 1] = r1v;
+      H0[(size_t)(j + 1) * n + j - 1] = 0.0;
+      H0[(size_t)(j + 2) * n + j - 1] = 0.0;
+      rot_rows(H0, n, j + 1, c2, s2, j, n);
+      rot_rows(H0, n, j, c1, s1, j, n);
+      if (want_z) {
+        rot_cols(rmat_(Z, 0, n), n, j + 1, c2, s2, 0, n);
+        rot_cols(rmat_(Z, 0, n), n, j, c1, s1, 0, n);
+      }
+      for (int l = p - 1; l >= 1; --l) {
+        double* Hl = rmat_(H, l, n);
+        if (S[l] > 0) {
+          rot_cols(Hl, n, j + 1, c2, s2, 0, j + 3);
+          givensr(Hl[(size_t)(j + 1) * n + j + 1],
+                  Hl[(size_t)(j + 2) * n + j + 1], c2, s2, r);
+          Hl[(size_t)(j + 1) * n + j + 1] = r;
+          Hl[(size_t)(j + 2) * n + j + 1] = 0.0;
+          rot_rows(Hl, n, j + 1, c2, s2, j + 2, n);
+          rot_cols(Hl, n, j, c1, s1, 0, j + 2);
+          givensr(Hl[(size_t)j * n + j], Hl[(size_t)(j + 1) * n + j],
+                  c1, s1, r);
+          Hl[(size_t)j * n + j] = r;
+          Hl[(size_t)(j + 1) * n + j] = 0.0;
+          rot_rows(Hl, n, j, c1, s1, j + 1, n);
+        } else {
+          rot_rows(Hl, n, j + 1, c2, s2, j, n);
+          givensr(Hl[(size_t)(j + 2) * n + j + 2],
+                  -Hl[(size_t)(j + 2) * n + j + 1], c2, s2, r);
+          Hl[(size_t)(j + 2) * n + j + 1] = 0.0;
+          Hl[(size_t)(j + 2) * n + j + 2] = r;
+          rot_cols(Hl, n, j + 1, c2, s2, 0, j + 2);
+          rot_rows(Hl, n, j, c1, s1, j, n);
+          givensr(Hl[(size_t)(j + 1) * n + j + 1],
+                  -Hl[(size_t)(j + 1) * n + j], c1, s1, r);
+          Hl[(size_t)(j + 1) * n + j] = 0.0;
+          Hl[(size_t)(j + 1) * n + j + 1] = r;
+          rot_cols(Hl, n, j, c1, s1, 0, j + 1);
+        }
+        if (want_z) {
+          rot_cols(rmat_(Z, l, n), n, j + 1, c2, s2, 0, n);
+          rot_cols(rmat_(Z, l, n), n, j, c1, s1, 0, n);
+        }
+      }
+      int lm = std::min(j + 3, n - 1);
+      rot_cols(H0, n, j + 1, c2, s2, 0, lm + 1);
+      rot_cols(H0, n, j, c1, s1, 0, lm + 1);
+    }
+    // closing rotation at j = ilast-1 (reference :1015-1048)
+    {
+      int j = ilast - 1;
+      double r1v;
+      givensr(H0[(size_t)j * n + j - 1], H0[(size_t)(j + 1) * n + j - 1],
+              c1, s1, r1v);
+      H0[(size_t)j * n + j - 1] = r1v;
+      H0[(size_t)(j + 1) * n + j - 1] = 0.0;
+      chain510(p, n, H, S, Z, j, c1, s1, want_z);
+    }
+  }
+  if (ilast >= 0) return 1;  // budget exhausted
+
+  // scrub: zero subdiagonals under real eigenvalues; triangularize others
+  for (int rr = 1; rr < n; ++rr)
+    if (ali[rr - 1] == 0.0) H0[(size_t)rr * n + rr - 1] = 0.0;
+  for (int f = 1; f < p; ++f) {
+    double* Hf = rmat_(H, f, n);
+    for (int rr = 1; rr < n; ++rr)
+      for (int cc = 0; cc < rr; ++cc) Hf[(size_t)rr * n + cc] = 0.0;
+  }
+  return 0;
+}
+
+}  // namespace pqzrg
+
 extern "C" {
 
 // Full real periodic Schur pipeline: reduction + iteration.
@@ -929,6 +1599,42 @@ void phessenberg_cpu(int p, int n, double* A, double* Q, int want_q) {
 // initialized here); alpha complex128 (n,), beta double (n,), scal int (n,).
 // Returns 0 ok, 1 non-convergence, 2 singular-factor case (caller falls
 // back to the full-machinery path).
+// Real generalized periodic QZ of a Hessenberg+triangular signed cycle
+// (rg AED windows).  H: (p, n, n) row-major double in/out (out: quasi-
+// triangular T stack, 2x2 blocks on H[0] for complex pairs); S: (p,) int
+// (+1 direct / -1 or 0 inverted, S[0] must be +1); Z: (p, n, n) out
+// (identity-initialized here); alr/ali/beta double (n,), scal int (n,).
+// Returns 0 ok, 1 non-convergence, 2 singular-factor case (caller falls
+// back to the full-machinery jitted path).
+int pqz_real_gen_cpu(int p, int n, double* H, const int* S, double* Z,
+                     double* alr, double* ali, double* beta, int* scal,
+                     int maxitfac, int want_z) {
+  if (want_z) {
+    for (int l = 0; l < p; ++l) {
+      double* Zl = Z + (size_t)l * n * n;
+      std::memset(Zl, 0, sizeof(double) * n * n);
+      for (int i = 0; i < n; ++i) Zl[(size_t)i * n + i] = 1.0;
+    }
+  }
+  if (n == 1) {
+    double a = 1.0, b = 1.0;
+    int sc = 0;
+    for (int l = 0; l < p; ++l) {
+      double d = H[(size_t)l * 1 * 1];
+      if (S[l] > 0) a *= d;
+      else {
+        if (d == 0.0) b = 0.0;
+        else a /= d;
+      }
+      pqzrg::renorm_sc(&a, 1, sc);
+    }
+    alr[0] = a; ali[0] = 0.0; beta[0] = b; scal[0] = sc;
+    return 0;
+  }
+  return pqzrg::pqz_real_gen(p, n, H, S, Z, alr, ali, beta, scal,
+                             maxitfac, want_z);
+}
+
 int pqz_complex_cpu(int p, int n, double* H, const int* S, double* Z,
                     double* alpha, double* beta, int* scal, int maxitfac,
                     int want_z) {

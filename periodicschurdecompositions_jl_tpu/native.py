@@ -70,6 +70,7 @@ def _selftest(so_path: str) -> bool:
         "import ctypes, numpy as np\n"
         f"lib = ctypes.CDLL({so_path!r})\n"
         "assert hasattr(lib, 'pqz_complex_cpu')\n"
+        "assert hasattr(lib, 'pqz_real_gen_cpu')\n"
         "dp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))\n"
         "T = np.random.default_rng(0).standard_normal((2, 4, 4))\n"
         "H = np.zeros_like(T); Q = np.zeros_like(T)\n"
@@ -155,6 +156,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "pqz_real_gen_cpu"):
+        lib.pqz_real_gen_cpu.restype = ctypes.c_int
+        lib.pqz_real_gen_cpu.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -246,3 +256,43 @@ def pqz_complex_cpu(H, S, maxitfac: int = 30, want_z: bool = True):
     if rc != 0:
         return None
     return T, (Z if want_z else None), alpha, beta, scal
+
+
+def pqz_real_gen_cpu(H, S, maxitfac: int = 120, want_z: bool = True):
+    """Real generalized periodic QZ of a Hessenberg+triangular signed cycle
+    (native C++).
+
+    The common NONSINGULAR fast path for the real-generalized AED window
+    analyses (ops/aed.py): input ``H`` (p, n, n) float64 with H[0] upper
+    Hessenberg and H[1:] upper triangular, ``S`` the signature (S[0] True).
+    Mirrors the re-designed shift scheme of ops/pqz_real.pqz_real_gen_core
+    (exact window-product shifts, 2x2 attack, MB03BD scope — reference
+    /root/reference/src/rgeneralized.jl:49-1083).
+
+    Returns (T, Z, alpha_r, alpha_i, beta, scal) or None when the native
+    core declined (rc=2: a negligible triangular diagonal needs the full
+    singular-factor machinery; rc=1: budget exhausted) — the caller falls
+    back to the jitted exact core.
+
+    Raises RuntimeError when the library is unavailable or the binding is
+    missing (stale cached .so).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "pqz_real_gen_cpu"):
+        raise RuntimeError("native pqz_real_gen_cpu unavailable")
+    T = np.array(H, np.float64, order="C", copy=True)
+    p, n, _ = T.shape
+    Sa = np.ascontiguousarray(
+        [1 if bool(s) else -1 for s in S], dtype=np.int32)
+    Z = np.zeros_like(T)
+    alr = np.zeros(n)
+    ali = np.zeros(n)
+    beta = np.zeros(n)
+    scal = np.zeros(n, np.int32)
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))  # noqa
+    rc = lib.pqz_real_gen_cpu(p, n, _dp(T), ip(Sa), _dp(Z), _dp(alr),
+                              _dp(ali), _dp(beta), ip(scal), int(maxitfac),
+                              int(bool(want_z)))
+    if rc != 0:
+        return None
+    return T, (Z if want_z else None), alr, ali, beta, scal

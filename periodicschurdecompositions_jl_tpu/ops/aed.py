@@ -420,6 +420,29 @@ def aed_analyze_cx(Hwin: np.ndarray, S, beta: complex, tol: float,
 
 
 def _window_rgpsd(Hwin: np.ndarray, S):
+    """Exact-f64 real generalized periodic QZ of the window cycle (host).
+
+    Native-first (see _window_gpsd): the C++ real pQZ
+    (native/pschur_cpu.cpp::pqz_real_gen_cpu, the re-designed MB03BD
+    scope of ops/pqz_real.py) solves the common nonsingular window in
+    ~5 ms at (p=16, w=48) with no compile, where the jitted core costs
+    ~seconds per execute plus a compile per (p, w, S) shape on the
+    1-vCPU axon box.  It DECLINES (returns None) on singular-factor
+    windows and non-convergence, in which case the jitted exact core —
+    with the full deflate_pos/neg + controlled-zero-shift machinery —
+    takes over.  Validated against the jitted core to ~1e-14
+    (tests/test_native_rg.py).
+    """
+    from .. import native
+    if native.available():
+        try:
+            out = native.pqz_real_gen_cpu(np.asarray(Hwin, np.float64), S)
+        except RuntimeError:
+            out = None  # stale cached .so without the symbol
+        if out is not None:
+            T, Z, ar, ai, be, sc = out
+            return T, Z, ar, ai, be, sc
+        # declined: fall through to the full-machinery jitted core
     from .pqz_real import pqz_real_gen_core
     with jax.default_device(_cpu_device()):
         T, Z, ar, ai, be, sc, ok = pqz_real_gen_core(jnp.asarray(Hwin), S,
