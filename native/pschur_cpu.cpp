@@ -1338,7 +1338,7 @@ void opening_rotations(int p, int n, const double* H, const int* S, int j,
 // --------------------------------------------------------------------------
 int pqz_real_gen(int p, int n, double* H, const int* S, double* Z,
                  double* alr, double* ali, double* beta, int* scal,
-                 int maxitfac, int want_z) {
+                 int maxitfac, int want_z, int* niter_out = nullptr) {
   const double ulp = 2.220446049250313e-16;
   const double unfl = 2.2250738585072014e-308;
   const double smlnum = unfl * ((double)n / ulp);
@@ -1352,7 +1352,8 @@ int pqz_real_gen(int p, int n, double* H, const int* S, double* Z,
 
   int ilast = n - 1;
   long iiter = 0;
-  for (long jiter = 0; jiter < maxit && ilast >= 0; ++jiter) {
+  long jiter = 0;
+  for (; jiter < maxit && ilast >= 0; ++jiter) {
     // ---- test 1: bottom-most negligible Hessenberg subdiagonal ---------
     int jlo = 0;
     for (int j = ilast; j >= 1; --j) {
@@ -1391,8 +1392,10 @@ int pqz_real_gen(int p, int n, double* H, const int* S, double* Z,
         else if (j == jlo) t = fabs(Hl[(size_t)j * n + j + 1]);
         else t = fabs(Hl[(size_t)(j - 1) * n + j]) +
                  fabs(Hl[(size_t)j * n + j + 1]);
-        if (fabs(Hl[(size_t)j * n + j]) <= std::max(ulp * t, smlnum))
+        if (fabs(Hl[(size_t)j * n + j]) <= std::max(ulp * t, smlnum)) {
+          if (niter_out) *niter_out = (int)jiter;
           return 2;  // singular-factor machinery: jitted path
+        }
       }
     }
     if (jlo == ilast - 1) {
@@ -1559,6 +1562,7 @@ int pqz_real_gen(int p, int n, double* H, const int* S, double* Z,
       chain510(p, n, H, S, Z, j, c1, s1, want_z);
     }
   }
+  if (niter_out) *niter_out = (int)jiter;
   if (ilast >= 0) return 1;  // budget exhausted
 
   // scrub: zero subdiagonals under real eigenvalues; triangularize others
@@ -1633,6 +1637,24 @@ int pqz_real_gen_cpu(int p, int n, double* H, const int* S, double* Z,
   }
   return pqzrg::pqz_real_gen(p, n, H, S, Z, alr, ali, beta, scal,
                              maxitfac, want_z);
+}
+
+// Variant reporting the iteration count (adversarial shift-scheme
+// validation harness, benchmarks/probe_rg_hostile.py).
+int pqz_real_gen_niter_cpu(int p, int n, double* H, const int* S, double* Z,
+                           double* alr, double* ali, double* beta, int* scal,
+                           int maxitfac, int want_z, int* niter) {
+  *niter = 0;
+  if (want_z) {
+    for (int l = 0; l < p; ++l) {
+      double* Zl = Z + (size_t)l * n * n;
+      std::memset(Zl, 0, sizeof(double) * n * n);
+      for (int i = 0; i < n; ++i) Zl[(size_t)i * n + i] = 1.0;
+    }
+  }
+  if (n == 1) return 0;
+  return pqzrg::pqz_real_gen(p, n, H, S, Z, alr, ali, beta, scal,
+                             maxitfac, want_z, niter);
 }
 
 int pqz_complex_cpu(int p, int n, double* H, const int* S, double* Z,

@@ -165,6 +165,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "pqz_real_gen_niter_cpu"):
+        lib.pqz_real_gen_niter_cpu.restype = ctypes.c_int
+        lib.pqz_real_gen_niter_cpu.argtypes = (
+            lib.pqz_real_gen_cpu.argtypes + [ctypes.POINTER(ctypes.c_int)])
     _lib = lib
     return lib
 
@@ -296,3 +300,35 @@ def pqz_real_gen_cpu(H, S, maxitfac: int = 120, want_z: bool = True):
     if rc != 0:
         return None
     return T, (Z if want_z else None), alr, ali, beta, scal
+
+
+def pqz_real_gen_niter_cpu(H, S, maxitfac: int = 120, want_z: bool = True):
+    """Like :func:`pqz_real_gen_cpu` but also reports the iteration count.
+
+    Returns (rc, niter, out): rc 0 ok / 1 budget exhausted / 2 declined;
+    ``out`` is the (T, Z, alr, ali, beta, scal) tuple when rc == 0 else
+    None.  The harness for the adversarial shift-scheme validation
+    (benchmarks/probe_rg_hostile.py): the native core runs the SAME
+    re-designed shift scheme as ops/pqz_real.pqz_real_gen_core, so its
+    iteration counts proxy the jitted core's at ~1000x the speed.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "pqz_real_gen_niter_cpu"):
+        raise RuntimeError("native pqz_real_gen_niter_cpu unavailable")
+    T = np.array(H, np.float64, order="C", copy=True)
+    p, n, _ = T.shape
+    Sa = np.ascontiguousarray(
+        [1 if bool(s) else -1 for s in S], dtype=np.int32)
+    Z = np.zeros_like(T)
+    alr = np.zeros(n)
+    ali = np.zeros(n)
+    beta = np.zeros(n)
+    scal = np.zeros(n, np.int32)
+    niter = ctypes.c_int(0)
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))  # noqa
+    rc = lib.pqz_real_gen_niter_cpu(
+        p, n, _dp(T), ip(Sa), _dp(Z), _dp(alr), _dp(ali), _dp(beta),
+        ip(scal), int(maxitfac), int(bool(want_z)), ctypes.byref(niter))
+    out = (T, (Z if want_z else None), alr, ali, beta, scal) \
+        if rc == 0 else None
+    return rc, int(niter.value), out

@@ -354,7 +354,7 @@ def pqr_real_core_ff_chunked(
 
 @partial(jax.jit, static_argnames=("want_z", "maxitfac", "cfg", "interpret",
                                    "maxiter", "debug_state",
-                                   "return_state"))
+                                   "return_state", "sweep_fn"))
 def pqr_real_core_ff(
     Hhi: jax.Array,
     Hlo: jax.Array,
@@ -369,6 +369,7 @@ def pqr_real_core_ff(
     it_cap: Optional[jax.Array] = None,
     resume_state=None,
     return_state: bool = False,
+    sweep_fn=None,
 ):
     """Run the ds real periodic QR iteration.
 
@@ -650,11 +651,15 @@ def pqr_real_core_ff(
             v0hi = v0d.astype(jnp.float32)
             v0 = FF(v0hi, (v0d - v0hi.astype(f64)).astype(jnp.float32))
 
-            if cfg.nbulges <= 1:
-                H, ZT = chase_sweep_ff(H, ZT if want_z else None, m, i, v0,
-                                       want_z=want_z, interpret=interpret,
-                                       mode=cfg.sweep_mode,
-                                       hbm_grouped=cfg.sweep_hbm_grouped)
+            if sweep_fn is not None or cfg.nbulges <= 1:
+                # sweep_fn: alternative sweep implementation with the
+                # chase_sweep_ff contract — e.g. the lane-sharded
+                # multi-device sweep (parallel/sweep_sharded.ShardedSweep)
+                impl = sweep_fn if sweep_fn is not None else chase_sweep_ff
+                H, ZT = impl(H, ZT if want_z else None, m, i, v0,
+                             want_z=want_z, interpret=interpret,
+                             mode=cfg.sweep_mode,
+                             hbm_grouped=cfg.sweep_hbm_grouped)
                 if not want_z:
                     ZT = HZwrwi[1]
                 return H, ZT, wr, wi

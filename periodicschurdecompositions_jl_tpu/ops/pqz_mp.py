@@ -706,6 +706,556 @@ def pqz_complex_core_mp(H, S: Sequence[bool], Z=None, want_z: bool = True,
 
 
 # --------------------------------------------------------------------------
+# REAL quasi-triangular core (the reference's generic real BigFloat path)
+#
+# The reference keeps real generic-eltype input in REAL arithmetic with a
+# quasi-triangular Schur factor (generic reflector paths
+# /root/reference/src/householder.jl:256-266, tested with BigFloat at
+# /root/reference/test/runtests.jl:89-100).  This section restores that
+# parity for the plain (all-positive) real PSD: a scalar mpmath
+# translation of the same MB03VD + MB03WD algorithm shape the f64 cores
+# implement (ops/hessenberg.py, ops/pqr_real.py), producing real mpf
+# factors with 2x2 blocks for complex pairs.
+
+
+def _to_mp_real(A):
+    A = np.asarray(A)
+    if A.ndim != 3 or A.shape[1] != A.shape[2]:
+        raise ValueError(f"expected a (p, n, n) cycle, got shape {A.shape}")
+    if A.dtype == object:
+        return [[[mpf(A[l, i, j]) for j in range(A.shape[2])]
+                 for i in range(A.shape[1])] for l in range(A.shape[0])]
+    return [[[mpf(float(A[l, i, j])) for j in range(A.shape[2])]
+             for i in range(A.shape[1])] for l in range(A.shape[0])]
+
+
+def _eye_mp_real(n):
+    return [[mpf(1) if i == j else mpf(0) for j in range(n)]
+            for i in range(n)]
+
+
+def _givens_r(f, g):
+    """Real Givens (c, s, r) with [c s; -s c] @ [f, g] = [r, 0], c >= 0."""
+    f = mpf(f)
+    g = mpf(g)
+    if g == 0:
+        return mp.one, mpf(0), f
+    if f == 0:
+        return mpf(0), mp.one if g >= 0 else -mp.one, abs(g)
+    r = mp.hypot(f, g)
+    if f < 0:
+        r = -r
+    return abs(f) / abs(r), g / r, r
+
+
+def _rows2r(A, i, c, s, lo=0, hi=None):
+    hi = len(A) if hi is None else hi
+    r0, r1 = A[i], A[i + 1]
+    for j in range(lo, hi):
+        a, b = r0[j], r1[j]
+        r0[j] = c * a + s * b
+        r1[j] = -s * a + c * b
+
+
+def _cols2r(A, j, c, s, lo=0, hi=None):
+    hi = len(A) if hi is None else hi
+    for i in range(lo, hi):
+        row = A[i]
+        a, b = row[j], row[j + 1]
+        row[j] = c * a + s * b
+        row[j + 1] = -s * a + c * b
+
+
+def _lanv2_mp(a, b, c, d):
+    """dlanv2 semantics at working precision (reference contract
+    src/rschur2x2.jl:9-96).  Returns (a, b, c, d, cs, sn, w1, w2)."""
+    eps = mp.eps
+    if c == 0:
+        cs, sn = mp.one, mpf(0)
+    elif b == 0:
+        cs, sn = mpf(0), mp.one
+        a, d = d, a
+        b, c = -c, mpf(0)
+    elif (a - d) == 0 and (b < 0) != (c < 0):
+        cs, sn = mp.one, mpf(0)
+    else:
+        temp = a - d
+        pp = temp / 2
+        bcmax = max(abs(b), abs(c))
+        bcmis = min(abs(b), abs(c)) * (1 if b >= 0 else -1) * \
+            (1 if c >= 0 else -1)
+        scale = max(abs(pp), bcmax)
+        z = (pp / scale) * pp + (bcmax / scale) * bcmis
+        if z >= 4 * eps:
+            zz = pp + (mp.sqrt(scale) * mp.sqrt(z) if pp >= 0
+                       else -mp.sqrt(scale) * mp.sqrt(z))
+            a = d + zz
+            d = d - (bcmax / zz) * bcmis
+            tau = mp.hypot(c, zz)
+            cs = zz / tau
+            sn = c / tau
+            b = b - c
+            c = mpf(0)
+        else:
+            sigma = b + c
+            tau = mp.hypot(sigma, temp)
+            cs = mp.sqrt((1 + abs(sigma) / tau) / 2)
+            sn = -(pp / (tau * cs)) * (1 if sigma >= 0 else -1)
+            aa = a * cs + b * sn
+            bb = -a * sn + b * cs
+            cc = c * cs + d * sn
+            dd = -c * sn + d * cs
+            a = aa * cs + cc * sn
+            b = bb * cs + dd * sn
+            c = -aa * sn + cc * cs
+            d = -bb * sn + dd * cs
+            mid = (a + d) / 2
+            a = mid
+            d = mid
+            if c != 0:
+                if b != 0:
+                    if (b < 0) == (c < 0):
+                        sab = mp.sqrt(abs(b))
+                        sac = mp.sqrt(abs(c))
+                        p2 = sab * sac if c >= 0 else -sab * sac
+                        t2 = 1 / mp.sqrt(abs(b + c))
+                        a = mid + p2
+                        d = mid - p2
+                        b = b - c
+                        c = mpf(0)
+                        cs1 = sab * t2
+                        sn1 = sac * t2
+                        cs, sn = cs * cs1 - sn * sn1, cs * sn1 + sn * cs1
+                else:
+                    b = -c
+                    c = mpf(0)
+                    cs, sn = -sn, cs
+    if c == 0:
+        w1 = mpc(a)
+        w2 = mpc(d)
+    else:
+        wi = mp.sqrt(abs(b)) * mp.sqrt(abs(c))
+        w1 = mpc(a, wi)
+        w2 = mpc(d, -wi)
+    return a, b, c, d, cs, sn, w1, w2
+
+
+def phessenberg_real_mp(A, want_q: bool = True):
+    """Real periodic Hessenberg reduction (Givens), all-positive cycle.
+
+    Same contract as ops/hessenberg.phessenberg_core (reference MB03VD
+    shape, src/PeriodicSchurDecompositions.jl:213-259): on return A[0] is
+    upper Hessenberg, A[1:] upper triangular, Q[l]^T A_in[l] Q[(l+1)%p] =
+    A[l].  ``A`` is a list of real mp matrices and is MUTATED.
+    """
+    p = len(A)
+    n = len(A[0])
+    Q = [_eye_mp_real(n) for _ in range(p)] if want_q else None
+    for j in range(n - 1):
+        for l in range(p - 1, 0, -1):
+            for i in range(n - 1, j, -1):
+                c, s, r = _givens_r(A[l][i - 1][j], A[l][i][j])
+                if s == 0:
+                    continue
+                A[l][i - 1][j] = r
+                A[l][i][j] = mpf(0)
+                _rows2r(A[l], i - 1, c, s, lo=j + 1)
+                _cols2r(A[l - 1], i - 1, c, s)
+                if want_q:
+                    _cols2r(Q[l], i - 1, c, s)
+        if j + 2 < n:
+            for i in range(n - 1, j + 1, -1):
+                c, s, r = _givens_r(A[0][i - 1][j], A[0][i][j])
+                if s == 0:
+                    continue
+                A[0][i - 1][j] = r
+                A[0][i][j] = mpf(0)
+                _rows2r(A[0], i - 1, c, s, lo=j + 1)
+                _cols2r(A[p - 1] if p > 1 else A[0], i - 1, c, s)
+                if want_q:
+                    _cols2r(Q[0], i - 1, c, s)
+    for l in range(1, p):
+        for i in range(1, n):
+            for j in range(i):
+                A[l][i][j] = mpf(0)
+    for i in range(2, n):
+        for j in range(i - 1):
+            A[0][i][j] = mpf(0)
+    return A, Q
+
+
+def _band_products_mp(H, lo, hi):
+    """Band entries of the cycle product over rows [lo, hi] (same
+    recurrence as ops/pqr_real._band_products; reference :477-528)."""
+    p = len(H)
+    n = len(H[0])
+    P1 = [mpf(1)] * n
+    P2 = [mpf(0)] * n
+    P3 = [mpf(0)] * n
+    lo = max(lo - 1, 0)
+    hi = min(hi + 2, n - 1)
+    for f in range(1, p):
+        Hf = H[f]
+        for r in range(lo, hi + 1):
+            D = Hf[r][r]
+            U = Hf[r][r + 1] if r + 1 < n else mpf(0)
+            V = Hf[r][r + 2] if r + 2 < n else mpf(0)
+            D1 = Hf[r + 1][r + 1] if r + 1 < n else mpf(0)
+            U1 = Hf[r + 1][r + 2] if r + 2 < n else mpf(0)
+            D2 = Hf[r + 2][r + 2] if r + 2 < n else mpf(0)
+            P3[r] = P1[r] * V + P2[r] * U1 + P3[r] * D2
+            P2[r] = P1[r] * U + P2[r] * D1
+            P1[r] = P1[r] * D
+    hdiag = [mpf(0)] * n
+    hsub = [mpf(0)] * n
+    hsup = [mpf(0)] * n
+    H0 = H[0]
+    for r in range(lo, hi + 1):
+        d0 = H0[r][r]
+        u0 = H0[r][r + 1] if r + 1 < n else mpf(0)
+        s0 = H0[r][r - 1] if r >= 1 else mpf(0)
+        P1m = P1[r - 1] if r >= 1 else mpf(1)
+        P2m = P2[r - 1] if r >= 1 else mpf(0)
+        P3m = P3[r - 1] if r >= 1 else mpf(0)
+        hsub[r] = s0 * P1m
+        hdiag[r] = s0 * P2m + d0 * P1[r]
+        hsup[r] = s0 * P3m + d0 * P2[r] + (
+            u0 * P1[r + 1] if r + 1 < n else mpf(0))
+    return hdiag, hsub, hsup
+
+
+def _refl3_mp(x):
+    """Real reflector (xLARFG semantics): (w, tau, beta) with w[0] = 1 and
+    (I - tau w w^T) x = beta e1 (reference src/householder.jl:66-108)."""
+    q = len(x)
+    alpha = x[0]
+    xn2 = mp.fsum(t * t for t in x[1:])
+    if xn2 == 0:
+        return [mpf(1)] + [mpf(0)] * (q - 1), mpf(0), alpha
+    b = mp.hypot(alpha, mp.sqrt(xn2))
+    if alpha >= 0:
+        b = -b
+    tau = (b - alpha) / b
+    inv = 1 / (alpha - b)
+    return [mpf(1)] + [t * inv for t in x[1:]], tau, b
+
+
+def _refl_rows_mp(A, r0, w, tau, c0=0, c1=None):
+    c1 = len(A) if c1 is None else c1
+    if tau == 0:
+        return
+    q = len(w)
+    for col in range(c0, c1):
+        s = mp.fsum(w[t] * A[r0 + t][col] for t in range(q)) * tau
+        for t in range(q):
+            A[r0 + t][col] -= w[t] * s
+
+
+def _refl_cols_mp(A, c0, w, tau, r0=0, r1=None):
+    r1 = len(A) if r1 is None else r1
+    if tau == 0:
+        return
+    q = len(w)
+    for row in range(r0, r1):
+        Ar = A[row]
+        s = mp.fsum(w[t] * Ar[c0 + t] for t in range(q)) * tau
+        for t in range(q):
+            Ar[c0 + t] -= w[t] * s
+
+
+def pqr_real_core_mp(H, Z=None, want_z: bool = True, maxitfac: int = 30):
+    """Real periodic QR iteration at working precision (MB03WD shape).
+
+    Scalar mpmath mirror of ops/pqr_real.pqr_real_core (reference
+    src/PeriodicSchurDecompositions.jl:322-1096): Francis double shifts,
+    Ahues-Tisseur deflation (tightened eps^(1+4/16)), subdiagonal repair,
+    1x1/2x2 deflation with dlanv2 standardization.  Returns
+    (H, Z, w, ok): quasi-triangular real stack and complex eigenvalues.
+    """
+    p = len(H)
+    n = len(H[0])
+    ulp = mp.eps
+    ulpx = ulp ** (mpf(1) + mpf(4) / 16)
+    dat1, dat2 = mpf("0.75"), mpf("-0.4375")
+    maxit = maxitfac * n
+    if Z is None and want_z:
+        Z = [_eye_mp_real(n) for _ in range(p)]
+    w = [mpc(0)] * n
+
+    if n == 1:
+        lam = mpf(1)
+        for f in range(p):
+            lam *= H[f][0][0]
+        return H, Z, [mpc(lam)], True
+
+    hnorms = []
+    for f in range(p):
+        mx = mpf(0)
+        for cc in range(n):
+            scol = mp.fsum(abs(H[f][r][cc]) for r in range(n))
+            mx = max(mx, scol)
+        hnorms.append(ulp * n * mx)
+
+    i, l, its, jiter = n - 1, 0, 1, 0
+    while i >= 0:
+        jiter += 1
+        if jiter > maxit:
+            return H, Z, w, False
+        hdiag, hsub, hsup = _band_products_mp(H, l, i)
+
+        # deflation scan (Ahues-Tisseur, tightened)
+        lnew = l if i > l else i
+        if i > l:
+            for k in range(i, l, -1):
+                hh11, hh12 = hdiag[k - 1], hsup[k - 1]
+                hh21, hh22 = hsub[k], hdiag[k]
+                tst1 = abs(hh11) + abs(hh22)
+                if hh21 == 0:
+                    lnew = k
+                    break
+                if abs(hh21) <= ulp * tst1:
+                    ab = max(abs(hh21), abs(hh12))
+                    ba = min(abs(hh21), abs(hh12))
+                    aa = max(abs(hh22), abs(hh11 - hh22))
+                    bb = min(abs(hh22), abs(hh11 - hh22))
+                    ssum = aa + ab
+                    if ba * (ab / ssum) <= ulpx * (bb * (aa / ssum)):
+                        lnew = k
+                        break
+
+        # subdiagonal repair (reference :589-665)
+        if lnew > 0 and p > 1:
+            t1r = abs(H[0][lnew - 1][lnew - 1]) + abs(H[0][lnew][lnew])
+            if abs(H[0][lnew][lnew - 1]) > ulp * t1r:
+                for k in range(i, lnew - 1, -1):
+                    for f in range(p - 1):
+                        x = [H[f][k][k], H[f][k][k - 1]]
+                        w2, tau, beta = _refl3_mp(x)
+                        wv = [w2[1], mpf(1)]
+                        H[f][k][k - 1] = mpf(0)
+                        H[f][k][k] = beta
+                        _refl_cols_mp(H[f], k - 1, wv, tau, r0=0, r1=k)
+                        _refl_rows_mp(H[f + 1], k - 1, wv, tau, c0=k - 1)
+                        if want_z:
+                            _refl_cols_mp(Z[f + 1], k - 1, wv, tau)
+                    if k < i:
+                        Hl_ = H[p - 1]
+                        x = [Hl_[k + 1][k + 1], Hl_[k + 1][k]]
+                        w2, tau, beta = _refl3_mp(x)
+                        wv = [w2[1], mpf(1)]
+                        Hl_[k + 1][k] = mpf(0)
+                        Hl_[k + 1][k + 1] = beta
+                        _refl_cols_mp(Hl_, k, wv, tau, r0=0, r1=k + 1)
+                        _refl_rows_mp(H[0], k, wv, tau, c0=k)
+                        if want_z:
+                            _refl_cols_mp(Z[0], k, wv, tau)
+                H[p - 1][lnew][lnew - 1] = mpf(0)
+        if lnew > 0:
+            H[0][lnew][lnew - 1] = mpf(0)
+
+        if lnew >= i - 1:
+            if lnew == i:
+                w[i] = mpc(hdiag[i])
+            else:
+                # explicit 2x2 product block
+                hp11, hp12, hp22 = mpf(1), mpf(0), mpf(1)
+                for f in range(1, p):
+                    d1 = H[f][i - 1][i - 1]
+                    d2 = H[f][i][i]
+                    u = H[f][i - 1][i]
+                    hp12 = hp11 * u + hp12 * d2
+                    hp11 *= d1
+                    hp22 *= d2
+                a11 = H[0][i - 1][i - 1]
+                a12 = H[0][i - 1][i]
+                a21 = H[0][i][i - 1]
+                a22 = H[0][i][i]
+                bh11, bh12 = a11 * hp11, a11 * hp12 + a12 * hp22
+                bh21, bh22 = a21 * hp11, a21 * hp12 + a22 * hp22
+                aa, bb2, cc2, dd = bh11, bh12, bh21, bh22
+                aa, bb2, cc2, dd, cs0, sn0, w1, w2v = _lanv2_mp(
+                    aa, bb2, cc2, dd)
+                lam_real = (cc2 == 0)
+                w[i - 1] = w1
+                w[i] = w2v
+
+                jmin, jmax = -1, -1
+                for f in range(1, p):
+                    if abs(H[f][i - 1][i - 1]) <= hnorms[f] and jmin < 0:
+                        jmin = f
+                    if abs(H[f][i][i]) <= hnorms[f]:
+                        jmax = f
+                if jmin >= 0 and jmax >= 0:
+                    if jmin <= p - jmax:
+                        jmax = -1
+                    else:
+                        jmin = -1
+
+                if jmin >= 1:
+                    for f in range(jmin - 1):
+                        x = [H[f][i][i], H[f][i][i - 1]]
+                        w2, tau, beta = _refl3_mp(x)
+                        wv = [w2[1], mpf(1)]
+                        H[f][i][i - 1] = mpf(0)
+                        H[f][i][i] = beta
+                        _refl_cols_mp(H[f], i - 1, wv, tau, r0=0, r1=i)
+                        _refl_rows_mp(H[f + 1], i - 1, wv, tau, c0=i - 1)
+                        if want_z:
+                            _refl_cols_mp(Z[f + 1], i - 1, wv, tau)
+                else:
+                    aA1 = abs(w1)
+                    aA2 = abs(w2v)
+                    amx, amn = max(aA1, aA2), min(aA1, aA2)
+                    prod0 = (w1 == 0) or (w2v == 0)
+                    replaceG = ((jmax >= 1) and lam_real) or prod0 or \
+                        ((not prod0) and lam_real and amn < ulp * amx)
+                    for _t in range(20):
+                        if replaceG:
+                            c, s, _ = _givens_r(H[0][i - 1][i - 1],
+                                                H[0][i][i - 1])
+                        else:
+                            c, s = cs0, sn0
+                        _rows2r(H[0], i - 1, c, s, lo=i - 1)
+                        _cols2r(H[p - 1] if p > 1 else H[0], i - 1, c, s,
+                                lo=0, hi=i + 1)
+                        if want_z:
+                            _cols2r(Z[0], i - 1, c, s)
+                        for f in range(p - 1, 0, -1):
+                            if f < jmax + 1:
+                                continue
+                            c2, s2, r = _givens_r(H[f][i - 1][i - 1],
+                                                  H[f][i][i - 1])
+                            H[f][i - 1][i - 1] = r
+                            H[f][i][i - 1] = mpf(0)
+                            _rows2r(H[f], i - 1, c2, s2, lo=i)
+                            _cols2r(H[f - 1], i - 1, c2, s2, lo=0, hi=i + 1)
+                            if want_z:
+                                _cols2r(Z[f], i - 1, c2, s2)
+                        sub = abs(H[0][i][i - 1])
+                        if not replaceG or sub < ulp * amx:
+                            break
+                        replaceG = True
+                    if jmax >= 0 or bh21 == 0:
+                        H[0][i][i - 1] = mpf(0)
+                    if jmax >= 1:
+                        H[jmax][i][i - 1] = mpf(0)
+
+                l1 = H[0][i - 1][i - 1]
+                l2v = H[0][i][i]
+                for f in range(1, p):
+                    l1 *= H[f][i - 1][i - 1]
+                    l2v *= H[f][i][i]
+                if lam_real and abs(l1 - w1.real) > abs(l1 - w2v.real):
+                    w[i - 1], w[i] = w[i], w[i - 1]
+            i = lnew - 1
+            l = 0
+            its = 1
+            continue
+
+        # bulge chase
+        l = lnew
+        exc1 = its == 10
+        exc2 = (its % 10 == 0) and not exc1
+        exc = exc1 or exc2
+        h44E = h33E = h43h34E = mpf(0)
+        if exc:
+            sE = (abs(hsub[min(l + 1, n - 1)]) + abs(hsub[min(l + 2, n - 1)])
+                  ) if exc1 else (abs(hsub[i]) + abs(hsub[i - 1]))
+            h44E = dat1 * sE + (hdiag[l] if exc1 else hdiag[i])
+            h33E = h44E
+            h43h34E = dat2 * sE * sE
+        h44, h33 = hdiag[i], hdiag[i - 1]
+        h43, h34 = hsub[i], hsup[i - 1]
+        ssh = abs(h33) + abs(h34) + abs(h43) + abs(h44)
+        if ssh == 0:
+            rt1 = rt2 = mpc(0)
+        else:
+            h33n, h44n = h33 / ssh, h44 / ssh
+            h34n, h43n = h34 / ssh, h43 / ssh
+            trc = (h33n + h44n) / 2
+            disc = (h33n - trc) * (h44n - trc) - h34n * h43n
+            rtdisc = mp.sqrt(abs(disc))
+            if disc >= 0:
+                rt1 = mpc(trc, rtdisc) * ssh
+                rt2 = mpc(trc, -rtdisc) * ssh
+            else:
+                r1v, r2v = trc + rtdisc, trc - rtdisc
+                pick = r1v if abs(r1v - h44n) <= abs(r2v - h44n) else r2v
+                rt1 = rt2 = mpc(pick * ssh)
+        m = l
+        h11, h12 = hdiag[m], hsup[m]
+        h21 = hsub[min(m + 1, n - 1)]
+        h22 = hdiag[min(m + 1, n - 1)]
+        hsub_m2 = hsub[min(m + 2, n - 1)]
+        if exc:
+            h44s, h33s = h44E - h11, h33E - h11
+            h21s = h21 if h21 != 0 else mpf(1)
+            v1 = (h33s * h44s - h43h34E) / h21s + h12
+            v2 = h22 - h11 - h33s - h44s
+            v3 = hsub_m2
+        else:
+            sv = abs(h11 - rt2.real) + abs(rt2.imag) + abs(h21)
+            if sv == 0:
+                sv = mpf(1)
+            h21s = h21 / sv
+            v1 = h21s * h12 + (h11 - rt1.real) * ((h11 - rt2.real) / sv) - \
+                rt1.imag * (rt2.imag / sv)
+            v2 = h21s * (h11 + h22 - rt1.real - rt2.real)
+            v3 = h21s * hsub_m2
+        snorm = abs(v1) + abs(v2) + abs(v3)
+        if snorm == 0:
+            snorm = mpf(1)
+        v0 = [v1 / snorm, v2 / snorm, v3 / snorm]
+
+        for k in range(m, i):
+            nr = min(3, i - k + 1)
+            hi_r = min(k + 3, i) + 1
+            if k > m:
+                x = [H[0][k + t][k - 1] for t in range(nr)]
+            else:
+                x = v0[:nr]
+            wv, tau, beta = _refl3_mp(x)
+            if k > m:
+                H[0][k][k - 1] = beta
+                for t in range(1, nr):
+                    H[0][k + t][k - 1] = mpf(0)
+            _refl_rows_mp(H[0], k, wv, tau, c0=k)
+            _refl_cols_mp(H[p - 1] if p > 1 else H[0], k, wv, tau,
+                          r0=0, r1=hi_r)
+            if want_z:
+                _refl_cols_mp(Z[0], k, wv, tau)
+            for f in range(p - 1, 0, -1):
+                x = [H[f][k + t][k] for t in range(nr)]
+                wv, tau, beta = _refl3_mp(x)
+                H[f][k][k] = beta
+                for t in range(1, nr):
+                    H[f][k + t][k] = mpf(0)
+                _refl_rows_mp(H[f], k, wv, tau, c0=k + 1)
+                _refl_cols_mp(H[f - 1], k, wv, tau, r0=0, r1=hi_r)
+                if want_z:
+                    _refl_cols_mp(Z[f], k, wv, tau)
+                if nr == 3:
+                    x = [H[f][k + 1][k + 1], H[f][k + 2][k + 1]]
+                    wv2, tau2, beta2 = _refl3_mp(x)
+                    H[f][k + 1][k + 1] = beta2
+                    H[f][k + 2][k + 1] = mpf(0)
+                    _refl_rows_mp(H[f], k + 1, wv2, tau2, c0=k + 2)
+                    _refl_cols_mp(H[f - 1], k + 1, wv2, tau2, r0=0, r1=hi_r)
+                    if want_z:
+                        _refl_cols_mp(Z[f], k + 1, wv2, tau2)
+        its += 1
+
+    for r in range(1, n):
+        if w[r - 1].imag == 0:
+            H[0][r][r - 1] = mpf(0)
+    for f in range(1, p):
+        for r in range(1, n):
+            for cc in range(r):
+                H[f][r][cc] = mpf(0)
+    return H, Z, w, True
+
+
+# --------------------------------------------------------------------------
 # result type + driver
 
 @dataclasses.dataclass(frozen=True)
@@ -749,16 +1299,21 @@ class MpGeneralizedPeriodicSchur:
 
 def pschur_mp(A, S: Optional[Sequence[bool]] = None, lr: str = "R",
               want_z: bool = True, maxitfac: int = 30,
-              dps: Optional[int] = None, seed: int = 1234
-              ) -> MpGeneralizedPeriodicSchur:
+              dps: Optional[int] = None, seed: int = 1234,
+              complexify: bool = False) -> MpGeneralizedPeriodicSchur:
     """Arbitrary-precision periodic Schur decomposition (host, mpmath).
 
     The generic-eltype analogue of ``pschur`` (reference BigFloat path):
     ``dps`` sets the working precision in decimal digits (default: the
-    ambient ``mpmath.mp.dps``).  Real input is decomposed in complex
-    arithmetic.  Returns an :class:`MpGeneralizedPeriodicSchur`; for the
-    all-positive signature ``beta`` is identically 1 and ``values`` are the
-    product eigenvalues.
+    ambient ``mpmath.mp.dps``).  REAL input with the all-positive
+    signature keeps REAL arithmetic and a quasi-triangular Schur factor
+    (2x2 blocks for complex pairs), matching the reference's generic real
+    path (generic reflectors /root/reference/src/householder.jl:256-266,
+    BigFloat tests /root/reference/test/runtests.jl:89-100); pass
+    ``complexify=True`` to force the complex triangular decomposition
+    instead.  Complex or signed input runs the complex core.  Returns an
+    :class:`MpGeneralizedPeriodicSchur`; for the all-positive signature
+    ``beta`` is identically 1 and ``values`` are the product eigenvalues.
 
     Reference: src/generalized.jl:87-148 (driver), :1085-1179 (generic
     reduction), :166-931 (eltype-generic core).
@@ -785,11 +1340,46 @@ def pschur_mp(A, S: Optional[Sequence[bool]] = None, lr: str = "R",
         raise ValueError("the leftmost signature entry must be +1 (True); "
                          "rotate the cycle so a direct factor leads")
 
+    def _is_real_input(A):
+        if A.dtype == object:
+            return all(isinstance(A[l, i, j], mpf) or not isinstance(
+                A[l, i, j], mpc)
+                for l in range(A.shape[0])
+                for i in range(A.shape[1]) for j in range(A.shape[2]))
+        return not np.iscomplexobj(A)
+
+    real_path = (not complexify) and all(S) and _is_real_input(A)
     with mp.workdps(dps if dps is not None else mp.dps):
-        Hm = _to_mp(A)
-        Hm, Qm = phessenberg_mp(Hm, S, want_q=want_z)
-        Hm, Zm, alpha, beta, scal, ok = pqz_complex_core_mp(
-            Hm, S, Z=Qm, want_z=want_z, maxitfac=maxitfac, seed=seed)
+        if real_path:
+            Hm = _to_mp_real(A)
+            Hm, Qm = phessenberg_real_mp(Hm, want_q=want_z)
+            Hm, Zm, wvals, ok = pqr_real_core_mp(
+                Hm, Z=Qm, want_z=want_z, maxitfac=maxitfac)
+            # decompose eigenvalues: alpha * 2^scale, |alpha| in [1,2)
+            alpha, beta, scal = [], [], []
+            for wv in wvals:
+                a = abs(wv)
+                if a == 0:
+                    alpha.append(mpc(0))
+                    beta.append(1)
+                    scal.append(0)
+                    continue
+                e = int(mp.floor(mp.log(a, 2)))
+                av = wv / mpf(2) ** e
+                while abs(av) >= 2:
+                    av /= 2
+                    e += 1
+                while abs(av) < 1:
+                    av *= 2
+                    e -= 1
+                alpha.append(mpc(av))
+                beta.append(1)
+                scal.append(e)
+        else:
+            Hm = _to_mp(A)
+            Hm, Qm = phessenberg_mp(Hm, S, want_q=want_z)
+            Hm, Zm, alpha, beta, scal, ok = pqz_complex_core_mp(
+                Hm, S, Z=Qm, want_z=want_z, maxitfac=maxitfac, seed=seed)
     if not ok:
         from ..types import ConvergenceFailure
         raise ConvergenceFailure(-1)
