@@ -62,7 +62,12 @@ QUEUE = [
                              "benchmarks/probe_real_gen_ff.py",
                              "8", "256"], 7200,
      {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
+    # 6) ensemble throughput A/B (VERDICT #6): sequential loop vs
+    #    2-worker pipelined double-buffering at (p=8, n=128).
+    ("ensemble_ab_p8_n128", [sys.executable, "benchmarks/probe_ensemble.py",
+                             "8", "128", "8"], 5400),
 ]
+
 
 PROBE = ("import jax, jax.numpy as jnp;"
          "d = jax.devices()[0];"

@@ -98,3 +98,58 @@ def batched_pschur_complex(A_batch: jax.Array, S, mesh: Optional[Mesh] = None,
     else:
         fn = jax.jit(fn)
     return fn(A_batch)
+
+
+def ensemble_pschur_real_pipelined(As, want_z: bool = True,
+                                   maxitfac: int = 40, workers: int = 2,
+                                   interpret: bool = False):
+    """Host-pipelined ensemble throughput on ONE chip: problems/min above
+    the sequential loop.
+
+    The chunked ds pipeline's wall-clock per problem is device execute
+    PLUS host work (chunk orchestration, transfers over the tunnel, the
+    host-tail finish); a sequential loop serializes both.  Two worker
+    threads keep the device busy while the other problem is in its host
+    phase — the accelerator serializes the executes itself, so the overlap
+    is exactly the host share (double-buffering; no lockstep-window
+    batched core needed for this win, cf. the vmap gather cliff documented
+    on :func:`batched_pschur_real`).
+
+    Args:
+      As: sequence of (p, n, n) real cycles (compatible shapes reuse one
+        compiled program set).
+      workers: in-flight problems (2 = classic double buffering; more only
+        helps if host work dominates).
+
+    Returns a list of (T, Z, wr, wi, ok) numpy tuples, in input order.
+    """
+    import concurrent.futures as cf
+
+    import jax.numpy as jnp
+
+    from ..ops import ff
+    from ..ops.hessenberg_ff import phessenberg_core_ff
+    from ..ops.pqr_ff import pqr_real_core_ff_chunked
+
+    dev = jax.devices()[0]
+
+    def one(A_np):
+        f = ff.from_f64(jnp.asarray(np.asarray(A_np)))
+        hi = jax.device_put(f.hi, dev)
+        lo = jax.device_put(f.lo, dev)
+        Hh, Hl, Qh, Ql = phessenberg_core_ff(hi, lo, want_q=want_z)
+        out = pqr_real_core_ff_chunked(Hh, Hl, Qh, Ql, want_z=want_z,
+                                       maxitfac=maxitfac,
+                                       interpret=interpret)
+        T = np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)
+        if want_z:
+            Z = np.swapaxes(np.asarray(out[2], np.float64) +
+                            np.asarray(out[3], np.float64), 1, 2)
+        else:
+            Z = None
+        wr = np.asarray(out[4], np.float64) + np.asarray(out[5], np.float64)
+        wi = np.asarray(out[6], np.float64) + np.asarray(out[7], np.float64)
+        return T, Z, wr, wi, bool(out[8])
+
+    with cf.ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+        return list(ex.map(one, As))
