@@ -28,9 +28,9 @@ class AlgoConfig:
       ``eps^(1 + at_pwr16/16)``.
     * ``extra_rq``: enable the extra final RQ stage in subdiagonal repair
       (reference :637-652; off by default like the reference, which notes
-      MB03WD force-zeroes the leftover "even when wrong").  Honored by the
-      exact-f64 core (ops/pqr_real.py) only; the ds production core
-      always takes the MB03WD force-zero path.
+      MB03WD force-zeroes the leftover "even when wrong").  Honored by
+      BOTH real cores: exact-f64 (ops/pqr_real.py:244-259) and the ds
+      production core (ops/pqr_ff.py repair branch).
     * ``eta_orth``: iterated Gram-Schmidt re-orthogonalization threshold used
       by the periodic Arnoldi process (reference: src/krylov.jl:150).
     * ``iterative_2x2``: recompute 2x2-block eigenvalues during reordering

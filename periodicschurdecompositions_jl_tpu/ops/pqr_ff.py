@@ -564,8 +564,32 @@ def pqr_real_core_ff(
                 return H, ZT
 
             H, ZT = lax.fori_loop(0, n, rep_step, (H, ZT))
-            Hl = setel_ff(fac_get(H, p - 1), lnew, lnew - 1, zero)
-            H = fac_set(H, p - 1, Hl)
+            if cfg.extra_rq:
+                # final RQ stage absent from MB03WD (reference :637-652):
+                # annihilate H[p-1][lnew, lnew-1] properly instead of
+                # forcing it to zero — ds mirror of the exact core's
+                # extra_rq branch (ops/pqr_real.py:244-259)
+                Hl = fac_get(H, p - 1)
+                x0 = getel_ff(Hl, lnew, lnew)
+                x1 = getel_ff(Hl, lnew, lnew - 1)
+                w, tau, beta = reflector_ff(ff.stack([x0, x1], 0))
+                wv = ff.stack([FF(w.hi[1], w.lo[1]), one], 0)
+                tw = ff.mul(FF(jnp.broadcast_to(tau.hi, (2,)),
+                               jnp.broadcast_to(tau.lo, (2,))), wv)
+                M2 = ff.sub(ff.ff(jnp.eye(2, dtype=jnp.float32)),
+                            ff.mul(FF(tw.hi[:, None], tw.lo[:, None]),
+                                   FF(wv.hi[None, :], wv.lo[None, :])))
+                Hl = setel_ff(Hl, lnew, lnew - 1, zero)
+                Hl = setel_ff(Hl, lnew, lnew, beta)
+                Hl = colsk_ff(Hl, lnew - 1, M2, hi=lnew)
+                H = fac_set(H, p - 1, Hl)
+                H0x = rowsk_ff(fac_get(H, 0), lnew - 1, M2, lo=lnew - 1)
+                H = fac_set(H, 0, H0x)
+                ZT = zup_t(ZT, 0, lnew - 1, M2)
+            else:
+                # MB03WD forces the leftover to zero, even when wrong
+                Hl = setel_ff(fac_get(H, p - 1), lnew, lnew - 1, zero)
+                H = fac_set(H, p - 1, Hl)
             return H, ZT
 
         h0 = fac_get(H, 0)
