@@ -104,12 +104,13 @@ class AlgoConfig:
     # relaxation covers the graded-band stall class on its own.  An
     # EXPLICIT aed_window (> 0) bypasses the gate — explicit intent.
     aed_min_n: int = 192
-    # Host-tail finish (chunked ds real core): once the active window has
-    # shrunk to <= host_tail, ONE native-backend window Schur (beta = 0,
-    # everything deflates) finishes the remaining problem in f64 on the
-    # host and writes back through the AED apply path — replacing the
-    # last ~2*host_tail small-window device iterations with ~50 ms of
-    # host work AND making the trailing eigenvalues exact-f64 grade.
+    # Host-tail finish (all three chunked drivers: ds real, cx split, rg):
+    # once the active window has shrunk to <= host_tail, ONE native
+    # window Schur/pQZ (beta = 0, everything deflates) finishes the
+    # remaining problem in f64 on the host and writes back through the
+    # AED apply path — replacing the last ~2*host_tail small-window
+    # device iterations with ~ms of host work AND making the leading
+    # eigenvalues exact-f64 grade.
     # 0 = auto: min(64, n // 8) when the native backend is available
     # (never more than 1/8 of the problem — the TPU pipeline remains the
     # decomposition engine, the tail is a finisher); -1 = off.

@@ -751,20 +751,98 @@ def pqz_complex_core_ff_chunked(
     aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 6)
     aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4 \
         and (n >= cfg.aed_min_n or cfg.aed_window > 0)
+    from . import ff as _ff
+    _ulp_cx = float(_ff.EPS)
     if aed_on:
         from .aed import aed_analyze_cx, aed_apply_cxff
-        from . import ff as _ff
-        ulp = float(_ff.EPS)
         h0 = (_np.asarray(Hrehi[0], _np.float64) +
               _np.asarray(Hrelo[0], _np.float64)) + 1j * (
             _np.asarray(Himhi[0], _np.float64) +
             _np.asarray(Himlo[0], _np.float64))
         # max-norm contract scale (see ops/pqr_ff.py note)
-        aed_tol = ulp * float(n) ** 0.5 * float(_np.abs(h0).max())
+        aed_tol = _ulp_cx * float(n) ** 0.5 * float(_np.abs(h0).max())
         seg = min(chunk_iters, aed_itv)
         misses = 0
     else:
         seg = chunk_iters
+
+    # ---- host-tail finish plumbing (cfg.host_tail; see ops/pqr_ff.py) ---
+    if cfg.host_tail >= 0:
+        from .. import native as _native
+        if cfg.host_tail > 0:
+            tail_n = min(cfg.host_tail, n)
+        else:
+            tail_n = min(64, n // 8) if _native.available() else 0
+    else:
+        tail_n = 0
+    if tail_n >= 2:
+        from .aed import aed_analyze_cx as _tail_an_cx
+        from .aed import aed_apply_cxff as _tail_ap_cx
+        h0t = (_np.asarray(Hrehi[0], _np.float64) +
+               _np.asarray(Hrelo[0], _np.float64)) + 1j * (
+            _np.asarray(Himhi[0], _np.float64) +
+            _np.asarray(Himlo[0], _np.float64))
+        tail_tol = _ulp_cx * float(n) ** 0.5 * float(_np.abs(h0t).max())
+
+    def _try_tail(full):
+        """Finish the leading window [0, ilast] on the host (beta = 0:
+        everything deflates through one native cx window pQZ; fixed-shape
+        embedding as in ops/pqr_ff._try_tail)."""
+        st, jiter, dreq = full
+        (H, Z, alre, alim, be, sc, ilast, iiter, ziter, key) = st
+        m = int(ilast) + 1
+        wfix = tail_n
+        from ..config import verbosity
+
+        def f64w(X):
+            return (_np.asarray(X.hi[:, :wfix, :wfix], _np.float64) +
+                    _np.asarray(X.lo[:, :wfix, :wfix], _np.float64))
+
+        Hbig = f64w(H.re) + 1j * f64w(H.im)
+        try:
+            res = _tail_an_cx(Hbig[:, :m, :m], S, 0.0, tail_tol)
+        except Exception as e:  # pragma: no cover - defensive host path
+            if verbosity("main") >= 1:
+                print(f"[pqz_ff tail] analysis failed ({e!r}); skipping")
+            res = None
+        if res is None or res[0] != m:
+            return full, False
+        d, Wf, Zt, alw, bew, scw, _sph = res
+        Vp = _np.broadcast_to(_np.eye(wfix, dtype=complex),
+                              (p, wfix, wfix)).copy()
+        Wp = Hbig.copy()
+        for l in range(p):
+            ln = (l + 1) % p
+            Vp[l][:m, :m] = Zt[l]
+            Wp[l][:m, :m] = Wf[l]
+            Vleft = Zt[l] if S[l] else Zt[ln]
+            Wp[l][:m, m:] = Vleft.conj().T @ Hbig[l][:m, m:]
+        zsp = _np.zeros(wfix)
+        Hn = _tail_ap_cx(
+            H.re.hi, H.re.lo, H.im.hi, H.im.lo,
+            Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo,
+            jnp.asarray(Vp.real), jnp.asarray(Vp.imag),
+            jnp.asarray(Wp.real), jnp.asarray(Wp.imag),
+            jnp.asarray(zsp), jnp.asarray(zsp),
+            jnp.int32(0), S, want_z=want_z)
+        Hq = CXF(FF(Hn[0], Hn[1]), FF(Hn[2], Hn[3]))
+        Zq = CXF(FF(Hn[4], Hn[5]), FF(Hn[6], Hn[7]))
+        alre_n = _np.asarray(alre).copy()
+        alim_n = _np.asarray(alim).copy()
+        be_n = _np.asarray(be).copy()
+        sc_n = _np.asarray(sc).copy()
+        alre_n[:m] = alw[:m].real
+        alim_n[:m] = alw[:m].imag
+        be_n[:m] = bew[:m]
+        sc_n[:m] = scw[:m]
+        if verbosity("main") >= 1:
+            print(f"[pqz_ff tail] host-finished the leading {m}-window")
+        ziter_n = jnp.where(jnp.int32(ziter) != -1, jnp.int32(0),
+                            jnp.int32(ziter))
+        st = (Hq, Zq, jnp.asarray(alre_n), jnp.asarray(alim_n),
+              jnp.asarray(be_n, jnp.float32), jnp.asarray(sc_n, jnp.int32),
+              jnp.int32(-1), jnp.int32(0), ziter_n, key)
+        return (st, jiter, dreq), True
 
     def _try_aed(full):
         nonlocal misses, seg
@@ -887,6 +965,10 @@ def pqz_complex_core_ff_chunked(
                              Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo))
             zout = tuple(out8[4:]) if want_z else (None,) * 4
             return tuple(out8[:4]) + zout + tuple(outs[8:])
+        if tail_n >= 2 and 2 <= int(state[0][6]) + 1 <= tail_n:
+            state, finished = _try_tail(state)
+            if finished:
+                continue
         if aed_on:
             state = _try_aed(state)
 

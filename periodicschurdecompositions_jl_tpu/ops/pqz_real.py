@@ -745,22 +745,87 @@ def pqz_real_gen_core_chunked(
     aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 6)
     aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4 \
         and (n >= cfg.aed_min_n or cfg.aed_window > 0)
+    # max-norm contract scale (see ops/pqr_ff.py note).  Off-CPU this
+    # driver runs in EMULATED f64 (f32 pairs, ~2^-47 ulp): converged
+    # spike entries bottom out at the emulated floor, so the nominal
+    # f64 eps would never accept one — use the emulated ulp there.
+    dev = jax.config.jax_default_device
+    plat = dev.platform if dev is not None else jax.default_backend()
+    from . import ff as _ffm
+    ulp_eff = float(fi.eps) if plat == "cpu" else float(_ffm.EPS)
     if aed_on:
         from .aed import aed_analyze_rg, aed_apply_rg
         h0 = _np.asarray(H[0], _np.float64)
-        # max-norm contract scale (see ops/pqr_ff.py note).  Off-CPU this
-        # driver runs in EMULATED f64 (f32 pairs, ~2^-47 ulp): converged
-        # spike entries bottom out at the emulated floor, so the nominal
-        # f64 eps would never accept one — use the emulated ulp there.
-        dev = jax.config.jax_default_device
-        plat = dev.platform if dev is not None else jax.default_backend()
-        from . import ff as _ffm
-        ulp_eff = float(fi.eps) if plat == "cpu" else float(_ffm.EPS)
         aed_tol = ulp_eff * float(n) ** 0.5 * float(_np.abs(h0).max())
         seg = min(chunk_iters, aed_itv)
         misses = 0
     else:
         seg = chunk_iters
+
+    # ---- host-tail finish plumbing (cfg.host_tail; see ops/pqr_ff.py) ---
+    if cfg.host_tail >= 0:
+        from .. import native as _native
+        if cfg.host_tail > 0:
+            tail_n = min(cfg.host_tail, n)
+        else:
+            tail_n = min(64, n // 8) if _native.available() else 0
+    else:
+        tail_n = 0
+    if tail_n >= 2:
+        from .aed import aed_analyze_rg as _tail_an_rg
+        from .aed import aed_apply_rg as _tail_ap_rg
+        h0t = _np.asarray(H[0], _np.float64)
+        tail_tol = ulp_eff * float(n) ** 0.5 * float(_np.abs(h0t).max())
+
+    def _try_tail(full):
+        """Finish the leading window [0, ilast] on the host (beta = 0:
+        everything deflates through one native rg window pQZ; see
+        ops/pqr_ff._try_tail for the fixed-shape embedding)."""
+        st, jiter = full
+        (Hs, Zs, alre, alim, be, sc, ilast, iiter, ziter, key) = st
+        m = int(ilast) + 1
+        wfix = tail_n
+        from ..config import verbosity
+        Hbig = _np.asarray(Hs[:, :wfix, :wfix], _np.float64)
+        try:
+            res = _tail_an_rg(Hbig[:, :m, :m], S, 0.0, tail_tol)
+        except Exception as e:  # pragma: no cover - defensive host path
+            if verbosity("main") >= 1:
+                print(f"[pqz_rg tail] analysis failed ({e!r}); skipping")
+            res = None
+        if res is None or res[0] != m:
+            return full, False
+        d, Wf, Zt, arw, aiw, bew, scw, _sph = res
+        Vp = _np.broadcast_to(_np.eye(wfix), (p, wfix, wfix)).copy()
+        Wp = Hbig.copy()
+        for l in range(p):
+            ln = (l + 1) % p
+            Vp[l][:m, :m] = Zt[l]
+            Wp[l][:m, :m] = Wf[l]
+            # rows [0, m) of the right-block columns, transformed by the
+            # factor's LEFT window transform (signature sides as in
+            # aed_apply_rg)
+            Vleft = Zt[l] if S[l] else Zt[ln]
+            Wp[l][:m, m:] = Vleft.T @ Hbig[l][:m, m:]
+        Hs, Zs = _tail_ap_rg(Hs, Zs, jnp.asarray(Vp), jnp.asarray(Wp),
+                             jnp.zeros((wfix,)), jnp.int32(0), S,
+                             want_z=want_z)
+        arr = _np.asarray(alre).copy()
+        aii = _np.asarray(alim).copy()
+        ben = _np.asarray(be).copy()
+        scn = _np.asarray(sc).copy()
+        arr[:m] = arw[:m]
+        aii[:m] = aiw[:m]
+        ben[:m] = bew[:m]
+        scn[:m] = scw[:m]
+        if verbosity("main") >= 1:
+            print(f"[pqz_rg tail] host-finished the leading {m}-window")
+        ziter_n = jnp.where(jnp.int32(ziter) != -1, jnp.int32(0),
+                            jnp.int32(ziter))
+        st = (Hs, Zs, jnp.asarray(arr, dt), jnp.asarray(aii, dt),
+              jnp.asarray(ben, dt), jnp.asarray(scn, jnp.int32),
+              jnp.int32(-1), jnp.int32(0), ziter_n, key)
+        return (st, jiter), True
 
     def _try_aed(full):
         nonlocal misses, seg
@@ -822,6 +887,12 @@ def pqz_real_gen_core_chunked(
         *outs, state, done = out
         if bool(done) or cap >= maxit:
             return tuple(outs)
+        if tail_n >= 2 and 2 <= int(state[0][6]) + 1 <= tail_n:
+            state, finished = _try_tail(state)
+            if finished:
+                # one more (cheap) core call packages outs through the
+                # single resume trace
+                continue
         if aed_on:
             state = _try_aed(state)
 
