@@ -66,6 +66,11 @@ QUEUE = [
     #    2-worker pipelined double-buffering at (p=8, n=128).
     ("ensemble_ab_p8_n128", [sys.executable, "benchmarks/probe_ensemble.py",
                              "8", "128", "8"], 5400),
+    # 7) bench dress with the NEW timing (sync on the ok scalar; the
+    #    ~3 s tunnel export of T/Z no longer counted) — the number the
+    #    driver's round-end bench.py will record.  Program set cached by
+    #    the earlier dress.
+    ("bench_dress_r4_newtiming", [sys.executable, "bench.py"], 7200),
 ]
 
 
@@ -85,9 +90,15 @@ def log(msg: str):
 def chip_up(timeout_s: int = 420) -> bool:
     # 420 s: axon init alone is ~60 s, and concurrent pytest/compile load
     # on this 1-CPU box can stretch it severalfold (observed 08-20).
+    # DEVNULL, not capture_output: the axon runtime spawns helpers that
+    # inherit the pipes, and after the timeout kill subprocess.run blocks
+    # draining them until the GRANDCHILDREN exit — observed hanging the
+    # queue for 25+ min on 2026-08-21 while the tunnel itself was healthy.
     try:
         r = subprocess.run([sys.executable, "-c", PROBE],
-                           capture_output=True, timeout=timeout_s, cwd=REPO)
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL,
+                           timeout=timeout_s, cwd=REPO)
         return r.returncode == 0
     except Exception:
         return False

@@ -122,6 +122,7 @@ def pqr_real_core_ff_chunked(
     interpret: bool = False,
     chunk_iters: Optional[int] = None,
     with_info: bool = False,
+    sweep_fn=None,
 ):
     """Host-chunked ds real periodic QR: the axon TPU worker kills any
     single device execute after ~60 s (measured: a slow-converging
@@ -133,7 +134,7 @@ def pqr_real_core_ff_chunked(
     if n == 1:
         out1 = pqr_real_core_ff(Hhi, Hlo, ZThi, ZTlo, want_z=want_z,
                                 maxitfac=maxitfac, cfg=cfg,
-                                interpret=interpret)
+                                interpret=interpret, sweep_fn=sweep_fn)
         return out1 + ({"niter": 0, "aed_deflated": 0,
                         "host_tail_finished": 0},) if with_info \
             else out1
@@ -329,7 +330,7 @@ def pqr_real_core_ff_chunked(
         out = pqr_real_core_ff(
             Hhi, Hlo, ZThi, ZTlo, want_z=want_z, maxitfac=maxitfac,
             cfg=cfg, interpret=interpret, it_cap=jnp.int32(cap),
-            resume_state=state, return_state=True)
+            resume_state=state, return_state=True, sweep_fn=sweep_fn)
         *outs, state, done = out
         if verbosity("main") >= 1:
             print(f"[pqr_ff chunk] jiter={int(state[-1])} "

@@ -240,3 +240,52 @@ class ShardedSweep:
         return chase_sweep_ff_sharded(H, ZT, m, i, v0, mesh=self.mesh,
                                       axis_name=self.axis_name,
                                       want_z=want_z, interpret=interpret)
+
+
+def pschur_real_sharded(A, mesh: Mesh, axis_name: str = "lanes",
+                        want_z: bool = True, maxitfac: int = 30,
+                        interpret: bool = False, chunked: bool = False,
+                        cfg=None):
+    """Full real periodic Schur pipeline with the lane-sharded dense core.
+
+    Multi-device entry point for one LARGE problem: reduction on the
+    default layout, then the ds iteration with every sweep's applications
+    sharded over ``mesh``'s ``axis_name`` axis (see module docstring).
+
+    Args:
+      A: (p, n, n) real cycle; the ghost-padded lane count n + 1 must be
+        divisible by the mesh axis size.
+      chunked: use the resumable host-chunked driver (required on the
+        axon TPU, whose worker kills ~60 s executes).
+
+    Returns (T, Z, w, ok): quasi-triangular stack, orthogonal factors
+    with Z[l].T @ A[l] @ Z[(l+1)%p] = T[l], complex eigenvalues.
+    """
+    import numpy as np
+
+    from ..ops import ff
+    from ..ops.hessenberg_ff import phessenberg_core_ff
+    from ..ops.pqr_ff import pqr_real_core_ff, pqr_real_core_ff_chunked
+
+    Af = ff.from_f64(jnp.asarray(A))
+    Hh, Hl, Qh, Ql = phessenberg_core_ff(Af.hi, Af.lo, want_q=want_z)
+    sweep = ShardedSweep(mesh, axis_name)
+    if chunked:
+        out = pqr_real_core_ff_chunked(Hh, Hl, Qh, Ql, want_z=want_z,
+                                       maxitfac=maxitfac,
+                                       interpret=interpret, sweep_fn=sweep,
+                                       **({"cfg": cfg} if cfg else {}))
+    else:
+        out = pqr_real_core_ff(Hh, Hl, Qh, Ql, want_z=want_z,
+                               maxitfac=maxitfac, interpret=interpret,
+                               sweep_fn=sweep,
+                               **({"cfg": cfg} if cfg else {}))
+    (Th, Tl, Zh, Zl, wrh, wrl, wih, wil, ok) = out
+    T = np.asarray(Th, np.float64) + np.asarray(Tl, np.float64)
+    Z = None
+    if want_z:
+        Z = np.swapaxes(np.asarray(Zh, np.float64)
+                        + np.asarray(Zl, np.float64), 1, 2)
+    wr = np.asarray(wrh, np.float64) + np.asarray(wrl, np.float64)
+    wi = np.asarray(wih, np.float64) + np.asarray(wil, np.float64)
+    return T, Z, wr + 1j * wi, bool(ok)
