@@ -47,6 +47,16 @@ QUEUE = [
     #    known compile-service flake; retries are the cure.
     ("e2e_public_api", [sys.executable, "benchmarks/probe_e2e_chip.py"],
      5400, {"PSD_E2E_ALL": "1"}),
+    # 3b) AED interval/window re-sweep with the NATIVE analyses: the r3
+    #    sweep (which kept itv=auto=n//4) was measured when each event
+    #    cost ~150 ms; events now cost ~tens of ms, so denser intervals
+    #    and wider windows should cut niter=640 substantially (phases:
+    #    iteration 7.77 s of the 9.6 s pipeline).  Host-side knobs only:
+    #    every combo reuses the compiled programs (~1 min/combo).
+    ("aed_retune_p16_n512", [sys.executable, "benchmarks/aed_timing.py",
+                             "16", "512",
+                             "1:1,1:1:64:48,1:1:40:64,1:1:64:64,"
+                             "1:1:96:64,1:1:40:96"], 7200),
     # 4) cx chunked core at n >= 256 on-chip (VERDICT #4): the graded-
     #    band stall class was discovered at n=512 on the real core; the
     #    complex core has never been driven past n=128 on hardware.
