@@ -57,6 +57,16 @@ QUEUE = [
                              "16", "512",
                              "1:1,1:1:64:48,1:1:40:64,1:1:64:64,"
                              "1:1:96:64,1:1:40:96"], 7200),
+
+    # 7) bench dress with the NEW timing (sync on the ok scalar; the
+    #    ~3 s tunnel export of T/Z no longer counted) — the number the
+    #    driver's round-end bench.py will record.  Program set cached by
+    #    the earlier dress.
+    ("bench_dress_r4_newtiming", [sys.executable, "bench.py"], 7200),
+    # 6) ensemble throughput A/B (VERDICT #6): sequential loop vs
+    #    2-worker pipelined double-buffering at (p=8, n=128).
+    ("ensemble_ab_p8_n128", [sys.executable, "benchmarks/probe_ensemble.py",
+                             "8", "128", "8"], 5400),
     # 4) cx chunked core at n >= 256 on-chip (VERDICT #4): the graded-
     #    band stall class was discovered at n=512 on the real core; the
     #    complex core has never been driven past n=128 on hardware.
@@ -72,15 +82,7 @@ QUEUE = [
                              "benchmarks/probe_real_gen_ff.py",
                              "8", "256"], 7200,
      {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
-    # 6) ensemble throughput A/B (VERDICT #6): sequential loop vs
-    #    2-worker pipelined double-buffering at (p=8, n=128).
-    ("ensemble_ab_p8_n128", [sys.executable, "benchmarks/probe_ensemble.py",
-                             "8", "128", "8"], 5400),
-    # 7) bench dress with the NEW timing (sync on the ok scalar; the
-    #    ~3 s tunnel export of T/Z no longer counted) — the number the
-    #    driver's round-end bench.py will record.  Program set cached by
-    #    the earlier dress.
-    ("bench_dress_r4_newtiming", [sys.executable, "bench.py"], 7200),
+
 ]
 
 
@@ -97,7 +99,7 @@ def log(msg: str):
         f.write(line + "\n")
 
 
-def chip_up(timeout_s: int = 420) -> bool:
+def chip_up(timeout_s: int = 900) -> bool:
     # 420 s: axon init alone is ~60 s, and concurrent pytest/compile load
     # on this 1-CPU box can stretch it severalfold (observed 08-20).
     # DEVNULL, not capture_output: the axon runtime spawns helpers that
