@@ -176,7 +176,7 @@ def test_pqr_ff_chunked_host_tail():
                                    chunk_iters=7, cfg=cfg, with_info=True)
     info = out[-1]
     assert bool(out[8])
-    assert info["aed_deflated"] >= 2, "tail never fired"
+    assert info["host_tail_finished"] >= 2, "tail never fired"
     T = np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)
     ZT = np.asarray(out[2], np.float64) + np.asarray(out[3], np.float64)
     # the state carries the reduction Q (initial ZT = Q^T), so the
