@@ -67,6 +67,16 @@ QUEUE = [
     #    2-worker pipelined double-buffering at (p=8, n=128).
     ("ensemble_ab_p8_n128", [sys.executable, "benchmarks/probe_ensemble.py",
                              "8", "128", "8"], 5400),
+    # 3c) kernel-G (fused per-iteration glue) A/B at the headline: the
+    #    per-iteration fixed cost (12.1 ms at p=16 n=512) is glue-launch
+    #    dominated; kernel G fuses band products + scan + shifts into one
+    #    Mosaic launch (ops/pallas_glue.py).  Validated on CPU (band
+    #    parity 7e-15, oracle-identical cores); this measures the
+    #    wall-clock win and on-chip accuracy.  Fresh Mosaic compile.
+    ("glue_kernel_ab_p16_n512", [sys.executable,
+                                 "benchmarks/aed_timing.py",
+                                 "16", "512", "1:1"], 7200,
+     {"PSD_GLUE_KERNEL": "1"}),
     # 4) cx chunked core at n >= 256 on-chip (VERDICT #4): the graded-
     #    band stall class was discovered at n=512 on the real core; the
     #    complex core has never been driven past n=128 on hardware.

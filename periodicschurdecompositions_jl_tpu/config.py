@@ -122,6 +122,20 @@ class AlgoConfig:
     # keeps the harvested trailing run plus a few rescued blocks and
     # stops; -1 = unlimited (the classical xLAQR3 behavior).
     aed_max_moves: int = 4
+    # Fused per-iteration glue kernel (ds real core only): run the scaled
+    # band-product recurrence + deflation scan + Francis shift chain as
+    # ONE Mosaic kernel (ops/pallas_glue.py) instead of ~hundreds of tiny
+    # XLA:TPU launches — the measured per-iteration FIXED cost (12 ms at
+    # p=16 n=512, ~6.2 at p=16 n=256, scaling O(p, n) not O(n^2)) is
+    # launch-dominated glue, phases_p16_n512 round 4.  Band entries come
+    # out in ds (2^-48, >= the emulated-f64 grade they replace); the
+    # scan compares f32 hi parts (magnitude tests with ~1e-3 headroom).
+    # Only honored when nbulges == 1 (the multi-bulge path keeps the
+    # XLA-glue shifts).  PSD_GLUE_KERNEL=1 seeds the default (probe
+    # subprocess plumbing, like PSD_GROUP_MODE).
+    glue_kernel: bool = dataclasses.field(
+        default_factory=lambda: _os.environ.get("PSD_GLUE_KERNEL",
+                                                "0") == "1")
     # Kernel-B application mode of the real ds Pallas sweep
     # (ops/pallas_sweep.py module note): "step" = per-step rolled RMW,
     # "seq" = 8-step grouped slab RMW with in-register sequential applies

@@ -470,8 +470,23 @@ def pqr_real_core_ff(
         return fac_set(ZT, l, Zl)
 
     # =================================================================
+    use_glue_kernel = bool(cfg.glue_kernel) and cfg.nbulges <= 1
+
     def body(st):
         (H, ZT, wr, wi, i, l, its, itleft, jiter) = st
+
+        if use_glue_kernel:
+            # kernel G: band products + scan + shifts fused into ONE
+            # Mosaic launch (ops/pallas_glue.py; the per-iteration glue
+            # otherwise costs ~12 ms of tiny-launch overhead at n=512)
+            from .pallas_glue import glue_products_scan_shift
+            (hdiag, hsub, hsup, bexp, found_k, lnew, anyf,
+             v0k) = glue_products_scan_shift(H, n, l, i, its, cfg,
+                                             interpret=interpret)
+            bscs = None
+            return _tail(H, ZT, wr, wi, i, l, its, itleft, jiter,
+                         hdiag, hsub, hsup, bexp, bscs, found_k, lnew,
+                         v0k)
 
         hdiag, hsub, hsup, bexp, bscs = _band_products_scaled(H, n)
 
@@ -516,7 +531,15 @@ def pqr_real_core_ff(
         anyf = jnp.any(found_k)
         klast = jnp.max(jnp.where(found_k, iv, -1))
         lnew = jnp.where(i > l, jnp.where(anyf, klast, l), i)
+        return _tail(H, ZT, wr, wi, i, l, its, itleft, jiter,
+                     hdiag, hsub, hsup, bexp, bscs, found_k, lnew, None)
 
+    # shared continuation of the iteration body: subdiagonal repair,
+    # chase-vs-deflate dispatch, state update.  ``v0k`` is the fused glue
+    # kernel's pre-computed shifted first column (None on the XLA-glue
+    # path, which computes the shifts inside do_chase).
+    def _tail(H, ZT, wr, wi, i, l, its, itleft, jiter,
+              hdiag, hsub, hsup, bexp, bscs, found_k, lnew, v0k):
         # ---- subdiagonal repair (reference :589-665) ------------------
         def repair(HZ):
             H, ZT = HZ
@@ -614,6 +637,20 @@ def pqr_real_core_ff(
             def el(v, idx):
                 idx = jnp.clip(jnp.asarray(idx, jnp.int32), 0, n - 1)
                 return lax.dynamic_slice(v, (idx,), (1,))[0]
+
+            if v0k is not None:
+                # kernel G already computed the normalized shifted first
+                # column (same dlahqr double-shift math, in-kernel ds)
+                m = lnew
+                v0 = v0k
+                impl = sweep_fn if sweep_fn is not None else chase_sweep_ff
+                H, ZT = impl(H, ZT if want_z else None, m, i, v0,
+                             want_z=want_z, interpret=interpret,
+                             mode=cfg.sweep_mode,
+                             hbm_grouped=cfg.sweep_hbm_grouped)
+                if not want_z:
+                    ZT = HZwrwi[1]
+                return H, ZT, wr, wi
 
             exc1 = its == 10
             exc2 = (its % 10 == 0) & (~exc1)
