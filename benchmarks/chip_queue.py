@@ -42,11 +42,6 @@ QUEUE = [
     #    next perf lever for the <= 8 s target (VERDICT #1).
     ("phases_p16_n512", [sys.executable, "benchmarks/probe_phases.py",
                          "16", "512"], 7200),
-    # 3) public-API e2e journey (VERDICT #3).  The 23:40 standalone
-    #    attempt died UNAVAILABLE on the first leg after 31 min — the
-    #    known compile-service flake; retries are the cure.
-    ("e2e_public_api", [sys.executable, "benchmarks/probe_e2e_chip.py"],
-     5400, {"PSD_E2E_ALL": "1"}),
     # 3b) AED interval/window re-sweep with the NATIVE analyses: the r3
     #    sweep (which kept itv=auto=n//4) was measured when each event
     #    cost ~150 ms; events now cost ~tens of ms, so denser intervals
@@ -57,16 +52,6 @@ QUEUE = [
                              "16", "512",
                              "1:1,1:1:64:48,1:1:40:64,1:1:64:64,"
                              "1:1:96:64,1:1:40:96"], 7200),
-
-    # 7) bench dress with the NEW timing (sync on the ok scalar; the
-    #    ~3 s tunnel export of T/Z no longer counted) — the number the
-    #    driver's round-end bench.py will record.  Program set cached by
-    #    the earlier dress.
-    ("bench_dress_r4_newtiming", [sys.executable, "bench.py"], 7200),
-    # 6) ensemble throughput A/B (VERDICT #6): sequential loop vs
-    #    2-worker pipelined double-buffering at (p=8, n=128).
-    ("ensemble_ab_p8_n128", [sys.executable, "benchmarks/probe_ensemble.py",
-                             "8", "128", "8"], 5400),
     # 3c) kernel-G (fused per-iteration glue) A/B at the headline: the
     #    per-iteration fixed cost (12.1 ms at p=16 n=512) is glue-launch
     #    dominated; kernel G fuses band products + scan + shifts into one
@@ -77,6 +62,24 @@ QUEUE = [
                                  "benchmarks/aed_timing.py",
                                  "16", "512", "1:1"], 7200,
      {"PSD_GLUE_KERNEL": "1"}),
+
+    # 7) bench dress with the NEW timing (sync on the ok scalar; the
+    #    ~3 s tunnel export of T/Z no longer counted) — the number the
+    #    driver's round-end bench.py will record.  Program set cached by
+    #    the earlier dress.
+    ("bench_dress_r4_newtiming", [sys.executable, "bench.py"], 7200),
+
+    # 6) ensemble throughput A/B (VERDICT #6): sequential loop vs
+    #    2-worker pipelined double-buffering at (p=8, n=128).
+    ("ensemble_ab_p8_n128", [sys.executable, "benchmarks/probe_ensemble.py",
+                             "8", "128", "8"], 5400),
+
+    # 3) public-API e2e journey (VERDICT #3).  The 23:40 standalone
+    #    attempt died UNAVAILABLE on the first leg after 31 min — the
+    #    known compile-service flake; retries are the cure.
+    ("e2e_public_api", [sys.executable, "benchmarks/probe_e2e_chip.py"],
+     5400, {"PSD_E2E_ALL": "1"}),
+
     # 4) cx chunked core at n >= 256 on-chip (VERDICT #4): the graded-
     #    band stall class was discovered at n=512 on the real core; the
     #    complex core has never been driven past n=128 on hardware.
@@ -94,7 +97,6 @@ QUEUE = [
      {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
 
 ]
-
 
 PROBE = ("import jax, jax.numpy as jnp;"
          "d = jax.devices()[0];"
