@@ -70,8 +70,8 @@ def _ff_roll_down(x: FF, k, head) -> FF:
 
 
 def _row_extract(v: FF, r) -> FF:
-    """ds scalar at traced sublane r of an (n, 1) ds slab."""
-    row = lax.broadcasted_iota(jnp.int32, v.hi.shape, 0)
+    """ds scalar at traced (float) sublane index r of an (n, 1) slab."""
+    row = lax.broadcasted_iota(jnp.float32, v.hi.shape, 0)
     m = row == r
     z = jnp.float32(0.0)
     return FF(jnp.sum(jnp.where(m, v.hi, z)), jnp.sum(jnp.where(m, v.lo, z)))
@@ -86,7 +86,8 @@ def _make_glue_kernel(p: int, n: int, slicot_convg: bool,
                       slicot_shifts: bool):
     """kernel G: see module docstring.
 
-    Inputs (VMEM): scal (SMEM int32 (4,): l, i, its, unused);
+    Inputs (all VMEM): scalf (1, 128) f32 scalar pack
+      [l, i, its, exc1, exc2] (the kernel is int-free — see below);
       Dh/Dl, Uh/Ul, Vh/Vl: (p, n, 1) factor diagonal / superdiag /
       2nd-superdiag stacks (ds pairs; U/V tails zero);
       S0h/S0l: (n, 1) H0 subdiagonal (s0[r] = H0[r, r-1], s0[0] = 0).
@@ -98,16 +99,26 @@ def _make_glue_kernel(p: int, n: int, slicot_convg: bool,
       [32:32+p]=scs (per-factor scale schedule).
     """
 
-    def kernel(scal, Dh, Dl, Uh, Ul, Vh, Vl, S0h, S0l, band, spack):
-        # exc1/exc2 are PRE-COMPUTED in the XLA glue: `its % 10` in-kernel
-        # would need integer division, whose Mosaic convert lowering
-        # recurses infinitely (CLAUDE.md constraint)
-        l = scal[0]
-        i = scal[1]
-        its = scal[2]
-        exc1 = scal[3] == 1
-        exc2 = scal[4] == 1
-        row = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    def kernel(scalf, Dh, Dl, Uh, Ul, Vh, Vl, S0h, S0l, band, spack):
+        # The kernel is INT-FREE: every scalar (l, i, its, exceptional
+        # flags — `its % 10` needs integer division) arrives PRE-COMPUTED
+        # as f32 lanes of ``scalf``, the row index is a float iota, and
+        # all masks/reductions are float compares — int reductions and
+        # bool casts send the Mosaic convert lowering into infinite
+        # recursion (CLAUDE.md constraint; observed on-chip 03:16 on the
+        # int-iota variant of this very kernel).
+
+        def sclane(q):
+            lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            return jnp.sum(jnp.where(lane == q, scalf[:, :],
+                                     jnp.float32(0.0)))
+
+        l = sclane(0)
+        i = sclane(1)
+        its = sclane(2)
+        exc1 = sclane(3) > 0.5
+        exc2 = sclane(4) > 0.5
+        row = lax.broadcasted_iota(jnp.float32, (n, 1), 0)
 
         # ---- scaled band-product recurrence (ds) ------------------------
         one_col = jnp.ones((n, 1), jnp.float32)
@@ -187,12 +198,13 @@ def _make_glue_kernel(p: int, n: int, slicot_convg: bool,
         found_k &= (row >= l + 1) & (row <= i)
         anyf = jnp.max(jnp.where(found_k, jnp.float32(1.0),
                                  jnp.float32(0.0)))
-        klast = jnp.max(jnp.where(found_k, row, -1))
+        klast = jnp.max(jnp.where(found_k, row, jnp.float32(-1.0)))
         lnew = jnp.where(i > l, jnp.where(anyf > 0, klast, l), i)
 
         # ---- dlahqr double shift + first column v0 (ds) ------------------
         def at(v: FF, idx) -> FF:
-            return _row_extract(v, jnp.clip(idx, 0, n - 1))
+            return _row_extract(v, jnp.clip(idx, jnp.float32(0.0),
+                                            jnp.float32(n - 1)))
 
         exc = exc1 | exc2
         sE_1 = ff.add(ff.abs_(at(hsub, lnew + 1)), ff.abs_(at(hsub, lnew + 2)))
@@ -286,7 +298,7 @@ def _make_glue_kernel(p: int, n: int, slicot_convg: bool,
                                  jnp.float32(0.0))
         band[:, 7:8] = jnp.zeros((n, 1), jnp.float32)
         lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        vals = [lnew.astype(jnp.float32), anyf, bexp,
+        vals = [lnew, anyf, bexp,
                 v1.hi, v1.lo, v2.hi, v2.lo, v3.hi, v3.lo]
         out = jnp.zeros((1, 128), jnp.float32)
         for q, v in enumerate(vals):
@@ -306,8 +318,7 @@ def _glue_call(p: int, n: int, slicot_convg: bool, slicot_shifts: bool,
         kern,
         out_shape=(jax.ShapeDtypeStruct((n, 8), jnp.float32),
                    jax.ShapeDtypeStruct((1, 128), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
-                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         interpret=interpret,
@@ -350,14 +361,18 @@ def glue_products_scan_shift(H: FF, n: int, l, i, its, cfg,
     s0l = jnp.concatenate([jnp.zeros((1,), jnp.float32),
                            jnp.diagonal(H.lo[0], -1)[:n - 1]])[:, None]
     its32 = jnp.asarray(its, jnp.int32)
-    exc1 = (its32 == 10).astype(jnp.int32)
-    exc2 = (((its32 % 10) == 0) & (its32 != 10)).astype(jnp.int32)
-    scal = jnp.stack([jnp.asarray(l, jnp.int32), jnp.asarray(i, jnp.int32),
-                      its32, exc1, exc2])
+    exc1 = jnp.where(its32 == 10, 1.0, 0.0).astype(jnp.float32)
+    exc2 = jnp.where(((its32 % 10) == 0) & (its32 != 10),
+                     1.0, 0.0).astype(jnp.float32)
+    scalf = jnp.zeros((1, 128), jnp.float32)
+    for q, v in enumerate([jnp.asarray(l, jnp.int32).astype(jnp.float32),
+                           jnp.asarray(i, jnp.int32).astype(jnp.float32),
+                           its32.astype(jnp.float32), exc1, exc2]):
+        scalf = scalf.at[0, q].set(v)
     with ff.no_barriers():
         band, spack = _glue_call(p, n, bool(cfg.slicot_convg),
                                  bool(cfg.slicot_shifts), interpret)(
-            scal, Dh, Dl, Uh, Ul, Vh, Vl, s0h, s0l)
+            scalf, Dh, Dl, Uh, Ul, Vh, Vl, s0h, s0l)
     f64 = jnp.float64
     hdiag = band[:, 0].astype(f64) + band[:, 1].astype(f64)
     hsub = band[:, 2].astype(f64) + band[:, 3].astype(f64)
