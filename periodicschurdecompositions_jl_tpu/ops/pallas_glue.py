@@ -71,7 +71,9 @@ def _ff_roll_down(x: FF, k, head) -> FF:
 
 def _row_extract(v: FF, r) -> FF:
     """ds scalar at traced (float) sublane index r of an (n, 1) slab."""
-    row = lax.broadcasted_iota(jnp.float32, v.hi.shape, 0)
+    # tpu.iota is int-only; si32 -> f32 convert is supported (unlike the
+    # bool-cast / int-reduction lowerings that recurse)
+    row = lax.broadcasted_iota(jnp.int32, v.hi.shape, 0).astype(jnp.float32)
     m = row == r
     z = jnp.float32(0.0)
     return FF(jnp.sum(jnp.where(m, v.hi, z)), jnp.sum(jnp.where(m, v.lo, z)))
@@ -118,7 +120,8 @@ def _make_glue_kernel(p: int, n: int, slicot_convg: bool,
         its = sclane(2)
         exc1 = sclane(3) > 0.5
         exc2 = sclane(4) > 0.5
-        row = lax.broadcasted_iota(jnp.float32, (n, 1), 0)
+        row = lax.broadcasted_iota(jnp.int32,
+                                   (n, 1), 0).astype(jnp.float32)
 
         # ---- scaled band-product recurrence (ds) ------------------------
         one_col = jnp.ones((n, 1), jnp.float32)
