@@ -49,14 +49,16 @@ _ULP = float(ff.EPS)  # ds unit roundoff 2^-47 (same as the f64 glue's ulp)
 def _roll_up(x, k):
     """x shifted so out[r] = x[r + k] (sublane roll), tail rows zeroed."""
     n = x.shape[0]
-    out = pltpu.roll(x, n - k, 0)  # out[r] = x[(r + k) % n]; shift >= 0
+    # out[r] = x[(r + k) % n]; shift must be i32 (a python int would
+    # become a weak i64 under x64 and fail tpu.dynamic_rotate)
+    out = pltpu.roll(x, jnp.int32(n - k), 0)
     row = lax.broadcasted_iota(jnp.int32, x.shape, 0)
     return jnp.where(row < n - k, out, jnp.float32(0.0))
 
 
 def _roll_down(x, k, head):
     """out[r] = x[r - k]; rows < k set to ``head``."""
-    out = pltpu.roll(x, k, 0)
+    out = pltpu.roll(x, jnp.int32(k), 0)
     row = lax.broadcasted_iota(jnp.int32, x.shape, 0)
     return jnp.where(row >= k, out, jnp.float32(head))
 
