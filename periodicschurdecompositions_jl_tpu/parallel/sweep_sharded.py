@@ -36,7 +36,6 @@ is green-field TPU design for the hot loop of
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
