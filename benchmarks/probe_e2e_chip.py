@@ -22,8 +22,28 @@ import periodicschurdecompositions_jl_tpu as psd  # noqa: E402
 
 rng = np.random.default_rng(2024)
 dev = jax.devices()[0]
+cpu = jax.devices("cpu")[0]
 print(f"[e2e] default device: {dev}", flush=True)
 fails = 0
+
+
+class _cpu_checks:
+    """Pin the ORACLE/reorder side to the host CPU.
+
+    The probe validates pschur's TPU routing; check_psd / ordschur /
+    eigvecs build their own small jax programs, and every FRESH small
+    program needs the remote compile service — observed 2026-08-21
+    costing ~30 min/leg (a trivial fresh program compiled in 87 s) and
+    dying UNAVAILABLE.  The decomposition itself runs on the chip with
+    cached programs; the checks belong on the host anyway.
+    """
+
+    def __enter__(self):
+        self._ctx = jax.default_device(cpu)
+        self._ctx.__enter__()
+
+    def __exit__(self, *exc):
+        self._ctx.__exit__(*exc)
 
 
 def step(tag, fn):
@@ -46,22 +66,28 @@ def real_plain():
     p, n = 8, 128
     A = rng.standard_normal((p, n, n))
     P = psd.pschur(jnp.asarray(A), "R", maxitfac=40)
-    ok, rep = psd.check_psd(P, A, qtol=500.0, tol=2000.0)
-    assert ok and rep["residual_rel"] < 1e-12, rep
-    # reorder the largest quarter to the top
-    v = np.abs(np.asarray(P.values))
-    sel = list(v >= np.sort(v)[-n // 4])
-    P2 = psd.ordschur(P, sel)
-    ok2, rep2 = psd.check_psd(P2, A, qtol=500.0, tol=2000.0)
-    assert ok2, rep2
-    top = np.sort(np.abs(np.asarray(P2.values))[:sum(sel)])
-    want = np.sort(v[np.asarray(sel)])
-    assert np.allclose(top, want, rtol=1e-8)
-    # eigenvectors of the two largest: right orientation satisfies
-    # A[l] V[(l+1)%p] = mu V[l] with mu = lam^(1/p) (tests/test_vectors)
-    v2 = np.abs(np.asarray(P2.values))
-    sel2 = list(v2 >= np.sort(v2)[-2])
-    Vs = psd.eigvecs(P2, sel2)
+    with _cpu_checks():
+        P = psd.PeriodicSchur(
+            Ts=jnp.asarray(np.asarray(P.Ts)),
+            Zs=jnp.asarray(np.asarray(P.Zs)),
+            values=jnp.asarray(np.asarray(P.values)),
+            orientation=P.orientation, schurindex=P.schurindex)
+        ok, rep = psd.check_psd(P, A, qtol=500.0, tol=2000.0)
+        assert ok and rep["residual_rel"] < 1e-12, rep
+        # reorder the largest quarter to the top
+        v = np.abs(np.asarray(P.values))
+        sel = list(v >= np.sort(v)[-n // 4])
+        P2 = psd.ordschur(P, sel)
+        ok2, rep2 = psd.check_psd(P2, A, qtol=500.0, tol=2000.0)
+        assert ok2, rep2
+        top = np.sort(np.abs(np.asarray(P2.values))[:sum(sel)])
+        want = np.sort(v[np.asarray(sel)])
+        assert np.allclose(top, want, rtol=1e-8)
+        # eigenvectors of the two largest: right orientation satisfies
+        # A[l] V[(l+1)%p] = mu V[l] with mu = lam^(1/p) (tests/test_vectors)
+        v2 = np.abs(np.asarray(P2.values))
+        sel2 = list(v2 >= np.sort(v2)[-2])
+        Vs = psd.eigvecs(P2, sel2)
     lams = np.asarray(P2.values)[np.asarray(sel2)]
     for ki in range(Vs[0].shape[1]):
         mu = complex(lams[ki]) ** (1.0 / p)
@@ -80,13 +106,22 @@ def complex_mixed():
         A[l] += np.sign(np.linalg.det(A[l]).real or 1.0) * 3 * np.eye(n)
     S = (True, False, True, False)
     G = psd.pschur(jnp.asarray(A), "R", S=S)
-    ok, rep = psd.check_psd(G, A, qtol=500.0, tol=2000.0)
-    assert ok and rep["residual_rel"] < 1e-12, rep
-    v = np.abs(np.asarray(G.values))
-    sel = list(v >= np.sort(v)[-4])
-    G2 = psd.ordschur(G, sel)
-    ok2, rep2 = psd.check_psd(G2, A, qtol=500.0, tol=2000.0)
-    assert ok2, rep2
+    with _cpu_checks():
+        G = psd.GeneralizedPeriodicSchur(
+            S=G.S, schurindex=G.schurindex,
+            Ts=jnp.asarray(np.asarray(G.Ts)),
+            Zs=jnp.asarray(np.asarray(G.Zs)),
+            alpha=jnp.asarray(np.asarray(G.alpha)),
+            beta=jnp.asarray(np.asarray(G.beta)),
+            alphascale=jnp.asarray(np.asarray(G.alphascale)),
+            orientation=G.orientation)
+        ok, rep = psd.check_psd(G, A, qtol=500.0, tol=2000.0)
+        assert ok and rep["residual_rel"] < 1e-12, rep
+        v = np.abs(np.asarray(G.values))
+        sel = list(v >= np.sort(v)[-4])
+        G2 = psd.ordschur(G, sel)
+        ok2, rep2 = psd.check_psd(G2, A, qtol=500.0, tol=2000.0)
+        assert ok2, rep2
     return f"resid {rep['residual_rel']:.1e}, reorder ok"
 
 
@@ -97,8 +132,9 @@ def real_mixed():
         A[l] += np.sign(np.linalg.det(A[l])) * 3 * np.eye(n)
     S = (True, False, True, False)
     G = psd.pschur(jnp.asarray(A), "R", S=S)   # ds rg pipeline off-CPU
-    ok, rep = psd.check_psd(G, A, qtol=500.0, tol=2000.0)
-    assert ok and rep["residual_rel"] < 1e-12, rep
+    with _cpu_checks():
+        ok, rep = psd.check_psd(G, A, qtol=500.0, tol=2000.0)
+        assert ok and rep["residual_rel"] < 1e-12, rep
     return f"resid {rep['residual_rel']:.1e} (ds rg route)"
 
 
