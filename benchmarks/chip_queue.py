@@ -96,6 +96,13 @@ QUEUE = [
                              "8", "256"], 7200,
      {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
 
+    # 8) per-iteration fixed-cost decomposition (the round-5 perf
+    #    question: what IS the ~12 ms/iter — sweep launches/copies,
+    #    transposes, or cond boundaries?)  In-program maxiter marginals,
+    #    three variants; 6 fresh compiles, so it rides last.
+    ("iterfixed_p16_n512", [sys.executable,
+                            "benchmarks/probe_iterfixed.py",
+                            "16", "512"], 7200),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"
