@@ -133,6 +133,9 @@ class AlgoConfig:
     # Only honored when nbulges == 1 (the multi-bulge path keeps the
     # XLA-glue shifts).  PSD_GLUE_KERNEL=1 seeds the default (probe
     # subprocess plumbing, like PSD_GROUP_MODE).
+    # EXPERIMENTAL, stays OFF: the round-4 on-chip A/B measured it
+    # correct but ~1.5 s slower at the headline — the fixed cost is
+    # elsewhere (BASELINE.md round-4).
     glue_kernel: bool = dataclasses.field(
         default_factory=lambda: _os.environ.get("PSD_GLUE_KERNEL",
                                                 "0") == "1")

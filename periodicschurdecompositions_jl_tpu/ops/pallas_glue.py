@@ -28,6 +28,15 @@ sublane rolls (static pltpu.roll — Mosaic forbids unaligned LANE
 rotates, ops/pallas_sweep.py note).  Scalars in/out ride a (1, 128)
 lane-addressed pack.  Everything Mosaic-exact, traced under
 ff.no_barriers (same policy as the sweep kernels).
+
+MEASURED OUTCOME (round-4 on-chip A/B, BASELINE.md): CORRECT
+(backerr 1.86e-13, niter identical to the XLA-glue path) but ~1.5 s
+SLOWER at the p=16 n=512 headline — the per-iteration fixed cost is
+NOT the band/scan/shift glue this kernel fuses.  It ships as an
+experimental path (AlgoConfig.glue_kernel / PSD_GLUE_KERNEL=1); the
+remaining fixed-cost suspects are the sweep-kernel launches with
+full-state copies and the chase/deflate cond boundary
+(benchmarks/probe_iterfixed.py decomposes them).
 """
 from __future__ import annotations
 

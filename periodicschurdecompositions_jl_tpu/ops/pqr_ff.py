@@ -477,8 +477,12 @@ def pqr_real_core_ff(
 
         if use_glue_kernel:
             # kernel G: band products + scan + shifts fused into ONE
-            # Mosaic launch (ops/pallas_glue.py; the per-iteration glue
-            # otherwise costs ~12 ms of tiny-launch overhead at n=512)
+            # Mosaic launch (ops/pallas_glue.py).  EXPERIMENTAL, default
+            # off: the round-4 on-chip A/B measured it correct
+            # (backerr 1.86e-13, identical niter) but ~1.5 s SLOWER at
+            # the p=16 n=512 headline — the ~12 ms/iter fixed cost is
+            # NOT this glue (BASELINE.md round-4; suspects: sweep-kernel
+            # launches/copies, cond boundaries)
             from .pallas_glue import glue_products_scan_shift
             (hdiag, hsub, hsup, bexp, found_k, lnew, anyf,
              v0k) = glue_products_scan_shift(H, n, l, i, its, cfg,
