@@ -100,11 +100,16 @@ def real_plain():
 
 
 def complex_mixed():
-    p, n = 4, 32
+    # (p=6, n=128, alternating S): the EXACT shape/static-arg combination
+    # of benchmarks/probe_complex_ff.py's round-3 on-chip record — the
+    # remote compile service content-cache can hit its big chunked
+    # program.  The original (4, 32) leg needed a fresh ~25 min compile
+    # that today's degraded service drops with UNAVAILABLE every time.
+    p, n = 6, 128
     A = rng.standard_normal((p, n, n)) + 1j * rng.standard_normal((p, n, n))
     for l in range(p):
         A[l] += np.sign(np.linalg.det(A[l]).real or 1.0) * 3 * np.eye(n)
-    S = (True, False, True, False)
+    S = (True, False, True, False, True, False)
     G = psd.pschur(jnp.asarray(A), "R", S=S)
     with _cpu_checks():
         G = psd.GeneralizedPeriodicSchur(
@@ -143,7 +148,7 @@ step("real plain pschur+ordschur+eigvecs (p=8 n=128)", real_plain)
 if os.environ.get("PSD_E2E_ALL", "") == "1":
     # fresh-shape compiles — only when the remote compile service is
     # healthy (each costs a ~5-10 min remote compile)
-    step("complex mixed-S pschur+ordschur (p=4 n=32)", complex_mixed)
+    step("complex mixed-S pschur+ordschur (p=6 n=128)", complex_mixed)
     step("real mixed-S pschur via ds rg route (p=4 n=32)", real_mixed)
 print(f"[e2e] {'ALL OK' if fails == 0 else f'{fails} FAILURES'}",
       flush=True)
