@@ -24,85 +24,42 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOG = os.path.join(REPO, "benchmarks", "results_r4.log")
-STATE = "/tmp/chip_queue_state_r4.json"
+LOG = os.path.join(REPO, "benchmarks", "results_r5.log")
+STATE = "/tmp/chip_queue_state_r5.json"
 LOCK = "/tmp/chip_queue.lock"
 RETRIES = 6  # tunnel deaths mid-compile dominate failures
 
 # (name, argv, timeout_s[, env_extra]) — ordered by decision value.
 QUEUE = [
-    # ==================== round-4 queue ====================
-    # 1) bench dress on the warm cache: validates the shipping headline
-    #    pipeline end-to-end and re-populates the remote program cache
-    #    (round-3 device programs are unchanged by the round-4 host-side
-    #    work so far).
-    ("bench_dress_r4", [sys.executable, "bench.py"], 7200),
-    # 2) phase attribution at the headline: where do the 9.12 s go now
-    #    (reduction vs device chunks vs AED host events)?  Decides the
-    #    next perf lever for the <= 8 s target (VERDICT #1).
-    ("phases_p16_n512", [sys.executable, "benchmarks/probe_phases.py",
-                         "16", "512"], 7200),
-    # 3b) AED interval/window re-sweep with the NATIVE analyses: the r3
-    #    sweep (which kept itv=auto=n//4) was measured when each event
-    #    cost ~150 ms; events now cost ~tens of ms, so denser intervals
-    #    and wider windows should cut niter=640 substantially (phases:
-    #    iteration 7.77 s of the 9.6 s pipeline).  Host-side knobs only:
-    #    every combo reuses the compiled programs (~1 min/combo).
-    ("aed_retune_p16_n512", [sys.executable, "benchmarks/aed_timing.py",
-                             "16", "512",
-                             "1:1,1:1:64:48,1:1:40:64,1:1:64:64,"
-                             "1:1:96:64,1:1:40:96"], 7200),
-    # 3c) kernel-G (fused per-iteration glue) A/B at the headline: the
-    #    per-iteration fixed cost (12.1 ms at p=16 n=512) is glue-launch
-    #    dominated; kernel G fuses band products + scan + shifts into one
-    #    Mosaic launch (ops/pallas_glue.py).  Validated on CPU (band
-    #    parity 7e-15, oracle-identical cores); this measures the
-    #    wall-clock win and on-chip accuracy.  Fresh Mosaic compile.
-    ("glue_kernel_ab_p16_n512", [sys.executable,
-                                 "benchmarks/aed_timing.py",
-                                 "16", "512", "1:1"], 7200,
-     {"PSD_GLUE_KERNEL": "1"}),
-
-    # 7) bench dress with the NEW timing (sync on the ok scalar; the
-    #    ~3 s tunnel export of T/Z no longer counted) — the number the
-    #    driver's round-end bench.py will record.  Program set cached by
-    #    the earlier dress.
-    ("bench_dress_r4_newtiming", [sys.executable, "bench.py"], 7200),
-
-    # 6) ensemble throughput A/B (VERDICT #6): sequential loop vs
-    #    2-worker pipelined double-buffering at (p=8, n=128).
-    ("ensemble_ab_p8_n128", [sys.executable, "benchmarks/probe_ensemble.py",
-                             "8", "128", "8"], 5400),
-
-    # 3) public-API e2e journey (VERDICT #3).  The 23:40 standalone
-    #    attempt died UNAVAILABLE on the first leg after 31 min — the
-    #    known compile-service flake; retries are the cure.
+    # ==================== round-5 queue ====================
+    # All items now share the package-default compilation cache dir
+    # (psd_jax_cache_<cpufp>, merged 2026-08-21 from the round-3/4
+    # per-probe override dirs): the round-4 e2e cx-leg failures were a
+    # CACHE-DIR MISMATCH — the round-3 cx programs were serialized under
+    # psd_jax_cache_cxdd while the e2e probe (package default) looked in
+    # the fingerprint dir and hit the degraded remote compile service.
+    # 1) public-API e2e journey, all three legs (VERDICT r4 #2).
     ("e2e_public_api", [sys.executable, "benchmarks/probe_e2e_chip.py"],
      5400, {"PSD_E2E_ALL": "1"}),
-
-    # 4) cx chunked core at n >= 256 on-chip (VERDICT #4): the graded-
-    #    band stall class was discovered at n=512 on the real core; the
-    #    complex core has never been driven past n=128 on hardware.
-    #    Fresh compiles (deferred protocol ~250 s on a healthy service).
-    ("complex_ff_p8_n256", [sys.executable,
-                            "benchmarks/probe_complex_ff.py",
-                            "8", "256"], 7200,
-     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_cxdd"}),
-    # 5) rg chunked core at n >= 256 on-chip (VERDICT #4) with the NEW
-    #    native C++ AED window analyses (first time the rg AED crosses
-    #    its aed_min_n=192 gate on hardware).
-    ("real_gen_ff_p8_n256", [sys.executable,
-                             "benchmarks/probe_real_gen_ff.py",
-                             "8", "256"], 7200,
-     {"JAX_COMPILATION_CACHE_DIR": "/root/.cache/psd_jax_cache_rgff"}),
-
-    # 8) per-iteration fixed-cost decomposition (the round-5 perf
-    #    question: what IS the ~12 ms/iter — sweep launches/copies,
-    #    transposes, or cond boundaries?)  In-program maxiter marginals,
-    #    three variants; 6 fresh compiles, so it rides last.
+    # 2) per-iteration fixed-cost decomposition (VERDICT r4 #1: what IS
+    #    the ~12 ms/iter?) — decides the round-5 perf attack.
     ("iterfixed_p16_n512", [sys.executable,
                             "benchmarks/probe_iterfixed.py",
                             "16", "512"], 7200),
+    # 3/4) cx and rg chunked cores at n >= 256 on-chip (VERDICT r4 #2).
+    #    The 06:29 attempt already cached the p8/n256 cx reduction
+    #    executable locally; retries resume from there.
+    ("complex_ff_p8_n256", [sys.executable,
+                            "benchmarks/probe_complex_ff.py",
+                            "8", "256"], 7200),
+    ("real_gen_ff_p8_n256", [sys.executable,
+                             "benchmarks/probe_real_gen_ff.py",
+                             "8", "256"], 7200),
+    # 5) Krylov on-chip re-measure (VERDICT r4 #6): wall-clock + where
+    #    the time goes (host loop vs device programs).
+    ("krylov_chip_4_256", [sys.executable,
+                           "benchmarks/probe_krylov_chip.py",
+                           "4", "256", "4"], 5400),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"

@@ -1652,7 +1652,23 @@ int pqz_real_gen_niter_cpu(int p, int n, double* H, const int* S, double* Z,
       for (int i = 0; i < n; ++i) Zl[(size_t)i * n + i] = 1.0;
     }
   }
-  if (n == 1) return 0;
+  if (n == 1) {
+    // same signed-safeprod fill as pqz_real_gen_cpu (a bare `return 0`
+    // here used to report success with alpha=beta=0)
+    double a = 1.0, b = 1.0;
+    int sc = 0;
+    for (int l = 0; l < p; ++l) {
+      double d = H[(size_t)l * 1 * 1];
+      if (S[l] > 0) a *= d;
+      else {
+        if (d == 0.0) b = 0.0;
+        else a /= d;
+      }
+      pqzrg::renorm_sc(&a, 1, sc);
+    }
+    alr[0] = a; ali[0] = 0.0; beta[0] = b; scal[0] = sc;
+    return 0;
+  }
   return pqzrg::pqz_real_gen(p, n, H, S, Z, alr, ali, beta, scal,
                              maxitfac, want_z, niter);
 }

@@ -112,24 +112,21 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     # 1) host-keyed cache build (source hash + CPU model/flags in the key,
     #    so a binary never outlives its host or its source);
-    # 2) else the checked-in repo .so, but only past a subprocess self-test;
-    # 3) else build into the cache.  Any failure -> None (callers fall back
-    #    to the jitted exact-f64 cores).
+    # 2) else BUILD from the current source into the cache (the checked-in
+    #    repo .so may lag pschur_cpu.cpp, so it must never be certified
+    #    under the current source hash);
+    # 3) only if the toolchain is missing/broken, fall back to the
+    #    checked-in repo .so past a subprocess self-test (used in place,
+    #    NOT copied into the source-hash-keyed cache).  Any failure ->
+    #    None (callers fall back to the jitted exact-f64 cores).
     so = _cache_so()
     if not os.path.exists(so):
-        if os.path.exists(_SO_REPO) and _selftest(_SO_REPO):
-            # record the pass: copy into the host-keyed cache so later
-            # processes skip the ~2 s subprocess probe
-            try:
-                import shutil
-                os.makedirs(os.path.dirname(so), exist_ok=True)
-                shutil.copyfile(_SO_REPO, so + f".tmp.{os.getpid()}")
-                os.replace(so + f".tmp.{os.getpid()}", so)
-            except OSError:
+        if not (_build(so) and _selftest(so)):
+            if os.path.exists(_SO_REPO) and _selftest(_SO_REPO):
                 so = _SO_REPO
-        elif not (_build(so) and _selftest(so)):
-            _load_failed = True
-            return None
+            else:
+                _load_failed = True
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:

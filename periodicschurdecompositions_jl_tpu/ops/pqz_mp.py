@@ -1342,10 +1342,12 @@ def pschur_mp(A, S: Optional[Sequence[bool]] = None, lr: str = "R",
 
     def _is_real_input(A):
         if A.dtype == object:
-            return all(isinstance(A[l, i, j], mpf) or not isinstance(
-                A[l, i, j], mpc)
-                for l in range(A.shape[0])
-                for i in range(A.shape[1]) for j in range(A.shape[2]))
+            # builtin Python complex counts as complex too: it is not an
+            # mpc instance but _to_mp_real's mpf() would raise on it
+            return not any(isinstance(A[l, i, j], (complex, mpc))
+                           for l in range(A.shape[0])
+                           for i in range(A.shape[1])
+                           for j in range(A.shape[2]))
         return not np.iscomplexobj(A)
 
     real_path = (not complexify) and all(S) and _is_real_input(A)

@@ -132,8 +132,8 @@ def chase_sweep_ff_sharded(H: FF, ZT: Optional[FF], m, i, v0: FF, *,
     p, N, _ = H.hi.shape
     nd = mesh.shape[axis_name]
     assert N % nd == 0, (
-        f"lane count {N} must divide the '{axis_name}' mesh axis ({nd}); "
-        "pad the cycle (the cores ghost-pad to N = n + 1 already)")
+        f"the '{axis_name}' mesh axis ({nd}) must divide the lane count "
+        f"{N}; pad the cycle (the cores ghost-pad to N = n + 1 already)")
     L = N // nd
     scal = jnp.stack([jnp.asarray(m, jnp.int32), jnp.asarray(i, jnp.int32),
                       jnp.int32(1)])
