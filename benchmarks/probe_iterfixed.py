@@ -3,21 +3,27 @@
 Round-4 finding: per-iteration cost is ~constant in the active-window
 size (12.1 ms at p=16 n=512; kernel-G showed it is NOT the band/scan/
 shift XLA glue).  Remaining suspects: the three sweep pallas launches
-with full-state copies, the two H transposes, and the chase/deflate
-cond boundary shuffling the 70 MB (H, ZT) state.
+with full-state copies + transposes, the band-product glue, and the
+cond boundaries shuffling the ~70 MB (H, ZT) state.
 
-Method: in-program marginal — run the UNCHUNKED core on the same draw
-with maxiter=K1 vs K2 (fresh inputs each, host-synced on an output
-scalar); (t2 - t1) / (K2 - K1) = true per-iteration cost with no
-readback or chunk overhead.  Variants isolate components:
+Method: ONE compiled program per variant (the iteration cap rides the
+TRACED ``it_cap`` argument, so K=40 vs K=80 reuse the executable), and
+marginal timing (t(K2) - t(K1)) / (K2 - K1) with the ok-scalar sync.
+The duplicate-work variants (ops/pqr_ff.py, PSD_ITERFIXED_VARIANT) keep
+data and control flow BITWISE IDENTICAL to base (validated on CPU) while
+adding exactly one unit of the suspected cost per iteration:
 
   base      : defaults (want_z=True)
-  noz       : want_z=False  (kernel B loses its Z^T targets)
-  glue      : cfg.glue_kernel=True (fused band/scan/shift)
+  noz       : want_z=False   (kernel B loses its Z^T targets)
+  dupsweep  : + one identity full sweep per chase iteration
+              (launches + copies + transposes + in-kernel steps)
+  dupband   : + one band-product + scan evaluation per iteration
+  dupcond   : + FOUR identity cond boundaries carrying (H, ZT)
+              (cost printed per single cond)
 
 Usage: python benchmarks/probe_iterfixed.py [p] [n]
 """
-import dataclasses
+import os
 import sys
 import time
 
@@ -34,58 +40,67 @@ from periodicschurdecompositions_jl_tpu.config import default_config  # noqa
 from periodicschurdecompositions_jl_tpu.ops import ff  # noqa: E402
 from periodicschurdecompositions_jl_tpu.ops.hessenberg_ff import (  # noqa
     phessenberg_core_ff)
-from periodicschurdecompositions_jl_tpu.ops.pqr_ff import (  # noqa
-    pqr_real_core_ff)
 
 dev = jax.devices()[0]
 print(f"[iterfixed] device {dev}, p={p} n={n}", flush=True)
-rng = np.random.default_rng(4242)
-A = rng.standard_normal((p, n, n))
-Af = ff.from_f64(jnp.asarray(A))
-Hh, Hl, Qh, Ql = phessenberg_core_ff(
-    jax.device_put(Af.hi, dev), jax.device_put(Af.lo, dev), want_q=True)
-Hh = np.asarray(Hh)
-Hl = np.asarray(Hl)
-Qh = np.asarray(Qh)
-Ql = np.asarray(Ql)
 
 K1, K2 = 40, 80
 
+# two draws -> two marginal estimates (and distinct input content, so the
+# axon content-addressed execution cache cannot replay a timed call)
+hess = jax.jit(lambda hi, lo: phessenberg_core_ff(hi, lo, want_q=True))
+draws = []
+for seed in (4242, 999):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((p, n, n))
+    Af = ff.from_f64(jnp.asarray(A))
+    outs = hess(jax.device_put(Af.hi, dev), jax.device_put(Af.lo, dev))
+    draws.append(tuple(np.asarray(o) for o in outs))
+print("[iterfixed] reductions done", flush=True)
 
-def run(tag, want_z, cfg, K):
-    hh = jax.device_put(jnp.asarray(Hh), dev)
-    hl = jax.device_put(jnp.asarray(Hl), dev)
-    qh = jax.device_put(jnp.asarray(Qh), dev)
-    ql = jax.device_put(jnp.asarray(Ql), dev)
+
+def make_fn(variant, want_z):
+    os.environ["PSD_ITERFIXED_VARIANT"] = variant
+    import importlib
+
+    import periodicschurdecompositions_jl_tpu.ops.pqr_ff as m
+    importlib.reload(m)
+
+    def fn(hh, hl, qh, ql, itcap):
+        return m.pqr_real_core_ff(hh, hl, qh, ql, want_z=want_z,
+                                  cfg=default_config, it_cap=itcap)
+
+    return jax.jit(fn)
+
+
+def timed(fn, draw, K):
+    hh, hl, qh, ql = (jax.device_put(jnp.asarray(x), dev) for x in draw)
+    cap = jax.device_put(jnp.int32(K), dev)
     t0 = time.time()
-    out = pqr_real_core_ff(hh, hl, qh, ql, want_z=want_z, cfg=cfg,
-                           maxiter=K)
-    ok = bool(np.asarray(out[-1]))  # sync on the tiny ok scalar
-    return time.time() - t0, ok
+    out = fn(hh, hl, qh, ql, cap)
+    bool(np.asarray(out[8]))  # sync on the tiny ok scalar
+    return time.time() - t0
 
 
-for tag, want_z, cfg in (
-        ("base", True, default_config),
-        ("noz", False, default_config),
-        ("glue", True, dataclasses.replace(default_config,
-                                           glue_kernel=True))):
+for tag, variant, want_z, div in (
+        ("base", "", True, 1.0),
+        ("noz", "", False, 1.0),
+        ("dupsweep", "dupsweep", True, 1.0),
+        ("dupband", "dupband", True, 1.0),
+        ("dupcond", "dupcond", True, 4.0)):
     try:
+        fn = make_fn(variant, want_z)
         t0 = time.time()
-        run(tag, want_z, cfg, K1)  # compile + warm K1
-        warm1 = time.time() - t0
-        t0 = time.time()
-        run(tag, want_z, cfg, K2)  # compile + warm K2
-        warm2 = time.time() - t0
-        t1, _ = run(tag, want_z, cfg, K1)
-        t2, _ = run(tag, want_z, cfg, K2)
-        t1b, _ = run(tag, want_z, cfg, K1)
-        t2b, _ = run(tag, want_z, cfg, K2)
-        t1 = min(t1, t1b)
-        t2 = min(t2, t2b)
-        per = (t2 - t1) / (K2 - K1) * 1e3
-        print(f"[iterfixed] {tag}: K{K1} {t1:.2f}s K{K2} {t2:.2f}s "
-              f"-> {per:.2f} ms/iter (compiles {warm1:.0f}s/{warm2:.0f}s)",
-              flush=True)
+        timed(fn, draws[0], K1)  # compile (once per variant) + warm
+        warm = time.time() - t0
+        pers = []
+        for d in draws:
+            t1 = timed(fn, d, K1)
+            t2 = timed(fn, d, K2)
+            pers.append((t2 - t1) / (K2 - K1) * 1e3)
+        print(f"[iterfixed] {tag}: {pers[0]:.2f} / {pers[1]:.2f} ms/iter "
+              f"(per-unit { (sum(pers)/2)/div:.2f} ms, compile+warm "
+              f"{warm:.0f}s)", flush=True)
     except Exception as e:
         print(f"[iterfixed] {tag}: FAIL {type(e).__name__}: {e}",
               flush=True)

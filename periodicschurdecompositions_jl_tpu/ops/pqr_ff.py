@@ -18,6 +18,7 @@ transposed back at the end.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -472,6 +473,21 @@ def pqr_real_core_ff(
     # =================================================================
     use_glue_kernel = bool(cfg.glue_kernel) and cfg.nbulges <= 1
 
+    # Timing-isolation variants (benchmarks/probe_iterfixed.py): each
+    # DUPLICATES one component of the per-iteration fixed cost while
+    # keeping data and control flow bitwise identical to the base
+    # program, so (t_variant - t_base) / iters is exactly that
+    # component's per-iteration cost.  Trace-time static; never set in
+    # production.
+    #   dupsweep - one extra full sweep call per chase iteration with
+    #              v0 = e1 (tau = 0 -> every rotation is exactly I;
+    #              validated bitwise on CPU);
+    #   dupband  - one extra band-product + scan evaluation, consumed
+    #              through a dynamically-false select;
+    #   dupcond  - four extra identity lax.cond boundaries carrying the
+    #              full (H, ZT) state (the repair-cond shape).
+    _dbg_variant = os.environ.get("PSD_ITERFIXED_VARIANT", "")
+
     def body(st):
         (H, ZT, wr, wi, i, l, its, itleft, jiter) = st
 
@@ -493,6 +509,13 @@ def pqr_real_core_ff(
                          v0k)
 
         hdiag, hsub, hsup, bexp, bscs = _band_products_scaled(H, n)
+        if _dbg_variant == "dupband":
+            hdiag2, hsub2, hsup2, bexp2, _ = _band_products_scaled(H, n)
+            sel = jiter < jnp.int32(-1)  # dynamically false, uneliminable
+            hdiag = jnp.where(sel, hdiag2, hdiag)
+            hsub = jnp.where(sel, hsub2, hsub)
+            hsup = jnp.where(sel, hsup2, hsup)
+            bexp = jnp.where(sel, bexp2, bexp)
 
         # ---- deflation scan (f64, range-safe; mirrors ops/pqr_real) ---
         z64 = jnp.zeros((1,), f64)
@@ -628,6 +651,17 @@ def pqr_real_core_ff(
             bndv, ff.maximum(ff.mul_f(t1r, jnp.float32(ulp)),
                              ff.full_like(t1r, smlnum)))
         H, ZT = lax.cond(need_repair, repair, lambda x: x, (H, ZT))
+        if _dbg_variant == "dupcond":
+            # four extra cond boundaries carrying the full (H, ZT) state;
+            # the predicate is dynamically false but unprovable, and the
+            # taken branch is identity while the untaken one differs (so
+            # the conditional simplifier cannot collapse it)
+            for _ in range(4):
+                H, ZT = lax.cond(
+                    need_repair & (jiter < jnp.int32(-1)),
+                    lambda x: (fac_set(x[0], 0, setel_ff(
+                        fac_get(x[0], 0), lnew, lnew, zero)), x[1]),
+                    lambda x: x, (H, ZT))
         H = fac_set(H, 0, setel_ff(fac_get(H, 0), lnew, lnew - 1, zero,
                                    active=lnew > 0))
 
@@ -726,6 +760,19 @@ def pqr_real_core_ff(
                              want_z=want_z, interpret=interpret,
                              mode=cfg.sweep_mode,
                              hbm_grouped=cfg.sweep_hbm_grouped)
+                if _dbg_variant == "dupsweep":
+                    # identity sweep: v0 = e1 -> xLARFG tau = 0 at the
+                    # bulge introduction AND every chase step (no bulge
+                    # to annihilate), so every transform is exactly I;
+                    # same launches/copies/transposes as a real sweep
+                    v0e1 = FF(jnp.zeros((3,), jnp.float32).at[0].set(1.0),
+                              jnp.zeros((3,), jnp.float32))
+                    H, ZT2 = impl(H, ZT if want_z else None, m, i, v0e1,
+                                  want_z=want_z, interpret=interpret,
+                                  mode=cfg.sweep_mode,
+                                  hbm_grouped=cfg.sweep_hbm_grouped)
+                    if want_z:
+                        ZT = ZT2
                 if not want_z:
                     ZT = HZwrwi[1]
                 return H, ZT, wr, wi
