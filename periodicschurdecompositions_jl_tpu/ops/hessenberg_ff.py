@@ -105,18 +105,54 @@ def _getcol(M: FF, i) -> FF:
               lax.dynamic_slice(M.lo, (jnp.int32(0), i), (n, 1))[:, 0])
 
 
-@partial(jax.jit, static_argnames=("want_q",))
-def phessenberg_core_ff(Ahi: jax.Array, Alo: jax.Array, want_q: bool = True):
+def _kernel_auto(p: int, n: int, want_q: bool) -> bool:
+    """Default routing for the fused Pallas reduction kernel.
+
+    On the chip the fused single-launch kernel (ops/pallas_hess.py)
+    replaces ~250k barrier-separated XLA glue launches; on CPU the glue
+    path stays the default (the kernel is interpret-tested separately).
+    Env override PSD_HESS_KERNEL=0/1 forces either path.
+    """
+    import os
+
+    env = os.environ.get("PSD_HESS_KERNEL", "")
+    if env in ("0", "1"):
+        if env == "0":
+            return False
+        from .pallas_hess import hess_kernel_fits
+        return hess_kernel_fits(p, n, want_q)
+    if n <= 2:
+        return False
+    dev = jax.config.jax_default_device
+    plat = dev.platform if dev is not None else jax.default_backend()
+    if plat == "cpu":
+        return False
+    from .pallas_hess import hess_kernel_fits
+    return hess_kernel_fits(p, n, want_q)
+
+
+@partial(jax.jit, static_argnames=("want_q", "use_kernel"))
+def phessenberg_core_ff(Ahi: jax.Array, Alo: jax.Array, want_q: bool = True,
+                        use_kernel=None):
     """ds periodic Hessenberg reduction.
 
     Args:
       Ahi, Alo: (p, n, n) f32 pair.
+      use_kernel: None (auto: fused Pallas kernel on the chip when it
+        fits VMEM, XLA glue otherwise) / True / False / "interpret"
+        (kernel through the Pallas interpreter, CPU tests).
 
     Returns (Hhi, Hlo, QThi, QTlo): H[0] Hessenberg, H[1:] triangular,
     Q^T stacked TRANSPOSED (Q[j]^T A[j] Q[(j+1)%p] = H[j]); QT None pair
     if not requested.
     """
     p, n, _ = Ahi.shape
+    if use_kernel is None:
+        use_kernel = _kernel_auto(p, n, want_q)
+    if use_kernel and n > 1:
+        from .pallas_hess import phessenberg_kernel_ff
+        return phessenberg_kernel_ff(Ahi, Alo, want_q=want_q,
+                                     interpret=use_kernel == "interpret")
     A = FF(Ahi, Alo)
     if n <= 1:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (p, n, n))
