@@ -55,11 +55,27 @@ QUEUE = [
     ("real_gen_ff_p8_n256", [sys.executable,
                              "benchmarks/probe_real_gen_ff.py",
                              "8", "256"], 7200),
-    # 5) Krylov on-chip re-measure (VERDICT r4 #6): wall-clock + where
+    # 5) fused Pallas reduction kernel A/B at the headline shape
+    #    (VERDICT r4 #4: 1.86 s glue -> < 1.0 s target).  Decides whether
+    #    the kernel stays auto-routed on chip.
+    ("hesskernel_p16_n512", [sys.executable,
+                             "benchmarks/probe_hesskernel.py",
+                             "16", "512"], 7200),
+    # 6) Krylov on-chip re-measure (VERDICT r4 #6): wall-clock + where
     #    the time goes (host loop vs device programs).
     ("krylov_chip_4_256", [sys.executable,
                            "benchmarks/probe_krylov_chip.py",
                            "4", "256", "4"], 5400),
+    # 7) cx/rg sweep kernel decomposition (VERDICT r4 #3): marginal
+    #    per-call cost of kernels A/B0/B and the full wrapper, jitted
+    #    fori-loop method (no readback pollution).
+    ("cxrg_kernels_p6_n128", [sys.executable,
+                              "benchmarks/probe_cxrg_kernels.py",
+                              "6", "128"], 7200),
+    # 8) bench dress with the round-5 code (reduction kernel auto-on):
+    #    validates the shipping headline end-to-end and re-populates the
+    #    local compilation cache for the driver's round-end bench.py.
+    ("bench_dress_r5", [sys.executable, "bench.py"], 7200),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"
