@@ -49,6 +49,13 @@ err = np.abs(v - lam_top).max() / lam_top.max()
 print(f"[krylov-chip] compile+run {t1:.1f}s nconverged={hist.nconverged} "
       f"nprods={hist.nprods} ritz-vs-construction err {err:.3e}",
       flush=True)
+print(f"[krylov-chip] phase timings (s): {hist.timings}", flush=True)
+# second run on the warm programs: steady-state wall + attribution
+t0 = time.time()
+ps2, hist2 = partial_pschur(sops, nev, "LM", seed=4321)
+t2 = time.time() - t0
+print(f"[krylov-chip] warm run {t2:.1f}s nconverged={hist2.nconverged} "
+      f"timings {hist2.timings}", flush=True)
 ok = hist.nconverged >= nev and err < 1e-6
 print(f"[krylov-chip] {'OK' if ok else 'BAD'}", flush=True)
 sys.exit(0 if ok else 1)

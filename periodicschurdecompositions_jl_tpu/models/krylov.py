@@ -37,11 +37,19 @@ ETA_ORTH = 1.0 / np.sqrt(2.0)
 
 @dataclasses.dataclass
 class ArnoldiHistory:
-    """Iteration summary (reference uses ArnoldiMethod.History)."""
+    """Iteration summary (reference uses ArnoldiMethod.History).
+
+    ``timings`` decomposes the wall-clock into phases (seconds):
+    arnoldi (operator applications + iterated CGS — the device programs
+    when ops is device-resident), small_schur (host projected dense
+    cores), residuals, reorder_writeback (trial reorders + basis
+    writeback), verify_locks, total.
+    """
     nprods: int
     nconverged: int
     converged: bool
     nev: int
+    timings: Optional[dict] = None
 
 
 # ---------------------------------------------------------------------------
@@ -395,8 +403,40 @@ def _small_pschur(B: List[np.ndarray], active: int, kmax: int, dtype):
     # operator programs keep executing (observed killing the on-chip
     # Krylov smoke, results_r3.log 17:48; same hardening as ops/aed.py)
     import jax as _jax
+
+    # NATIVE-first (same reasoning as ops/aed.py): the jitted exact cores
+    # pay a fresh XLA:CPU compile for EVERY distinct window size — and the
+    # window (kmax - active) changes as locks accumulate, so a restart run
+    # compiles repeatedly (measured dominating the on-chip Krylov
+    # wall-clock, VERDICT r4 #6).  The C++ window solves take ~ms.
+    from .. import native as _native
+    Hnp = np.stack(mats)
+    if _native.available():
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            if np.issubdtype(dtype, np.complexfloating):
+                out = _native.pqz_complex_cpu(
+                    Hnp.astype(np.complex128), (True,) * p)
+                if out is not None:
+                    T, Z, al, be, sc = out
+                    values = al / np.where(be == 0, 1.0, be) * np.exp2(
+                        sc.astype(float))
+                    values = np.where(be == 0, np.inf, values)
+                    return PeriodicSchur(Ts=jnp.asarray(T),
+                                         Zs=jnp.asarray(Z),
+                                         values=jnp.asarray(values),
+                                         orientation="R", schurindex=0)
+            else:
+                try:
+                    T, Z, wr, wi = _native.pschur_real_cpu(Hnp)
+                    return PeriodicSchur(
+                        Ts=jnp.asarray(T), Zs=jnp.asarray(Z),
+                        values=jnp.asarray(wr + 1j * wi),
+                        orientation="R", schurindex=0)
+                except RuntimeError:
+                    pass  # non-convergence: the jitted core may still land
+
     with _jax.default_device(_jax.devices("cpu")[0]):
-        H = jnp.asarray(np.stack(mats))
+        H = jnp.asarray(Hnp)
         if np.issubdtype(dtype, np.complexfloating):
             T, Z, al, be, sc, ok = pqz_complex_core(H, (True,) * p)
             values = np.asarray(al) / np.asarray(be) * np.exp2(
@@ -633,6 +673,10 @@ def partial_pschur(
         from ..config import default_config
         eta_orth = float(default_config.eta_orth)
     rng = np.random.default_rng(seed)
+    import time as _time
+    _tm = {"arnoldi": 0.0, "small_schur": 0.0, "residuals": 0.0,
+           "reorder_writeback": 0.0, "verify_locks": 0.0, "total": 0.0}
+    _t00 = _time.perf_counter()
     PK = _PKrylov(p, n, maxdim, dtype, rng, vrand=vrand)
     key0 = _order_key(which)
     if isreal_t:
@@ -681,7 +725,9 @@ def partial_pschur(
         else:
             v = np.asarray(u1, dtype=dtype)
         v = v / np.linalg.norm(v)
+        _t0 = _time.perf_counter()
         pa_ok = periodic_arnoldi(ops, PK, 0, mindim, v, tol1, eta_orth)
+        _tm["arnoldi"] += _time.perf_counter() - _t0
         nprods = p * mindim
         if not pa_ok:
             # singularity budget exhausted during the initial build: the
@@ -697,10 +743,14 @@ def partial_pschur(
         if it > 0:
             _restore_hessenberg(PK, active, k)
         u = PK.V[0][:, k]
+        _t0 = _time.perf_counter()
         pa_ok = periodic_arnoldi(ops, PK, k, maxdim, u, tol1, eta_orth)
+        _tm["arnoldi"] += _time.perf_counter() - _t0
         nprods += p * (maxdim - k)
 
+        _t0 = _time.perf_counter()
         PS = _small_pschur(PK.B, active, maxdim, dtype)
+        _tm["small_schur"] += _time.perf_counter() - _t0
         Hnorm = np.linalg.norm(np.asarray(PS.T1))
         foot = PK.B[p - 1][maxdim, active:maxdim].copy()
         lams = np.asarray(PS.values)
@@ -721,8 +771,10 @@ def partial_pschur(
                     abs(lj), 1e-300):
                 eff_nev += 1
 
+        _t0 = _time.perf_counter()
         rs = _residuals(PS, foot, list(range(nwrk)),
                         lams, isreal_t)
+        _tm["residuals"] += _time.perf_counter() - _t0
         rs_all[active:maxdim] = rs
 
         # locking: leading wanted candidates that have converged
@@ -734,6 +786,7 @@ def partial_pschur(
             else:
                 break
 
+        _t0 = _time.perf_counter()
         # move locked-but-active candidates to the top of the window
         if nlock > active:
             select = np.zeros(nwrk, bool)
@@ -829,9 +882,12 @@ def partial_pschur(
         for l in range(p - 1):
             PK.B[l][k:, :] = 0.0
         PK.k = k
+        _tm["reorder_writeback"] += _time.perf_counter() - _t0
 
         # verify locks against the actual foot (reference `_verify_locks!`)
+        _t0 = _time.perf_counter()
         nlock = _verify_locks(PK, lams_all, rs_all, nlock, conv, isreal_t)
+        _tm["verify_locks"] += _time.perf_counter() - _t0
         active = nlock
         # restart tracing on the ``krylov`` channel (the reference prints
         # per-restart lock/residual progress via _kry_verby,
@@ -877,8 +933,11 @@ def partial_pschur(
             values=jnp.asarray(lams_all[:nconv]),
             residuals=jnp.asarray(rs_all[:nconv]),
             orientation="L", schurindex=p - 1)
+    _tm["total"] = _time.perf_counter() - _t00
     hist = ArnoldiHistory(nprods=nprods, nconverged=nconv,
-                          converged=nconv >= nev, nev=nev)
+                          converged=nconv >= nev, nev=nev,
+                          timings={k_: round(v_, 4)
+                                   for k_, v_ in _tm.items()})
     return ps, hist
 
 
