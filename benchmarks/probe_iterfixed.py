@@ -87,7 +87,11 @@ for tag, variant, want_z, div in (
         ("noz", "", False, 1.0),
         ("dupsweep", "dupsweep", True, 1.0),
         ("dupband", "dupband", True, 1.0),
-        ("dupcond", "dupcond", True, 4.0)):
+        ("dupcond", "dupcond", True, 4.0),
+        # litedeflate: defl2's 2x2 machinery replaced by the cheap 1x1
+        # path — wall-clock only (control flow diverges); a large drop
+        # pins the fixed cost on the deflation branch's launch storm
+        ("litedeflate", "litedeflate", True, 1.0)):
     try:
         fn = make_fn(variant, want_z)
         t0 = time.time()

@@ -1131,6 +1131,12 @@ def pqr_real_core_ff(
                 wr = put(wr, i, jnp.where(swap, wr1, wr2))
                 return H, ZT, wr, wi
 
+            if _dbg_variant == "litedeflate":
+                # TIMING-ONLY: route every deflation through the cheap 1x1
+                # path (defl2's 33k-eqn 2x2 machinery never executes).
+                # Downstream control flow diverges mildly (2x2 blocks get
+                # mishandled), so ONLY the wall-clock is meaningful.
+                return defl1((H, ZT, wr, wi))
             return lax.cond(one_only, defl1, defl2, (H, ZT, wr, wi))
 
         # ONE cond for the two exclusive branches: the chase/deflate pair
