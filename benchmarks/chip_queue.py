@@ -38,40 +38,40 @@ QUEUE = [
     # CACHE-DIR MISMATCH — the round-3 cx programs were serialized under
     # psd_jax_cache_cxdd while the e2e probe (package default) looked in
     # the fingerprint dir and hit the degraded remote compile service.
-    # 1) public-API e2e journey, all three legs (VERDICT r4 #2).
-    ("e2e_public_api", [sys.executable, "benchmarks/probe_e2e_chip.py"],
-     5400, {"PSD_E2E_ALL": "1"}),
+    # 1) fused Pallas reduction kernel A/B at the headline shape
+    #    (VERDICT r4 #4: 1.86 s glue -> < 1.0 s target).  Decides whether
+    #    the kernel stays auto-routed on chip — FIRST because bench and
+    #    every later headline item depend on that routing being sound.
+    ("hesskernel_p16_n512", [sys.executable,
+                             "benchmarks/probe_hesskernel.py",
+                             "16", "512"], 7200),
     # 2) per-iteration fixed-cost decomposition (VERDICT r4 #1: what IS
     #    the ~12 ms/iter?) — decides the round-5 perf attack.
     ("iterfixed_p16_n512", [sys.executable,
                             "benchmarks/probe_iterfixed.py",
                             "16", "512"], 7200),
-    # 3/4) cx and rg chunked cores at n >= 256 on-chip (VERDICT r4 #2).
-    #    The 06:29 attempt already cached the p8/n256 cx reduction
-    #    executable locally; retries resume from there.
+    # 3) cx/rg sweep kernel decomposition (VERDICT r4 #3): marginal
+    #    per-call cost of kernels A/B0/B and the full wrapper, jitted
+    #    fori-loop method (no readback pollution).  Early: feeds this
+    #    session's cx/rg optimization work.
+    ("cxrg_kernels_p6_n128", [sys.executable,
+                              "benchmarks/probe_cxrg_kernels.py",
+                              "6", "128"], 7200),
+    # 4) public-API e2e journey, all three legs (VERDICT r4 #2).
+    ("e2e_public_api", [sys.executable, "benchmarks/probe_e2e_chip.py"],
+     5400, {"PSD_E2E_ALL": "1"}),
+    # 5/6) cx and rg chunked cores at n >= 256 on-chip (VERDICT r4 #2).
     ("complex_ff_p8_n256", [sys.executable,
                             "benchmarks/probe_complex_ff.py",
                             "8", "256"], 7200),
     ("real_gen_ff_p8_n256", [sys.executable,
                              "benchmarks/probe_real_gen_ff.py",
                              "8", "256"], 7200),
-    # 5) fused Pallas reduction kernel A/B at the headline shape
-    #    (VERDICT r4 #4: 1.86 s glue -> < 1.0 s target).  Decides whether
-    #    the kernel stays auto-routed on chip.
-    ("hesskernel_p16_n512", [sys.executable,
-                             "benchmarks/probe_hesskernel.py",
-                             "16", "512"], 7200),
-    # 6) Krylov on-chip re-measure (VERDICT r4 #6): wall-clock + where
+    # 7) Krylov on-chip re-measure (VERDICT r4 #6): wall-clock + where
     #    the time goes (host loop vs device programs).
     ("krylov_chip_4_256", [sys.executable,
                            "benchmarks/probe_krylov_chip.py",
                            "4", "256", "4"], 5400),
-    # 7) cx/rg sweep kernel decomposition (VERDICT r4 #3): marginal
-    #    per-call cost of kernels A/B0/B and the full wrapper, jitted
-    #    fori-loop method (no readback pollution).
-    ("cxrg_kernels_p6_n128", [sys.executable,
-                              "benchmarks/probe_cxrg_kernels.py",
-                              "6", "128"], 7200),
     # 8) bench dress with the round-5 code (reduction kernel auto-on):
     #    validates the shipping headline end-to-end and re-populates the
     #    local compilation cache for the driver's round-end bench.py.

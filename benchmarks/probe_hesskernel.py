@@ -56,8 +56,11 @@ def run(tag, use_kernel, check=False):
                       flush=True)
     except Exception as e:
         print(f"[hesskern] {tag}: FAIL {type(e).__name__}: {e}", flush=True)
+        return False
+    return True
 
 
-run("glue", False)
-run("kernel", True, check=True)
+ok = run("glue", False)
+ok &= run("kernel", True, check=True)
 print("[hesskern] done", flush=True)
+sys.exit(0 if ok else 1)  # the chip queue keys retry/done on the rc

@@ -42,17 +42,23 @@ class AlgoConfig:
       default.  Falls back to the one-shot value when the iteration does
       not converge.
 
-    The reference's ``_allow_early_QR`` toggle (start double-shift QR below
-    the window top, reference :301-302,768) is NOT carried over: the
-    reference itself ships it disabled as "dangerous for some matrices", and
-    the early-start first-step sign correction does not map cleanly onto the
-    masked static-shape sweep.
+    * ``allow_early_qr``: the reference's ``_allow_early_QR`` toggle
+      (reference :301-302,768-801) — scan for two consecutive small
+      subdiagonals below the window top and start the double-shift sweep
+      there instead of at ``l`` (the LAPACK dlahqr early-start device that
+      SLICOT carries).  OFF by default, exactly like the reference, which
+      ships it disabled as "dangerous for some matrices".  Honored by both
+      real cores; the sweep's first step then scales ``H1[m, m-1]`` by
+      ``(1 - tau)`` (LAPACK's underflow-safe form of the reference's sign
+      flip).  Ignored by the multi-bulge path (``nbulges > 1``), whose
+      bulge placement assumes the window top.
     """
 
     slicot_shifts: bool = False
     slicot_convg: bool = False
     at_pwr16: int = 4
     extra_rq: bool = False
+    allow_early_qr: bool = False
     eta_orth: float = 1.0 / math.sqrt(2.0)
     iterative_2x2: bool = False
     # Multi-bulge chase (ds TPU real core only): chase ``nbulges``

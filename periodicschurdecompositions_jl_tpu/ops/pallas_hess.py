@@ -31,6 +31,7 @@ wrapper falls back to the XLA glue above ~100 MiB (p=16, n=512 uses
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 from . import ff
 from .ff import FF
 from .ffkern import _safe
+
+# the kernel traces deep ds expression chains (per-column generation +
+# p-factor applies inside the fori body); CPython's default recursion
+# limit aborts tracing at reduction sizes (observed: n=512 on-chip,
+# results_r5.log 17:38) — same raise as the sibling sweep kernels
+if sys.getrecursionlimit() < 20000:
+    sys.setrecursionlimit(20000)
 
 
 def _red(x: FF, axis: int, n: int) -> FF:

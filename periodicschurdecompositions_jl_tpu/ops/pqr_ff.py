@@ -751,6 +751,56 @@ def pqr_real_core_ff(
             v0hi = v0d.astype(jnp.float32)
             v0 = FF(v0hi, (v0d - v0hi.astype(f64)).astype(jnp.float32))
 
+            early = None
+            if cfg.allow_early_qr and cfg.nbulges <= 1:
+                # ---- _allow_early_QR (reference :768-801): vectorized
+                # scan (f64 product-band quantities; the test is
+                # homogeneous in the global band scale) for the largest
+                # row m where starting the sweep leaves ℍ[m, m-1]
+                # negligible.  Mirrors ops/pqr_real.py; the Pallas sweep
+                # already takes the start row as an argument, and its
+                # first step preserves column m-1 (window-head restore),
+                # so the dlahqr H(M,M-1) *= (1-τ) correction is applied
+                # as glue after the sweep.
+                z64v = jnp.zeros((1,), f64)
+                h11v = hdiag
+                h12v = hsup
+                h21v = jnp.concatenate([hsub[1:], z64v])
+                h22v = jnp.concatenate([hdiag[1:], z64v])
+                h32v = jnp.concatenate([hsub[2:], jnp.zeros((2,), f64)])
+                hdm1 = jnp.concatenate([z64v, hdiag[:-1]])
+                h21gs = jnp.where(h21v == 0, 1.0, h21v)
+                h44sv = h44E - h11v
+                h33sv = h33E - h11v
+                v1Ev = (h33sv * h44sv - h43h34E) / h21gs + h12v
+                v2Ev = h22v - h11v - h33sv - h44sv
+                v3Ev = h32v
+                svv = jnp.abs(h11v - rt2r) + jnp.abs(rt2i) + jnp.abs(h21v)
+                svvs = jnp.where(svv == 0, 1.0, svv)
+                h21sv = h21v / svvs
+                v1Lv = h21sv * h12v + (h11v - rt1r) * \
+                    ((h11v - rt2r) / svvs) - rt1i * (rt2i / svvs)
+                v2Lv = h21sv * (h11v + h22v - rt1r - rt2r)
+                v3Lv = h21sv * h32v
+                v1v = jnp.where(use_exc, v1Ev, v1Lv)
+                v2v = jnp.where(use_exc, v2Ev, v2Lv)
+                v3v = jnp.where(use_exc, v3Ev, v3Lv)
+                tst1v = jnp.abs(v1v) * (jnp.abs(hdm1) + jnp.abs(h11v) +
+                                        jnp.abs(h22v))
+                okv = (jnp.abs(hsub) * (jnp.abs(v2v) + jnp.abs(v3v)) <=
+                       ulp * tst1v) & (iv >= lnew + 1) & (iv <= i - 2)
+                mlast = jnp.maximum(
+                    jnp.max(jnp.where(okv, iv, jnp.int32(-1))), lnew)
+                mc = jnp.clip(mlast, 0, n - 1)
+                sne = jnp.abs(v1v[mc]) + jnp.abs(v2v[mc]) + jnp.abs(v3v[mc])
+                snes = jnp.where(sne == 0, 1.0, sne)
+                v0de = jnp.stack([v1v[mc], v2v[mc], v3v[mc]]) / snes
+                early = mlast > lnew
+                v0d = jnp.where(early, v0de, v0d)
+                v0hi = v0d.astype(jnp.float32)
+                v0 = FF(v0hi, (v0d - v0hi.astype(f64)).astype(jnp.float32))
+                m = mlast
+
             if sweep_fn is not None or cfg.nbulges <= 1:
                 # sweep_fn: alternative sweep implementation with the
                 # chase_sweep_ff contract — e.g. the lane-sharded
@@ -760,6 +810,20 @@ def pqr_real_core_ff(
                              want_z=want_z, interpret=interpret,
                              mode=cfg.sweep_mode,
                              hbm_grouped=cfg.sweep_hbm_grouped)
+                if early is not None:
+                    # early-QR start: the first reflector's leading row
+                    # also acts on column m-1 (dlahqr: H(M,M-1) *= (1-τ);
+                    # the negligible rows-below fill-in is dropped).  The
+                    # kernel's window-head restore left the entry
+                    # untouched, so scale it here with the same ds
+                    # reflector the kernel generated from v0.
+                    _, tau_e, _ = reflector_ff(v0)
+                    H0f = fac_get(H, 0)
+                    subv = getel_ff(H0f, m, m - 1)
+                    H0f = setel_ff(H0f, m, m - 1,
+                                   ff.mul(subv, ff.sub(one, tau_e)),
+                                   active=early)
+                    H = fac_set(H, 0, H0f)
                 if _dbg_variant == "dupsweep":
                     # identity sweep: v0 = e1 -> xLARFG tau = 0 at the
                     # bulge introduction AND every chase step (no bulge

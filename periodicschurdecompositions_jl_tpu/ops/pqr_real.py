@@ -342,6 +342,50 @@ def pqr_real_core(
             snorms = jnp.where(snorm == 0, 1.0, snorm)
             v0 = jnp.stack([v1, v2, v3]) / snorms
 
+            if cfg.allow_early_qr:
+                # ---- _allow_early_QR (reference :768-801): scan m from
+                # i-2 down for a row where starting the double shift
+                # leaves ℍ[m, m-1] negligible; the sweep then starts at
+                # the LARGEST such m (the reference breaks at the first
+                # hit from the top).  Vectorized over all rows at once —
+                # the scan is scale-invariant, so the unnormalized first
+                # columns are tested directly.
+                h11v = hdiag
+                h12v = hsup
+                h21v = jnp.concatenate([hsub[1:], jnp.zeros((1,), dt)])
+                h22v = jnp.concatenate([hdiag[1:], jnp.zeros((1,), dt)])
+                h32v = jnp.concatenate([hsub[2:], jnp.zeros((2,), dt)])
+                hdm1 = jnp.concatenate([jnp.zeros((1,), dt), hdiag[:-1]])
+                h21gs = jnp.where(h21v == 0, 1.0, h21v)
+                h44sv = h44E - h11v
+                h33sv = h33E - h11v
+                v1Ev = (h33sv * h44sv - h43h34E) / h21gs + h12v
+                v2Ev = h22v - h11v - h33sv - h44sv
+                v3Ev = h32v
+                svv = jnp.abs(h11v - rt2r) + jnp.abs(rt2i) + jnp.abs(h21v)
+                svvs = jnp.where(svv == 0, 1.0, svv)
+                h21sv = h21v / svvs
+                v1Lv = h21sv * h12v + (h11v - rt1r) * \
+                    ((h11v - rt2r) / svvs) - rt1i * (rt2i / svvs)
+                v2Lv = h21sv * (h11v + h22v - rt1r - rt2r)
+                v3Lv = h21sv * h32v
+                v1v = jnp.where(use_exc, v1Ev, v1Lv)
+                v2v = jnp.where(use_exc, v2Ev, v2Lv)
+                v3v = jnp.where(use_exc, v3Ev, v3Lv)
+                tst1v = jnp.abs(v1v) * (jnp.abs(hdm1) + jnp.abs(h11v) +
+                                        jnp.abs(h22v))
+                okv = (jnp.abs(hsub) * (jnp.abs(v2v) + jnp.abs(v3v)) <=
+                       ulp * tst1v) & (iv >= lnew + 1) & (iv <= i - 2)
+                mlast = jnp.maximum(
+                    jnp.max(jnp.where(okv, iv, jnp.int32(-1))), lnew)
+                mc = jnp.clip(mlast, 0, n - 1)
+                sne = jnp.abs(v1v[mc]) + jnp.abs(v2v[mc]) + jnp.abs(v3v[mc])
+                snes = jnp.where(sne == 0, 1.0, sne)
+                v0e = jnp.stack([v1v[mc], v2v[mc], v3v[mc]]) / snes
+                early = mlast > lnew
+                v0 = jnp.where(early, v0e, v0)
+                m = mlast
+
             # ---- double-shift QR chase (reference :806-886) -----------
             def chase_step(k, carry):
                 H, Z, v = carry
@@ -356,7 +400,15 @@ def pqr_real_core(
                 newc = jnp.stack([jnp.asarray(beta, dt), zero,
                                   jnp.where(k < i - 1, zero, col[2])])
                 H0 = setcol(H[0], k, k - 1, newc, active=act & (k > m))
-                # first step with mlast > l would flip sign; mlast == l here
+                if cfg.allow_early_qr:
+                    # early-start first step: the reflector's first row
+                    # also acts on column m-1 — LAPACK dlahqr's
+                    # underflow-safe form H(M,M-1) *= (1-τ); the rows
+                    # m+1, m+2 fill-in is negligible by the scan's test
+                    # and dropped, exactly as in dlahqr (reference :832)
+                    H0 = setel(H0, k, k - 1,
+                               getel(H0, k, k - 1) * (1.0 - tau),
+                               active=act & (k == m) & early)
                 H0 = rowsk(H0, k, M3, lo=k, hi=thi, active=act)
                 H = H.at[0].set(H0)
                 H = H.at[p - 1 if p > 1 else 0].set(
