@@ -125,8 +125,8 @@ def _make_hess_kernel(p: int, n: int, want_q: bool):
             x = _colvec(M, ei)
             at_lo = rr1 == lo
             tail = rr1 > lo
-            alpha = FF(_s11(jnp.where(at_lo, x.hi, 0.0)),
-                       _s11(jnp.where(at_lo, x.lo, 0.0)))
+            alpha = FF(_s11(jnp.where(at_lo, x.hi, jnp.float32(0.0))),
+                       _s11(jnp.where(at_lo, x.lo, jnp.float32(0.0))))
             tx = ff.where(tail, x, zcol)
             m = jnp.max(jnp.abs(tx.hi)).reshape(1, 1)
             msafe = jnp.where(m == 0, jnp.float32(1.0), m)
@@ -145,8 +145,8 @@ def _make_hess_kernel(p: int, n: int, want_q: bool):
             beta = ff.where(trivial, alpha, beta)
             w = ff.where(tail & jnp.logical_not(trivial), vtail,
                          ff.zeros((N, 1)))
-            w = FF(jnp.where(at_lo, 1.0, w.hi),
-                   jnp.where(at_lo, 0.0, w.lo))
+            w = FF(jnp.where(at_lo, jnp.float32(1.0), w.hi),
+                   jnp.where(at_lo, jnp.float32(0.0), w.lo))
             return w, tau, beta
 
         def left(M: FF, w: FF, tau: FF) -> FF:
@@ -167,8 +167,10 @@ def _make_hess_kernel(p: int, n: int, want_q: bool):
             at_piv = rr == piv
             bh = jnp.broadcast_to(beta.hi, (N, N))
             bl = jnp.broadcast_to(beta.lo, (N, N))
-            nh = jnp.where(keep, M.hi, jnp.where(at_piv, bh, 0.0))
-            nl = jnp.where(keep, M.lo, jnp.where(at_piv, bl, 0.0))
+            nh = jnp.where(keep, M.hi,
+                           jnp.where(at_piv, bh, jnp.float32(0.0)))
+            nl = jnp.where(keep, M.lo,
+                           jnp.where(at_piv, bl, jnp.float32(0.0)))
             return FF(jnp.where(sel, nh, M.hi), jnp.where(sel, nl, M.lo))
 
         def rdA(j):
@@ -208,7 +210,8 @@ def _make_hess_kernel(p: int, n: int, want_q: bool):
         # no-op copy Mosaic elides; without (interpret) it materializes
         for k in range(nin):
             refs[nin + k][...] = refs[k][...]
-        lax.fori_loop(0, n - 1, colstep, 0)
+        lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), colstep,
+                      jnp.int32(0))
 
     return kernel
 
