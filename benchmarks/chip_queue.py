@@ -38,14 +38,7 @@ QUEUE = [
     # CACHE-DIR MISMATCH — the round-3 cx programs were serialized under
     # psd_jax_cache_cxdd while the e2e probe (package default) looked in
     # the fingerprint dir and hit the degraded remote compile service.
-    # 1) fused Pallas reduction kernel A/B at the headline shape
-    #    (VERDICT r4 #4: 1.86 s glue -> < 1.0 s target).  Decides whether
-    #    the kernel stays auto-routed on chip — FIRST because bench and
-    #    every later headline item depend on that routing being sound.
-    ("hesskernel_p16_n512", [sys.executable,
-                             "benchmarks/probe_hesskernel.py",
-                             "16", "512"], 7200),
-    # 2) per-iteration fixed-cost decomposition (VERDICT r4 #1: what IS
+    # 1) per-iteration fixed-cost decomposition (VERDICT r4 #1: what IS
     #    the ~12 ms/iter?) — decides the round-5 perf attack.
     ("iterfixed_p16_n512", [sys.executable,
                             "benchmarks/probe_iterfixed.py",
@@ -72,10 +65,17 @@ QUEUE = [
     ("krylov_chip_4_256", [sys.executable,
                            "benchmarks/probe_krylov_chip.py",
                            "4", "256", "4"], 5400),
-    # 8) bench dress with the round-5 code (reduction kernel auto-on):
-    #    validates the shipping headline end-to-end and re-populates the
-    #    local compilation cache for the driver's round-end bench.py.
+    # 8) bench dress with the round-5 code: validates the shipping
+    #    headline end-to-end and re-populates the local compilation
+    #    cache for the driver's round-end bench.py.
     ("bench_dress_r5", [sys.executable, "bench.py"], 7200),
+    # 9) fused Pallas reduction kernel A/B (VERDICT r4 #4) — LAST: the
+    #    remote Mosaic compile of this kernel currently SIGSEGVs the
+    #    helper (auto-route disabled, PSD_HESS_KERNEL=1 opt-in); rerun
+    #    once the offline bisect lands a fix.
+    ("hesskernel_p16_n512", [sys.executable,
+                             "benchmarks/probe_hesskernel.py",
+                             "16", "512"], 7200),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"

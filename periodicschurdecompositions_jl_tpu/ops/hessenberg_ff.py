@@ -121,14 +121,12 @@ def _kernel_auto(p: int, n: int, want_q: bool) -> bool:
             return False
         from .pallas_hess import hess_kernel_fits
         return hess_kernel_fits(p, n, want_q)
-    if n <= 2:
-        return False
-    dev = jax.config.jax_default_device
-    plat = dev.platform if dev is not None else jax.default_backend()
-    if plat == "cpu":
-        return False
-    from .pallas_hess import hess_kernel_fits
-    return hess_kernel_fits(p, n, want_q)
+    # Auto-routing is OFF until the Mosaic compile crash is resolved:
+    # the axon remote compile helper SIGSEGVs on this kernel at p=16
+    # n=512 (both the unrolled and the rolled factor ring,
+    # results_r5.log 17:52/17:54), which would take the whole production
+    # chip path down with it.  Opt in with PSD_HESS_KERNEL=1.
+    return False
 
 
 @partial(jax.jit, static_argnames=("want_q", "use_kernel"))

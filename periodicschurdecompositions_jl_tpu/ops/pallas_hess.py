@@ -181,18 +181,28 @@ def _make_hess_kernel(p: int, n: int, want_q: bool):
             oA_lo[j] = M.lo
 
         def colstep(i, carry):
-            for j in range(p - 1, 0, -1):
-                Aj = rdA(j)
-                w, tau, beta = gen(Aj, i, i)
-                Aj = left(Aj, w, tau)
-                Aj = fixcol(Aj, i, beta, i)
-                wrA(j, Aj)
-                wrow = _rowflip(w, eye)
-                wrA(j - 1, right(rdA(j - 1), wrow, tau))
-                if want_q:
-                    oQ_hi[j], oQ_lo[j] = (
-                        lambda Q: (Q.hi, Q.lo))(
-                            left(FF(oQ_hi[j], oQ_lo[j]), w, tau))
+            # factor ring as an in-kernel fori with dynamic batch-axis ref
+            # indexing, NOT statically unrolled: the unrolled body's MLIR
+            # (~860 KB at p=16) SIGSEGVs the remote Mosaic compile helper
+            # (1 MiB fiber stacks; results_r5.log 17:52) — the rolled loop
+            # is ~p times smaller and compiles
+            if p > 1:
+                def facstep(t, c):
+                    j = jnp.int32(p - 1) - t
+                    Aj = FF(oA_hi[j], oA_lo[j])
+                    w, tau, beta = gen(Aj, i, i)
+                    Aj = left(Aj, w, tau)
+                    Aj = fixcol(Aj, i, beta, i)
+                    oA_hi[j], oA_lo[j] = Aj.hi, Aj.lo
+                    wrow = _rowflip(w, eye)
+                    Am = right(FF(oA_hi[j - 1], oA_lo[j - 1]), wrow, tau)
+                    oA_hi[j - 1], oA_lo[j - 1] = Am.hi, Am.lo
+                    if want_q:
+                        Qj = left(FF(oQ_hi[j], oQ_lo[j]), w, tau)
+                        oQ_hi[j], oQ_lo[j] = Qj.hi, Qj.lo
+                    return c
+                lax.fori_loop(jnp.int32(0), jnp.int32(p - 1), facstep,
+                              jnp.int32(0))
             A0 = rdA(0)
             w, tau, beta = gen(A0, i, i + 1)
             A0 = left(A0, w, tau)
