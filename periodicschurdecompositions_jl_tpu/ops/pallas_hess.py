@@ -56,16 +56,39 @@ def _red(x: FF, axis: int, n: int) -> FF:
 
     Returns the (1, M) / (M, 1) slice holding the totals.
     """
+    shape = x.hi.shape
+    if shape[1 - axis] == 1:
+        # Mosaic cannot roll 1-wide arrays (single-row/column tiles,
+        # bisected results_r5.log); broadcasting across the unit dim is
+        # physically free (an (N, 1) column already occupies full
+        # 128-lane tiles) and every lane folds the same exact ds sum
+        wide = 128
+        bshape = (shape[0], wide) if axis == 0 else (wide, shape[1])
+        xb = FF(jnp.broadcast_to(x.hi, bshape),
+                jnp.broadcast_to(x.lo, bshape))
+        r = _red(xb, axis, n)
+        # canonicalize through a fresh single-element reduce: a [0:1, 0:1]
+        # slice of the rolled fold result carries a Mosaic layout that
+        # later (N, N) broadcasts reject (compile helper exit 1); the
+        # jnp.sum-produced scalar broadcasts fine (bisected)
+        first = (lax.broadcasted_iota(jnp.int32, r.hi.shape, 0) == 0) & \
+            (lax.broadcasted_iota(jnp.int32, r.hi.shape, 1) == 0)
+        z32 = jnp.float32(0.0)
+        return FF(_s11(jnp.where(first, r.hi, z32)),
+                  _s11(jnp.where(first, r.lo, z32)))
     hi, lo = x.hi, x.lo
-    shape = hi.shape
     iot = lax.broadcasted_iota(jnp.int32, shape, axis)
     s = 1
     while s * 2 < n:
         s *= 2
     cur = x
+    size = shape[axis]
     while s >= 1:
-        zh = pltpu.roll(cur.hi, jnp.int32(-s), axis)
-        zl = pltpu.roll(cur.lo, jnp.int32(-s), axis)
+        # cyclically equivalent to a -s shift; NEGATIVE roll shifts
+        # SIGSEGV the Mosaic compile helper (bisected, results_r5.log
+        # 17:52 — positive and size-s shifts compile fine)
+        zh = pltpu.roll(cur.hi, jnp.int32(size - s), axis)
+        zl = pltpu.roll(cur.lo, jnp.int32(size - s), axis)
         mask = (iot < s) & (iot + s < n)
         cur = ff.add(cur, ff.where(mask, FF(zh, zl),
                                    ff.zeros(shape)))
