@@ -44,13 +44,19 @@ from periodicschurdecompositions_jl_tpu.ops.hessenberg_ff import (  # noqa
 dev = jax.devices()[0]
 print(f"[iterfixed] device {dev}, p={p} n={n}", flush=True)
 
-K1, K2 = 40, 80
+# Round-5 method fix: the first run measured marginals over 40-iteration
+# deltas (~0.5 s of signal vs +-0.5 s tunnel noise) AND re-used the
+# warmup's (draw, cap) pair, which the axon content-addressed execution
+# cache replays instantly — both killed the attribution (base printed
+# 12.8 vs 1.3 ms/iter on its two draws, results_r5.log 18:14).  Now:
+# every timed call is a FRESH (draw, cap) pair, deltas are 200
+# iterations (~2.4 s of signal), and the report is the median of three
+# draws.
+K1, K2 = 60, 260
 
-# two draws -> two marginal estimates (and distinct input content, so the
-# axon content-addressed execution cache cannot replay a timed call)
 hess = jax.jit(lambda hi, lo: phessenberg_core_ff(hi, lo, want_q=True))
 draws = []
-for seed in (4242, 999):
+for seed in (4242, 999, 31337, 777):
     rng = np.random.default_rng(seed)
     A = rng.standard_normal((p, n, n))
     Af = ff.from_f64(jnp.asarray(A))
@@ -98,13 +104,15 @@ for tag, variant, want_z, div in (
         timed(fn, draws[0], K1)  # compile (once per variant) + warm
         warm = time.time() - t0
         pers = []
-        for d in draws:
+        for d in draws[1:]:  # draw 0 is warmup-only (its K1 is cached)
             t1 = timed(fn, d, K1)
             t2 = timed(fn, d, K2)
             pers.append((t2 - t1) / (K2 - K1) * 1e3)
-        print(f"[iterfixed] {tag}: {pers[0]:.2f} / {pers[1]:.2f} ms/iter "
-              f"(per-unit { (sum(pers)/2)/div:.2f} ms, compile+warm "
-              f"{warm:.0f}s)", flush=True)
+        med = sorted(pers)[len(pers) // 2]
+        pstr = " / ".join(f"{x:.2f}" for x in pers)
+        print(f"[iterfixed] {tag}: {pstr} ms/iter "
+              f"(median {med:.2f}, per-unit {med / div:.2f} ms, "
+              f"compile+warm {warm:.0f}s)", flush=True)
     except Exception as e:
         print(f"[iterfixed] {tag}: FAIL {type(e).__name__}: {e}",
               flush=True)

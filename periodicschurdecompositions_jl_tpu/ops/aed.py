@@ -653,7 +653,9 @@ def _mm_right_cx(cols, V):
 @partial(jax.jit, static_argnames=("S", "want_z"))
 def aed_apply_cxff(Hrehi, Hrelo, Himhi, Himlo, Zrehi, Zrelo, Zimhi, Zimlo,
                    Ztre, Ztim, Wfre, Wfim, spre, spim, s, S,
-                   want_z: bool = True):
+                   want_z: bool = True, alre=None, alim=None, be=None,
+                   sc=None, lam_re=None, lam_im=None, lam_be=None,
+                   lam_sc=None, u=None, nlam=None):
     """Apply complex AED window transforms to the CXF device state.
 
     ``H`` relations follow the signature (H_l = Z_l^H A_l Z_{l+1} direct /
@@ -709,8 +711,24 @@ def aed_apply_cxff(Hrehi, Hrelo, Himhi, Himlo, Zrehi, Zrelo, Zimhi, Zimlo,
     old = _dsl(H, 0, s, sc_, (w, 1))
     spc = cxff.where(s >= 1, spc, old)
     H = _dup(H, 0, spc, s, sc_)
-    return (H.re.hi, H.re.lo, H.im.hi, H.im.lo,
+    base = (H.re.hi, H.re.lo, H.im.hi, H.im.lo,
             Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo)
+    if alre is not None:
+        # on-device eigenvalue writeback (see aed_apply_ff): rows
+        # [s+u, s+nlam) of the decomposed (alpha, beta, scale) vectors
+        # get the harvested window values — saves four n-vector pulls +
+        # four pushes per AED event on the host side
+        iv = jnp.arange(alre.shape[0], dtype=jnp.int32)
+        rel = iv - jnp.asarray(s, jnp.int32)
+        sel = (rel >= jnp.asarray(u, jnp.int32)) & \
+            (rel < jnp.asarray(nlam, jnp.int32)) & (rel < w)
+        relc = jnp.clip(rel, 0, w - 1)
+        alre = jnp.where(sel, lam_re[relc], alre)
+        alim = jnp.where(sel, lam_im[relc], alim)
+        be = jnp.where(sel, lam_be[relc].astype(be.dtype), be)
+        sc = jnp.where(sel, lam_sc[relc].astype(sc.dtype), sc)
+        return base + (alre, alim, be, sc)
+    return base
 
 
 def _mm_left_ff(V: FF, rows: FF) -> FF:
@@ -728,9 +746,117 @@ def _mm_right_ff(cols: FF, V: FF) -> FF:
     return ff.sum_(prod, 1)
 
 
+@partial(jax.jit, static_argnames=("w",))
+def aed_pull_ff(Hhi, Hlo, i, jiter, done, *, w: int):
+    """ONE-transfer segment-boundary pull for the chunked drivers.
+
+    Packs ``[i, jiter, done, beta_hi, beta_lo]`` and the trailing
+    ``(p, w, w)`` window pair (rows/cols ``[max(i-w+1, 0), ...)``) into a
+    single f32 vector.  The boundary used to pay ~5 blocking tunnel round
+    trips (window slabs, beta halves, i, done); one packed transfer pays
+    exactly one.  hi/lo stay separate f32 — the f64 add happens on the
+    HOST (the chip's emulated-f64 add is weak under cancellation).
+    """
+    p = Hhi.shape[0]
+    i32 = jnp.int32
+    s = jnp.maximum(jnp.asarray(i, i32) - i32(w) + 1, 0)
+    win_hi = jax.lax.dynamic_slice(Hhi, (i32(0), s, s), (p, w, w))
+    win_lo = jax.lax.dynamic_slice(Hlo, (i32(0), s, s), (p, w, w))
+    sc = jnp.maximum(s - 1, 0)
+    b_hi = jax.lax.dynamic_slice(Hhi, (i32(0), s, sc), (1, 1, 1))[0, 0, 0]
+    b_lo = jax.lax.dynamic_slice(Hlo, (i32(0), s, sc), (1, 1, 1))[0, 0, 0]
+    live = jnp.where(s >= 1, jnp.float32(1.0), jnp.float32(0.0))
+    head = jnp.stack([jnp.asarray(i, i32).astype(jnp.float32),
+                      jnp.asarray(jiter, i32).astype(jnp.float32),
+                      jnp.asarray(done).astype(jnp.float32),
+                      b_hi * live, b_lo * live])
+    return jnp.concatenate([head, win_hi.ravel(), win_lo.ravel()])
+
+
+@jax.jit
+def status_pull(i, jiter, done):
+    """Tiny packed [i, jiter, done] pull (one blocking transfer)."""
+    return jnp.stack([jnp.asarray(i, jnp.int32).astype(jnp.float32),
+                      jnp.asarray(jiter, jnp.int32).astype(jnp.float32),
+                      jnp.asarray(done).astype(jnp.float32)])
+
+
+@jax.jit
+def status_pull_cx(ilast, jiter, dreq, done):
+    """Packed [jiter, ilast, dreq0-3, done] for the cx/rg chunk loops."""
+    head = jnp.stack([jnp.asarray(jiter, jnp.int32),
+                      jnp.asarray(ilast, jnp.int32)])
+    return jnp.concatenate([
+        head.astype(jnp.float32),
+        jnp.asarray(dreq, jnp.int32).astype(jnp.float32),
+        jnp.asarray(done).astype(jnp.float32).reshape(1)])
+
+
+@partial(jax.jit, static_argnames=("w",))
+def aed_pull_rgff(Hhi, Hlo, ilast, jiter, dreq, done, *, w: int):
+    """ONE-transfer boundary pull for the rg chunked driver.
+
+    Layout: [jiter, ilast, dreq0-3, done, b_hi, b_lo] (9 head slots)
+    then the trailing (p, w, w) window's hi / lo raveled.
+    """
+    p = Hhi.shape[0]
+    i32 = jnp.int32
+    s = jnp.maximum(jnp.asarray(ilast, i32) - i32(w) + 1, 0)
+    scn = jnp.maximum(s - 1, 0)
+    live = jnp.where(s >= 1, jnp.float32(1.0), jnp.float32(0.0))
+
+    def bof(X):
+        return jax.lax.dynamic_slice(
+            X, (i32(0), s, scn), (1, 1, 1))[0, 0, 0] * live
+
+    def winof(X):
+        return jax.lax.dynamic_slice(X, (i32(0), s, s), (p, w, w)).ravel()
+
+    head = jnp.concatenate([
+        jnp.stack([jnp.asarray(jiter, i32),
+                   jnp.asarray(ilast, i32)]).astype(jnp.float32),
+        jnp.asarray(dreq, i32).astype(jnp.float32),
+        jnp.asarray(done).astype(jnp.float32).reshape(1),
+        jnp.stack([bof(Hhi), bof(Hlo)])])
+    return jnp.concatenate([head, winof(Hhi), winof(Hlo)])
+
+
+@partial(jax.jit, static_argnames=("w",))
+def aed_pull_cxff(Hrehi, Hrelo, Himhi, Himlo, ilast, jiter, dreq, done,
+                  *, w: int):
+    """ONE-transfer boundary pull for the cx chunked driver.
+
+    Layout: [jiter, ilast, dreq0-3, done, b_re_hi, b_re_lo, b_im_hi,
+    b_im_lo] (11 head slots) then the trailing (p, w, w) window's
+    re.hi / re.lo / im.hi / im.lo raveled.
+    """
+    p = Hrehi.shape[0]
+    i32 = jnp.int32
+    s = jnp.maximum(jnp.asarray(ilast, i32) - i32(w) + 1, 0)
+    scn = jnp.maximum(s - 1, 0)
+    live = jnp.where(s >= 1, jnp.float32(1.0), jnp.float32(0.0))
+
+    def winof(X):
+        return jax.lax.dynamic_slice(X, (i32(0), s, s), (p, w, w)).ravel()
+
+    def bof(X):
+        return jax.lax.dynamic_slice(
+            X, (i32(0), s, scn), (1, 1, 1))[0, 0, 0] * live
+
+    head = jnp.concatenate([
+        jnp.stack([jnp.asarray(jiter, i32),
+                   jnp.asarray(ilast, i32)]).astype(jnp.float32),
+        jnp.asarray(dreq, i32).astype(jnp.float32),
+        jnp.asarray(done).astype(jnp.float32).reshape(1),
+        jnp.stack([bof(Hrehi), bof(Hrelo), bof(Himhi), bof(Himlo)])])
+    return jnp.concatenate([head, winof(Hrehi), winof(Hrelo),
+                            winof(Himhi), winof(Himlo)])
+
+
 @partial(jax.jit, static_argnames=("want_z",))
 def aed_apply_ff(Hhi, Hlo, ZThi, ZTlo, Zt64, Wf64, sp64, s,
-                 want_z: bool = True):
+                 want_z: bool = True, wr=None, wi=None, lam_re=None,
+                 lam_im=None, u=None, nlam=None):
     """Apply AED window transforms to the padded ds device state.
 
     Args:
@@ -782,12 +908,26 @@ def aed_apply_ff(Hhi, Hlo, ZThi, ZTlo, Zt64, Wf64, sp64, s,
              jax.lax.dynamic_slice(H.lo[0], (s, sc), (w, 1)))
     spc = ff.where(live, spc, old)
     H = upd(H, 0, spc, s, sc)
+    if wr is not None:
+        # on-device eigenvalue writeback: wr/wi rows [s+u, s+nlam) get
+        # the harvested window eigenvalues (saves the host pulling and
+        # re-pushing both n-vectors every AED event)
+        iv = jnp.arange(wr.shape[0], dtype=jnp.int32)
+        rel = iv - jnp.asarray(s, jnp.int32)
+        sel = (rel >= jnp.asarray(u, jnp.int32)) & \
+            (rel < jnp.asarray(nlam, jnp.int32)) & (rel < w)
+        relc = jnp.clip(rel, 0, w - 1)
+        wr = jnp.where(sel, lam_re[relc], wr)
+        wi = jnp.where(sel, lam_im[relc], wi)
+        return H.hi, H.lo, ZT.hi, ZT.lo, wr, wi
     return H.hi, H.lo, ZT.hi, ZT.lo
 
 
 @partial(jax.jit, static_argnames=("S", "want_z"))
 def aed_apply_rg_ff(Hhi, Hlo, Zhi, Zlo, Zt64, Wf64, sp64, s, S,
-                    want_z: bool = True):
+                    want_z: bool = True, alre=None, alim=None, be=None,
+                    scv=None, lam_re=None, lam_im=None, lam_be=None,
+                    lam_sc=None, u=None, nlam=None):
     """Apply real-generalized AED window transforms to the ds state.
 
     Signature sides as in :func:`aed_apply_rg` (H_l = V_l^T A V_{l+1}
@@ -830,4 +970,16 @@ def aed_apply_rg_ff(Hhi, Hlo, Zhi, Zlo, Zt64, Wf64, sp64, s, S,
              jax.lax.dynamic_slice(H.lo[0], (s, sc), (w, 1)))
     spc = ff.where(s >= 1, spc, old)
     H = upd(H, 0, spc, s, sc)
+    if alre is not None:
+        # on-device (alpha, beta, scale) writeback, see aed_apply_cxff
+        iv = jnp.arange(alre.shape[0], dtype=jnp.int32)
+        rel = iv - jnp.asarray(s, jnp.int32)
+        sel = (rel >= jnp.asarray(u, jnp.int32)) & \
+            (rel < jnp.asarray(nlam, jnp.int32)) & (rel < w)
+        relc = jnp.clip(rel, 0, w - 1)
+        alre = jnp.where(sel, lam_re[relc], alre)
+        alim = jnp.where(sel, lam_im[relc], alim)
+        be = jnp.where(sel, lam_be[relc].astype(be.dtype), be)
+        scv = jnp.where(sel, lam_sc[relc].astype(scv.dtype), scv)
+        return H.hi, H.lo, Z.hi, Z.lo, alre, alim, be, scv
     return H.hi, H.lo, Z.hi, Z.lo

@@ -196,8 +196,9 @@ def pqr_real_core_ff_chunked(
     aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 4)
     aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4 \
         and (n >= cfg.aed_min_n or cfg.aed_window > 0)
+    from .aed import status_pull
     if aed_on:
-        from .aed import aed_analyze, aed_apply_ff
+        from .aed import aed_analyze, aed_apply_ff, aed_pull_ff
         ulp = float(ff.EPS)
         # spike-negligibility scale: zeroing a spike entry perturbs H0 by
         # exactly that entry, and the library's contract is a MAX-norm
@@ -233,7 +234,7 @@ def pqr_real_core_ff_chunked(
                                                              _np.float64)
         tail_tol = ulp_t * float(n) ** 0.5 * float(_np.abs(h0t).max())
 
-    def _try_tail(state):
+    def _try_tail(state, i_cur):
         """Finish the leading window [0, i] on the host (beta = 0: the
         whole remaining problem deflates through one native window Schur).
 
@@ -242,7 +243,6 @@ def pqr_real_core_ff_chunked(
         (aed_apply_ff is shape-keyed on w); rows [m, tail_n) get an exact
         identity.  Failures degrade to continuing the ds iteration."""
         nonlocal tail_total
-        i_cur = int(state[4])
         m = i_cur + 1
         wfix = tail_n
         H = state[0]
@@ -266,33 +266,29 @@ def pqr_real_core_ff_chunked(
             # right-block columns [m, wfix) of the transformed rows, f64
             Wp[l][:m, m:] = Zt[l].T @ Hbig[l][:m, m:]
         ZT = state[1]
-        Hh, Hl, Zh, Zl = _tail_apply(
+        lr = _np.zeros(wfix)
+        li = _np.zeros(wfix)
+        lr[:m] = lams.real
+        li[:m] = lams.imag
+        Hh, Hl, Zh, Zl, wr, wi = _tail_apply(
             H.hi, H.lo, ZT.hi, ZT.lo, jnp.asarray(Vp), jnp.asarray(Wp),
-            jnp.zeros((wfix,)), jnp.int32(0), want_z=want_z)
-        wr = _np.asarray(state[2]).copy()
-        wi = _np.asarray(state[3]).copy()
-        wr[:m] = lams.real
-        wi[:m] = lams.imag
+            jnp.zeros((wfix,)), jnp.int32(0), want_z=want_z,
+            wr=state[2], wi=state[3], lam_re=jnp.asarray(lr),
+            lam_im=jnp.asarray(li), u=jnp.int32(0), nlam=jnp.int32(m))
         tail_total += d
         if verbosity("main") >= 1:
             print(f"[pqr_ff tail] host-finished the leading {m}-window")
-        return (FF(Hh, Hl), FF(Zh, Zl), jnp.asarray(wr), jnp.asarray(wi),
+        return (FF(Hh, Hl), FF(Zh, Zl), wr, wi,
                 jnp.int32(-1), jnp.int32(0), jnp.int32(1),
                 state[7], state[8]), True
 
-    def _try_aed(state):
+    def _try_aed(state, i_cur, Hwin, beta):
         nonlocal misses, seg, aed_total
-        i_cur = int(state[4])
         w = aed_w
         if i_cur + 1 < w + 2:
             return state
         s = i_cur - w + 1
         H = state[0]
-        Hwin = (_np.asarray(H.hi[:, s:s + w, s:s + w], _np.float64) +
-                _np.asarray(H.lo[:, s:s + w, s:s + w], _np.float64))
-        beta = float(_np.asarray(H.hi[0, s, s - 1], _np.float64) +
-                     _np.asarray(H.lo[0, s, s - 1], _np.float64)) \
-            if s >= 1 else 0.0
         try:
             res = aed_analyze(Hwin, beta, aed_tol,
                               max_moves=None if cfg.aed_max_moves < 0 else cfg.aed_max_moves)
@@ -311,16 +307,15 @@ def pqr_real_core_ff_chunked(
         aed_total += d
         u = w - d
         ZT = state[1]
-        Hh, Hl, Zh, Zl = aed_apply_ff(
+        Hh, Hl, Zh, Zl, wr, wi = aed_apply_ff(
             H.hi, H.lo, ZT.hi, ZT.lo, jnp.asarray(Zt), jnp.asarray(Wf),
-            jnp.asarray(sph), jnp.int32(s), want_z=want_z)
-        wr = _np.asarray(state[2]).copy()
-        wi = _np.asarray(state[3]).copy()
-        wr[s + u:s + w] = lams[u:].real
-        wi[s + u:s + w] = lams[u:].imag
+            jnp.asarray(sph), jnp.int32(s), want_z=want_z,
+            wr=state[2], wi=state[3], lam_re=jnp.asarray(lams.real),
+            lam_im=jnp.asarray(lams.imag), u=jnp.int32(u),
+            nlam=jnp.int32(w))
         if verbosity("main") >= 1:
             print(f"[pqr_ff aed] deflated {d} at i={i_cur} (window {w})")
-        return (FF(Hh, Hl), FF(Zh, Zl), jnp.asarray(wr), jnp.asarray(wi),
+        return (FF(Hh, Hl), FF(Zh, Zl), wr, wi,
                 jnp.int32(i_cur - d), jnp.int32(0), jnp.int32(1),
                 state[7], state[8])
 
@@ -333,25 +328,49 @@ def pqr_real_core_ff_chunked(
             cfg=cfg, interpret=interpret, it_cap=jnp.int32(cap),
             resume_state=state, return_state=True, sweep_fn=sweep_fn)
         *outs, state, done = out
+        # ONE blocking transfer per segment boundary: packed status (+ the
+        # trailing AED window when AED is on).  The former per-boundary
+        # pulls (window slabs, beta halves, int(i), bool(done), wr/wi)
+        # each paid a full tunnel round trip (~0.3-0.5 s/event measured,
+        # BASELINE.md round-4 AED retune).
+        aed_win = aed_beta = None
+        if aed_on:
+            packed = _np.asarray(aed_pull_ff(
+                state[0].hi, state[0].lo, state[4], state[8], done,
+                w=aed_w))
+            i_cur, jiter_cur = int(packed[0]), int(packed[1])
+            done_b = bool(packed[2] != 0.0)
+            aed_beta = float(packed[3]) + float(packed[4])
+            nw = p * aed_w * aed_w
+            aed_win = (packed[5:5 + nw].astype(_np.float64) +
+                       packed[5 + nw:5 + 2 * nw].astype(_np.float64)
+                       ).reshape(p, aed_w, aed_w)
+        elif tail_n >= 2:
+            st3 = _np.asarray(status_pull(state[4], state[8], done))
+            i_cur, jiter_cur = int(st3[0]), int(st3[1])
+            done_b = bool(st3[2] != 0.0)
+        else:
+            i_cur, jiter_cur = int(state[4]), int(state[8])
+            done_b = bool(done)
         if verbosity("main") >= 1:
-            print(f"[pqr_ff chunk] jiter={int(state[-1])} "
-                  f"i={int(state[4])} done={bool(done)}")
-        if bool(done) or cap >= maxit:
+            print(f"[pqr_ff chunk] jiter={jiter_cur} "
+                  f"i={i_cur} done={done_b}")
+        if done_b or cap >= maxit:
             if with_info:
                 # `with_info` mirrors the other cores' iteration counters
                 # (reference prints niter tallies at verbosity > 0)
-                return tuple(outs) + ({"niter": int(state[-1]),
+                return tuple(outs) + ({"niter": jiter_cur,
                                        "aed_deflated": aed_total,
                                        "host_tail_finished": tail_total},)
             return tuple(outs)
-        if tail_n >= 2 and 2 <= int(state[4]) + 1 <= tail_n:
-            state, finished = _try_tail(state)
+        if tail_n >= 2 and 2 <= i_cur + 1 <= tail_n:
+            state, finished = _try_tail(state, i_cur)
             if finished:
                 # one more (cheap) core call packages outs from the
                 # done state through the single resume trace
                 continue
         if aed_on:
-            state = _try_aed(state)
+            state = _try_aed(state, i_cur, aed_win, aed_beta)
 
 
 @partial(jax.jit, static_argnames=("want_z", "maxitfac", "cfg", "interpret",

@@ -752,9 +752,10 @@ def pqz_complex_core_ff_chunked(
     aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4 \
         and (n >= cfg.aed_min_n or cfg.aed_window > 0)
     from . import ff as _ff
+    from .aed import status_pull_cx
     _ulp_cx = float(_ff.EPS)
     if aed_on:
-        from .aed import aed_analyze_cx, aed_apply_cxff
+        from .aed import aed_analyze_cx, aed_apply_cxff, aed_pull_cxff
         h0 = (_np.asarray(Hrehi[0], _np.float64) +
               _np.asarray(Hrelo[0], _np.float64)) + 1j * (
             _np.asarray(Himhi[0], _np.float64) +
@@ -784,13 +785,13 @@ def pqz_complex_core_ff_chunked(
             _np.asarray(Himlo[0], _np.float64))
         tail_tol = _ulp_cx * float(n) ** 0.5 * float(_np.abs(h0t).max())
 
-    def _try_tail(full):
+    def _try_tail(full, ilast_c):
         """Finish the leading window [0, ilast] on the host (beta = 0:
         everything deflates through one native cx window pQZ; fixed-shape
         embedding as in ops/pqr_ff._try_tail)."""
         st, jiter, dreq = full
         (H, Z, alre, alim, be, sc, ilast, iiter, ziter, key) = st
-        m = int(ilast) + 1
+        m = ilast_c + 1
         wfix = tail_n
         from ..config import verbosity
 
@@ -818,56 +819,44 @@ def pqz_complex_core_ff_chunked(
             Vleft = Zt[l] if S[l] else Zt[ln]
             Wp[l][:m, m:] = Vleft.conj().T @ Hbig[l][:m, m:]
         zsp = _np.zeros(wfix)
+        lre = _np.zeros(wfix)
+        lim = _np.zeros(wfix)
+        lbe = _np.zeros(wfix)
+        lsc = _np.zeros(wfix, _np.int32)
+        lre[:m] = alw[:m].real
+        lim[:m] = alw[:m].imag
+        lbe[:m] = bew[:m]
+        lsc[:m] = scw[:m]
         Hn = _tail_ap_cx(
             H.re.hi, H.re.lo, H.im.hi, H.im.lo,
             Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo,
             jnp.asarray(Vp.real), jnp.asarray(Vp.imag),
             jnp.asarray(Wp.real), jnp.asarray(Wp.imag),
             jnp.asarray(zsp), jnp.asarray(zsp),
-            jnp.int32(0), S, want_z=want_z)
+            jnp.int32(0), S, want_z=want_z,
+            alre=alre, alim=alim, be=be, sc=sc,
+            lam_re=jnp.asarray(lre), lam_im=jnp.asarray(lim),
+            lam_be=jnp.asarray(lbe), lam_sc=jnp.asarray(lsc),
+            u=jnp.int32(0), nlam=jnp.int32(m))
         Hq = CXF(FF(Hn[0], Hn[1]), FF(Hn[2], Hn[3]))
         Zq = CXF(FF(Hn[4], Hn[5]), FF(Hn[6], Hn[7]))
-        alre_n = _np.asarray(alre).copy()
-        alim_n = _np.asarray(alim).copy()
-        be_n = _np.asarray(be).copy()
-        sc_n = _np.asarray(sc).copy()
-        alre_n[:m] = alw[:m].real
-        alim_n[:m] = alw[:m].imag
-        be_n[:m] = bew[:m]
-        sc_n[:m] = scw[:m]
         if verbosity("main") >= 1:
             print(f"[pqz_ff tail] host-finished the leading {m}-window")
         ziter_n = jnp.where(jnp.int32(ziter) != -1, jnp.int32(0),
                             jnp.int32(ziter))
-        st = (Hq, Zq, jnp.asarray(alre_n), jnp.asarray(alim_n),
-              jnp.asarray(be_n, jnp.float32), jnp.asarray(sc_n, jnp.int32),
+        st = (Hq, Zq, Hn[8], Hn[9], Hn[10], Hn[11],
               jnp.int32(-1), jnp.int32(0), ziter_n, key)
         return (st, jiter, dreq), True
 
-    def _try_aed(full):
+    def _try_aed(full, i_cur, Hwin, beta):
         nonlocal misses, seg
         st, jiter, dreq = full
         (H, Z, alre, alim, be, sc, ilast, iiter, ziter, key) = st
-        i_cur = int(ilast)
         w = aed_w
         if i_cur + 1 < w + 2:
             return full
         s = i_cur - w + 1
         from ..config import verbosity
-
-        def f64(X):
-            return (_np.asarray(X.hi[:, s:s + w, s:s + w], _np.float64) +
-                    _np.asarray(X.lo[:, s:s + w, s:s + w], _np.float64))
-
-        Hwin = f64(H.re) + 1j * f64(H.im)
-        if s >= 1:
-            beta = complex(
-                float(_np.asarray(H.re.hi[0, s, s - 1])) +
-                float(_np.asarray(H.re.lo[0, s, s - 1])),
-                float(_np.asarray(H.im.hi[0, s, s - 1])) +
-                float(_np.asarray(H.im.lo[0, s, s - 1])))
-        else:
-            beta = 0.0
         try:
             res = aed_analyze_cx(Hwin, S, beta, aed_tol,
                                  max_moves=None if cfg.aed_max_moves < 0 else cfg.aed_max_moves)
@@ -890,24 +879,20 @@ def pqz_complex_core_ff_chunked(
             jnp.asarray(Zt.real), jnp.asarray(Zt.imag),
             jnp.asarray(Wf.real), jnp.asarray(Wf.imag),
             jnp.asarray(sph.real), jnp.asarray(sph.imag),
-            jnp.int32(s), S, want_z=want_z)
+            jnp.int32(s), S, want_z=want_z,
+            alre=alre, alim=alim, be=be, sc=sc,
+            lam_re=jnp.asarray(alw.real), lam_im=jnp.asarray(alw.imag),
+            lam_be=jnp.asarray(_np.asarray(bew, _np.float64)),
+            lam_sc=jnp.asarray(_np.asarray(scw, _np.int32)),
+            u=jnp.int32(u), nlam=jnp.int32(w))
         Hq = CXF(FF(Hn[0], Hn[1]), FF(Hn[2], Hn[3]))
         Zq = CXF(FF(Hn[4], Hn[5]), FF(Hn[6], Hn[7]))
-        alre_n = _np.asarray(alre).copy()
-        alim_n = _np.asarray(alim).copy()
-        be_n = _np.asarray(be).copy()
-        sc_n = _np.asarray(sc).copy()
-        alre_n[s + u:s + w] = alw[u:].real
-        alim_n[s + u:s + w] = alw[u:].imag
-        be_n[s + u:s + w] = bew[u:]
-        sc_n[s + u:s + w] = scw[u:]
         if verbosity("main") >= 1:
             print(f"[pqz_ff aed] deflated {d} at ilast={i_cur} "
                   f"(window {w})")
         ziter_n = jnp.where(jnp.int32(ziter) != -1, jnp.int32(0),
                             jnp.int32(ziter))
-        st = (Hq, Zq, jnp.asarray(alre_n), jnp.asarray(alim_n),
-              jnp.asarray(be_n, jnp.float32), jnp.asarray(sc_n, jnp.int32),
+        st = (Hq, Zq, Hn[8], Hn[9], Hn[10], Hn[11],
               jnp.int32(i_cur - d), jnp.int32(0), ziter_n, key)
         return (st, jiter, dreq)
 
@@ -948,15 +933,42 @@ def pqz_complex_core_ff_chunked(
             pallas_sweep=pallas_sweep, interpret=interpret,
             skip_post=True, defer_deflate=True)
         *outs, state, done = out
+        # ONE blocking transfer per segment boundary (packed status, plus
+        # the trailing AED window when AED is on) — the former int()/
+        # bool() scalar pulls each paid a full tunnel round trip per
+        # deferred-deflation crossing (see ops/pqr_ff.py boundary note)
+        st0b = state[0]
+        aed_win = aed_beta = None
+        if aed_on:
+            packed = _np.asarray(aed_pull_cxff(
+                st0b[0].re.hi, st0b[0].re.lo, st0b[0].im.hi, st0b[0].im.lo,
+                st0b[6], state[1], state[2], done, w=aed_w))
+            jiter_c, ilast_c = int(packed[0]), int(packed[1])
+            dreq0 = int(packed[2])
+            done_b = bool(packed[6] != 0.0)
+            aed_beta = complex(float(packed[7]) + float(packed[8]),
+                               float(packed[9]) + float(packed[10]))
+            nw = p * aed_w * aed_w
+            wre = (packed[11:11 + nw].astype(_np.float64) +
+                   packed[11 + nw:11 + 2 * nw].astype(_np.float64))
+            wim = (packed[11 + 2 * nw:11 + 3 * nw].astype(_np.float64) +
+                   packed[11 + 3 * nw:11 + 4 * nw].astype(_np.float64))
+            aed_win = (wre + 1j * wim).reshape(p, aed_w, aed_w)
+        else:
+            st7 = _np.asarray(status_pull_cx(st0b[6], state[1], state[2],
+                                             done))
+            jiter_c, ilast_c = int(st7[0]), int(st7[1])
+            dreq0 = int(st7[2])
+            done_b = bool(st7[6] != 0.0)
         if verbosity("main") >= 1:
-            print(f"[pqz_ff chunk] jiter={int(state[1])} "
-                  f"ilast={int(state[0][6])} dreq={int(state[2][0])} "
-                  f"done={bool(done)}", flush=True)
+            print(f"[pqz_ff chunk] jiter={jiter_c} "
+                  f"ilast={ilast_c} dreq={dreq0} "
+                  f"done={done_b}", flush=True)
         first = False
-        if int(state[2][0]) != 0:
+        if dreq0 != 0:
             state = _fulfil_deferred(state)
             continue
-        if bool(done) or cap >= maxit:
+        if done_b or cap >= maxit:
             # exit postprocess (the chunk calls skip it)
             st = state[0]
             H, Z = st[0], st[1]
@@ -965,12 +977,12 @@ def pqz_complex_core_ff_chunked(
                              Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo))
             zout = tuple(out8[4:]) if want_z else (None,) * 4
             return tuple(out8[:4]) + zout + tuple(outs[8:])
-        if tail_n >= 2 and 2 <= int(state[0][6]) + 1 <= tail_n:
-            state, finished = _try_tail(state)
+        if tail_n >= 2 and 2 <= ilast_c + 1 <= tail_n:
+            state, finished = _try_tail(state, ilast_c)
             if finished:
                 continue
         if aed_on:
-            state = _try_aed(state)
+            state = _try_aed(state, ilast_c, aed_win, aed_beta)
 
 
 # ---------------------------------------------------------------------------

@@ -682,8 +682,9 @@ def pqz_real_gen_core_ff_chunked(
     aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 6)
     aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4 \
         and (n >= cfg.aed_min_n or cfg.aed_window > 0)
+    from .aed import status_pull_cx
     if aed_on:
-        from .aed import aed_analyze_rg, aed_apply_rg_ff
+        from .aed import aed_analyze_rg, aed_apply_rg_ff, aed_pull_rgff
         ulp = float(ff.EPS)
         h0 = _np.asarray(Hhi[0], _np.float64) + _np.asarray(Hlo[0],
                                                             _np.float64)
@@ -694,19 +695,14 @@ def pqz_real_gen_core_ff_chunked(
     else:
         seg = chunk_iters
 
-    def _try_aed(full):
+    def _try_aed(full, i_cur, Hwin, bcp):
         nonlocal misses, seg
         st, jiter, dreq = full
         (Hst, Zst, alre, alim, be, sc, ilast, iiter, ziter, key) = st
-        i_cur = int(ilast)
         w = aed_w
         if i_cur + 1 < w + 2:
             return full
         s = i_cur - w + 1
-        Hwin = (_np.asarray(Hst.hi[:, s:s + w, s:s + w], _np.float64) +
-                _np.asarray(Hst.lo[:, s:s + w, s:s + w], _np.float64))
-        bcp = (float(_np.asarray(Hst.hi[0, s, s - 1])) +
-               float(_np.asarray(Hst.lo[0, s, s - 1]))) if s >= 1 else 0.0
         try:
             res = aed_analyze_rg(Hwin, S, bcp, aed_tol,
                                  max_moves=None if cfg.aed_max_moves < 0 else cfg.aed_max_moves)
@@ -723,27 +719,21 @@ def pqz_real_gen_core_ff_chunked(
         seg = min(chunk_iters, aed_itv)
         d, Wf, Zt, arw, aiw, bew, scw, sph = res
         u = w - d
-        Hh, Hl, Zh, Zl = aed_apply_rg_ff(
+        Hh, Hl, Zh, Zl, arr, aii, ben, scn = aed_apply_rg_ff(
             Hst.hi, Hst.lo, Zst.hi, Zst.lo, jnp.asarray(Zt),
             jnp.asarray(Wf), jnp.asarray(sph), jnp.int32(s), S,
-            want_z=want_z)
-        arr = _np.asarray(alre).copy()
-        aii = _np.asarray(alim).copy()
-        ben = _np.asarray(be).copy()
-        scn = _np.asarray(sc).copy()
-        arr[s + u:s + w] = arw[u:]
-        aii[s + u:s + w] = aiw[u:]
-        ben[s + u:s + w] = bew[u:]
-        scn[s + u:s + w] = scw[u:]
+            want_z=want_z, alre=alre, alim=alim, be=be, scv=sc,
+            lam_re=jnp.asarray(arw), lam_im=jnp.asarray(aiw),
+            lam_be=jnp.asarray(_np.asarray(bew, _np.float64)),
+            lam_sc=jnp.asarray(_np.asarray(scw, _np.int32)),
+            u=jnp.int32(u), nlam=jnp.int32(w))
         if verbosity("main") >= 1:
             print(f"[pqz_rg_ff aed] deflated {d} at ilast={i_cur} "
                   f"(window {w})")
         ziter_n = jnp.where(jnp.int32(ziter) != -1, jnp.int32(0),
                             jnp.int32(ziter))
-        st = (FF(Hh, Hl), FF(Zh, Zl), jnp.asarray(arr),
-              jnp.asarray(aii), jnp.asarray(ben, jnp.float32),
-              jnp.asarray(scn, jnp.int32), jnp.int32(i_cur - d),
-              jnp.int32(0), ziter_n, key)
+        st = (FF(Hh, Hl), FF(Zh, Zl), arr, aii, ben, scn,
+              jnp.int32(i_cur - d), jnp.int32(0), ziter_n, key)
         return (st, jiter, dreq)
 
     state = _init(Hhi, Hlo, Z2)
@@ -761,12 +751,32 @@ def pqz_real_gen_core_ff_chunked(
             pallas_sweep=pallas_sweep, interpret=interpret,
             defer_deflate=True)
         *outs, state, done = out
+        # ONE blocking transfer per segment boundary (see ops/pqr_ff.py)
+        st0b = state[0]
+        aed_win = aed_bcp = None
+        if aed_on:
+            packed = _np.asarray(aed_pull_rgff(
+                st0b[0].hi, st0b[0].lo, st0b[6], state[1], state[2], done,
+                w=aed_w))
+            jiter_c, ilast_c = int(packed[0]), int(packed[1])
+            code = int(packed[2])
+            done_b = bool(packed[6] != 0.0)
+            aed_bcp = float(packed[7]) + float(packed[8])
+            nw = p * aed_w * aed_w
+            aed_win = (packed[9:9 + nw].astype(_np.float64) +
+                       packed[9 + nw:9 + 2 * nw].astype(_np.float64)
+                       ).reshape(p, aed_w, aed_w)
+        else:
+            st7 = _np.asarray(status_pull_cx(st0b[6], state[1], state[2],
+                                             done))
+            jiter_c, ilast_c = int(st7[0]), int(st7[1])
+            code = int(st7[2])
+            done_b = bool(st7[6] != 0.0)
         if verbosity("main") >= 1:
-            print(f"[pqz_rg_ff chunk] jiter={int(state[1])} "
-                  f"ilast={int(state[0][6])} dreq={int(state[2][0])} "
-                  f"done={bool(done)}", flush=True)
+            print(f"[pqz_rg_ff chunk] jiter={jiter_c} "
+                  f"ilast={ilast_c} dreq={code} "
+                  f"done={done_b}", flush=True)
         first = False
-        code = int(state[2][0])
         if code != 0:
             st, jiter, dreq = state
             (Hst, Zst, alre, alim, be, sc, ilast, iiter, ziter, key) = st
@@ -793,10 +803,10 @@ def pqz_real_gen_core_ff_chunked(
                   ziter, key)
             state = (st, jiter, jnp.zeros((4,), jnp.int32))
             continue
-        if bool(done) or cap >= maxit:
+        if done_b or cap >= maxit:
             return tuple(outs)
         if aed_on:
-            state = _try_aed(state)
+            state = _try_aed(state, ilast_c, aed_win, aed_bcp)
 
 
 def pschur_real_gen_pipeline_ff(A, S, orient, want_t=True, want_z=True,
