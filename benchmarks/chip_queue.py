@@ -53,6 +53,18 @@ QUEUE = [
     # 4) public-API e2e journey, all three legs (VERDICT r4 #2).
     ("e2e_public_api", [sys.executable, "benchmarks/probe_e2e_chip.py"],
      5400, {"PSD_E2E_ALL": "1"}),
+    # 4b) iterfixed RE-RUN with the fixed method (fresh (draw, cap) pairs,
+    #     200-iteration deltas, medians — the first run's 40-iter deltas
+    #     drowned in tunnel noise and its warmup (draw, cap) reuse was
+    #     replayed by the content-addressed execution cache).
+    ("iterfixed_v2_p16_n512", [sys.executable,
+                               "benchmarks/probe_iterfixed.py",
+                               "16", "512"], 7200),
+    # 4c) fused reduction kernel A/B after the three Mosaic workarounds
+    #     (negative-roll SIGSEGV, 1-wide rolls, scalar-layout broadcast).
+    ("hesskernel_v2_p16_n512", [sys.executable,
+                                "benchmarks/probe_hesskernel.py",
+                                "16", "512"], 7200),
     # 5/6) cx and rg chunked cores at n >= 256 on-chip (VERDICT r4 #2).
     ("complex_ff_p8_n256", [sys.executable,
                             "benchmarks/probe_complex_ff.py",
@@ -69,13 +81,6 @@ QUEUE = [
     #    headline end-to-end and re-populates the local compilation
     #    cache for the driver's round-end bench.py.
     ("bench_dress_r5", [sys.executable, "bench.py"], 7200),
-    # 9) fused Pallas reduction kernel A/B (VERDICT r4 #4) — LAST: the
-    #    remote Mosaic compile of this kernel currently SIGSEGVs the
-    #    helper (auto-route disabled, PSD_HESS_KERNEL=1 opt-in); rerun
-    #    once the offline bisect lands a fix.
-    ("hesskernel_p16_n512", [sys.executable,
-                             "benchmarks/probe_hesskernel.py",
-                             "16", "512"], 7200),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"

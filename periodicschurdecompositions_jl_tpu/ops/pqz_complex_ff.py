@@ -896,11 +896,12 @@ def pqz_complex_core_ff_chunked(
               jnp.int32(i_cur - d), jnp.int32(0), ziter_n, key)
         return (st, jiter, dreq)
 
-    def _fulfil_deferred(state):
-        """Run the requested deflation through the lazily-jitted cores."""
+    def _fulfil_deferred(state, code):
+        """Run the requested deflation through the lazily-jitted cores.
+        ``code`` comes from the packed boundary pull (no extra blocking
+        scalar transfer)."""
         st, jiter, dreq = state
         (H, Z, alre, alim, be, sc, ilast, iiter, ziter, key) = st
-        code = int(dreq[0])
         run_pos, run_neg, run_cz, _ = _deferred_fns_cx(p, n, S, want_z)
         H8 = (H.re.hi, H.re.lo, H.im.hi, H.im.lo,
               Z.re.hi, Z.re.lo, Z.im.hi, Z.im.lo)
@@ -966,7 +967,7 @@ def pqz_complex_core_ff_chunked(
                   f"done={done_b}", flush=True)
         first = False
         if dreq0 != 0:
-            state = _fulfil_deferred(state)
+            state = _fulfil_deferred(state, dreq0)
             continue
         if done_b or cap >= maxit:
             # exit postprocess (the chunk calls skip it)
