@@ -65,6 +65,17 @@ QUEUE = [
     ("hesskernel_v2_p16_n512", [sys.executable,
                                 "benchmarks/probe_hesskernel.py",
                                 "16", "512"], 7200),
+    # 4d) AED retune re-sweep: the round-4 denser intervals cut niter
+    #     640 -> 314/240 but lost on the ~0.4 s/event host boundary cost;
+    #     the one-transfer batching removed that term — re-A/B the two
+    #     best configs and flip the default if one wins.
+    ("aed_itv40_win64", [sys.executable, "benchmarks/probe_headline.py",
+                         "16", "512", "1", "40", "64"], 5400),
+    ("aed_itv40_win96", [sys.executable, "benchmarks/probe_headline.py",
+                         "16", "512", "1", "40", "96"], 5400),
+    ("aed_default_recheck", [sys.executable,
+                             "benchmarks/probe_headline.py",
+                             "16", "512", "1"], 5400),
     # 5/6) cx and rg chunked cores at n >= 256 on-chip (VERDICT r4 #2).
     ("complex_ff_p8_n256", [sys.executable,
                             "benchmarks/probe_complex_ff.py",

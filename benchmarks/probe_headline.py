@@ -6,9 +6,12 @@ Runs the ds pipeline at a configurable size on the chip and reports
  - Z orthogonality,
  - wall-clock of each stage (fresh inputs, host-transfer timing).
 
-Usage: python benchmarks/probe_headline.py [p] [n] [aed]
+Usage: python benchmarks/probe_headline.py [p] [n] [aed] [itv] [win]
   aed: 1 (default, shipping config) or 0 — A/B's the AED accuracy/time
   impact at headline scale on the same seed-12345 draw.
+  itv/win: optional aed_interval / aed_window overrides (0 = auto) —
+  round-5 re-sweep after the one-transfer boundary batching removed the
+  0.3-0.5 s/event host cost that made denser intervals lose in round 4.
 """
 import dataclasses
 import sys
@@ -19,6 +22,8 @@ import numpy as np
 p = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 aed = (int(sys.argv[3]) if len(sys.argv) > 3 else 1) != 0
+itv = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+win = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +37,9 @@ from periodicschurdecompositions_jl_tpu.ops.pqr_ff import \
 from periodicschurdecompositions_jl_tpu.config import (default_config,
                                                        setverbosity)
 setverbosity(1)
-cfg = dataclasses.replace(default_config, aed=aed)
-print(f"[probe] config: aed={aed}", flush=True)
+cfg = dataclasses.replace(default_config, aed=aed, aed_interval=itv,
+                          aed_window=win)
+print(f"[probe] config: aed={aed} itv={itv} win={win}", flush=True)
 
 tpu = jax.devices()[0]
 rng = np.random.default_rng(12345)
