@@ -373,6 +373,32 @@ def pqr_real_core_ff_chunked(
             state = _try_aed(state, i_cur, aed_win, aed_beta)
 
 
+def _deflate_kernel_auto(p: int, N: int, want_z: bool,
+                         interpret: bool) -> bool:
+    """Routing for the fused Mosaic deflation branch (pallas_deflate).
+
+    Default: ON on the chip when the state fits VMEM (the XLA-glue branch
+    is a ~12k-barrier launch storm there), OFF on CPU (glue is exact and
+    fast under XLA:CPU; the kernel itself is interpret-tested by
+    tests/test_pallas_deflate.py).  PSD_DEFL_KERNEL=0 kills it, =1 forces
+    it (interpret mode included — CPU parity tests use this).
+    """
+    env = os.environ.get("PSD_DEFL_KERNEL", "")
+    from .pallas_deflate import deflate_kernel_fits
+    if env == "0":
+        return False
+    if env == "1":
+        return deflate_kernel_fits(p, N, want_z)
+    if interpret:
+        return False
+    dev = jax.config.jax_default_device
+    plat = dev.platform if dev is not None else jax.default_backend()
+    if plat == "cpu":
+        return False
+    return deflate_kernel_fits(p, N, want_z)
+
+
+
 @partial(jax.jit, static_argnames=("want_z", "maxitfac", "cfg", "interpret",
                                    "maxiter", "debug_state",
                                    "return_state", "sweep_fn"))
@@ -1199,7 +1225,33 @@ def pqr_real_core_ff(
                     H = lax.cond(jmax >= 1, zmax, lambda x: x, H)
                     return H, ZT
 
-                H, ZT = lax.cond(jmin >= 1, chainA, chainB, (H, ZT))
+                if _deflate_kernel_auto(p, N, want_z, interpret):
+                    # fused Mosaic deflation branch (ops/pallas_deflate):
+                    # ONE launch instead of the ~12k-barrier XLA chain;
+                    # same ds op sequence (bitwise vs the glue path,
+                    # tests/test_pallas_deflate.py).  PSD_DEFL_KERNEL=0/1
+                    # overrides the on-chip auto-routing.
+                    from .pallas_deflate import deflate2x2_ff
+                    a1k = jnp.hypot(w1r, w1i)
+                    a2k = jnp.hypot(w2r, w2i)
+                    amxk = jnp.maximum(a1k, a2k)
+                    amnk = jnp.minimum(a1k, a2k)
+                    prod0k = ((w1r == 0) & (w1i == 0)) | \
+                        ((w2r == 0) & (w2i == 0))
+                    tinyk = amnk < ulp * amxk
+                    replace0k = ((jmax >= 1) & lam_real) | prod0k | \
+                        ((~prod0k) & lam_real & tinyk)
+                    thrk = jnp.maximum(smlnum64, ulp * amxk)
+                    thr_hi = thrk.astype(jnp.float32)
+                    thr_lo = (thrk - thr_hi.astype(f64)).astype(
+                        jnp.float32)
+                    finzero = (jmax >= 0) | (bh21 == 0)
+                    H, ZT = deflate2x2_ff(
+                        H, ZT, i, jmin, jmax, cs0, sn0, replace0k,
+                        finzero, thr_hi, thr_lo, want_z=want_z,
+                        interpret=interpret)
+                else:
+                    H, ZT = lax.cond(jmin >= 1, chainA, chainB, (H, ZT))
 
                 # eigenvalue-order check after replacement rotations
                 l1 = g64(fac_get(H, 0), i - 1, i - 1)
