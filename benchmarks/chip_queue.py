@@ -38,59 +38,58 @@ QUEUE = [
     # CACHE-DIR MISMATCH — the round-3 cx programs were serialized under
     # psd_jax_cache_cxdd while the e2e probe (package default) looked in
     # the fingerprint dir and hit the degraded remote compile service.
-    # 1) per-iteration fixed-cost decomposition (VERDICT r4 #1: what IS
-    #    the ~12 ms/iter?) — decides the round-5 perf attack.
-    ("iterfixed_p16_n512", [sys.executable,
-                            "benchmarks/probe_iterfixed.py",
-                            "16", "512"], 7200),
-    # 3) cx/rg sweep kernel decomposition (VERDICT r4 #3): marginal
-    #    per-call cost of kernels A/B0/B and the full wrapper, jitted
-    #    fori-loop method (no readback pollution).  Early: feeds this
-    #    session's cx/rg optimization work.
-    ("cxrg_kernels_p6_n128", [sys.executable,
-                              "benchmarks/probe_cxrg_kernels.py",
-                              "6", "128"], 7200),
-    # 4) public-API e2e journey, all three legs (VERDICT r4 #2).
+    # ============ round-5 queue, phase 2 (post kernel D) ============
+    # NOTE kernel D (fused Mosaic deflation branch) changes the ds core
+    # HLO: every chip item recompiles its core once.  bench_dress runs
+    # LAST so the driver's round-end bench.py hits a warm cache.
+    # 1) cx warm: the (6,128) cx pipeline program was never cached under
+    #    the round-4+ code (every e2e cx leg died in the degraded compile
+    #    service after ~1500 s); this dedicated run gives the compile the
+    #    full timeout and caches it for the e2e retries + refreshes the
+    #    round-3 cx record with the packed-boundary driver.
+    ("cxwarm_p6_n128", [sys.executable,
+                        "benchmarks/probe_complex_ff.py",
+                        "6", "128"], 7200),
+    # 2) public-API e2e journey, all three legs (VERDICT r4 #2).
     ("e2e_public_api", [sys.executable, "benchmarks/probe_e2e_chip.py"],
      5400, {"PSD_E2E_ALL": "1"}),
-    # 4b) iterfixed RE-RUN with the fixed method (fresh (draw, cap) pairs,
-    #     200-iteration deltas, medians — the first run's 40-iter deltas
-    #     drowned in tunnel noise and its warmup (draw, cap) reuse was
-    #     replayed by the content-addressed execution cache).
+    # 3) iterfixed v2 (fresh (draw, cap) pairs, 200-iteration deltas,
+    #    medians) — now measures the post-kernel-D world.
     ("iterfixed_v2_p16_n512", [sys.executable,
                                "benchmarks/probe_iterfixed.py",
                                "16", "512"], 7200),
-    # 4c) fused reduction kernel A/B after the three Mosaic workarounds
-    #     (negative-roll SIGSEGV, 1-wide rolls, scalar-layout broadcast).
-    ("hesskernel_v2_p16_n512", [sys.executable,
-                                "benchmarks/probe_hesskernel.py",
-                                "16", "512"], 7200),
-    # 4d) AED retune re-sweep: the round-4 denser intervals cut niter
-    #     640 -> 314/240 but lost on the ~0.4 s/event host boundary cost;
-    #     the one-transfer batching removed that term — re-A/B the two
-    #     best configs and flip the default if one wins.
+    # 4) kernel-D A/B at the headline: glue baseline vs the auto-routed
+    #    kernel (aed_default_recheck below is the kernel-on leg).
+    ("defl_glue_baseline", [sys.executable,
+                            "benchmarks/probe_headline.py",
+                            "16", "512", "1"], 5400,
+     {"PSD_DEFL_KERNEL": "0"}),
+    ("aed_default_recheck", [sys.executable,
+                             "benchmarks/probe_headline.py",
+                             "16", "512", "1"], 5400),
+    # 5) AED retune re-sweep: round-4's denser intervals cut niter
+    #    640 -> 314/240 but lost on the ~0.4 s/event host boundary cost;
+    #    the one-transfer batching + kernel D changed both terms.
     ("aed_itv40_win64", [sys.executable, "benchmarks/probe_headline.py",
                          "16", "512", "1", "40", "64"], 5400),
     ("aed_itv40_win96", [sys.executable, "benchmarks/probe_headline.py",
                          "16", "512", "1", "40", "96"], 5400),
-    ("aed_default_recheck", [sys.executable,
-                             "benchmarks/probe_headline.py",
-                             "16", "512", "1"], 5400),
-    # 5/6) cx and rg chunked cores at n >= 256 on-chip (VERDICT r4 #2).
+    # 6) fused reduction kernel A/B after the three Mosaic workarounds.
+    ("hesskernel_v2_p16_n512", [sys.executable,
+                                "benchmarks/probe_hesskernel.py",
+                                "16", "512"], 7200),
+    # 7/8) cx and rg chunked cores at n >= 256 on-chip (VERDICT r4 #2).
     ("complex_ff_p8_n256", [sys.executable,
                             "benchmarks/probe_complex_ff.py",
                             "8", "256"], 7200),
     ("real_gen_ff_p8_n256", [sys.executable,
                              "benchmarks/probe_real_gen_ff.py",
                              "8", "256"], 7200),
-    # 7) Krylov on-chip re-measure (VERDICT r4 #6): wall-clock + where
-    #    the time goes (host loop vs device programs).
+    # 9) Krylov on-chip re-measure (VERDICT r4 #6).
     ("krylov_chip_4_256", [sys.executable,
                            "benchmarks/probe_krylov_chip.py",
                            "4", "256", "4"], 5400),
-    # 8) bench dress with the round-5 code: validates the shipping
-    #    headline end-to-end and re-populates the local compilation
-    #    cache for the driver's round-end bench.py.
+    # 10) bench dress with the final round-5 code.
     ("bench_dress_r5", [sys.executable, "bench.py"], 7200),
 ]
 
