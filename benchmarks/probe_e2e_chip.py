@@ -110,7 +110,10 @@ def complex_mixed():
     for l in range(p):
         A[l] += np.sign(np.linalg.det(A[l]).real or 1.0) * 3 * np.eye(n)
     S = (True, False, True, False, True, False)
-    G = psd.pschur(jnp.asarray(A), "R", S=S)
+    # numpy input: a jnp.asarray here would device_put complex128 onto
+    # the axon chip (no complex dtype; the runtime stalls UNAVAILABLE).
+    # The driver's _stack also pins complex stacking to the CPU now.
+    G = psd.pschur(A, "R", S=S)
     with _cpu_checks():
         G = psd.GeneralizedPeriodicSchur(
             S=G.S, schurindex=G.schurindex,

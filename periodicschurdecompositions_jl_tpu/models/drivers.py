@@ -23,7 +23,26 @@ from ..ops.pqz_complex import pqz_complex_core
 
 
 def _stack(A) -> jax.Array:
-    A = jnp.stack([jnp.asarray(a) for a in A]) if not hasattr(A, "ndim") else jnp.asarray(A)
+    import numpy as _np
+
+    def _dt(x):
+        d = getattr(x, "dtype", None)
+        return d if d is not None else _np.asarray(x).dtype
+
+    items = [A] if hasattr(A, "ndim") else list(A)
+    iscx = any(jnp.issubdtype(_dt(a), jnp.complexfloating) for a in items)
+    if iscx:
+        # complex dtype must never touch the accelerator default device:
+        # the axon TPU has no complex support and the runtime STALLS on a
+        # complex128 device_put (observed dying UNAVAILABLE after ~25 min,
+        # results_r5.log e2e cx legs).  The complex pipelines split
+        # (re, im) on the host anyway, so stack complex input on the CPU.
+        with jax.default_device(jax.devices("cpu")[0]):
+            A = jnp.stack([jnp.asarray(a) for a in items]) \
+                if not hasattr(A, "ndim") else jnp.asarray(A)
+    else:
+        A = jnp.stack([jnp.asarray(a) for a in A]) \
+            if not hasattr(A, "ndim") else jnp.asarray(A)
     if A.ndim != 3 or A.shape[1] != A.shape[2]:
         raise ValueError(f"expected a (p, n, n) cycle, got shape {A.shape}")
     return A

@@ -21,10 +21,30 @@ representation the TPU executes natively.
 """
 from __future__ import annotations
 
+import sys as _sys
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Deep trace recursion: the Pallas kernels trace long ds expression
+# chains, and kernels traced INSIDE the cores' while/cond nests (the
+# fused deflation branch, the rg ladders) stack on top of the cores' own
+# trace depth — 20000 frames was exceeded in the round-5 e2e probe
+# (results_r5.log 20:26, RecursionError at p=8 n=128).  Raise the Python
+# limit AND the main-thread C stack (the frames live there; tests'
+# conftest has raised RLIMIT_STACK since round 3 for the same reason).
+if _sys.getrecursionlimit() < 100000:
+    _sys.setrecursionlimit(100000)
+try:
+    import resource as _resource
+    _soft, _hard = _resource.getrlimit(_resource.RLIMIT_STACK)
+    _want = 1 << 28  # 256 MiB
+    if _soft != _resource.RLIM_INFINITY and _soft < _want and \
+            (_hard == _resource.RLIM_INFINITY or _hard >= _want):
+        _resource.setrlimit(_resource.RLIMIT_STACK, (_want, _hard))
+except Exception:  # pragma: no cover - platform-dependent
+    pass
 
 _SPLIT = 4097.0  # 2^12 + 1: Veltkamp splitter for binary32
 

@@ -159,7 +159,12 @@ def _make_deflate_kernel(p: int, N: int, want_z: bool):
             if not want_z:
                 return
             W = min(16, N)
-            base = jnp.clip((i - 1) & jnp.int32(-8), 0, N - W)
+            # typed bounds: jnp.clip's python-int bounds become weak i64
+            # under x64, and any i64 sends Mosaic's convert lowering into
+            # infinite recursion (the pallas_hess lesson)
+            base = jnp.minimum(jnp.maximum((i - 1) & jnp.int32(-8),
+                                           jnp.int32(0)),
+                               jnp.int32(N - W))
             o = k0 - base
             bh = pltpu.roll(oZ_hi[l], -o, 0)
             bl = pltpu.roll(oZ_lo[l], -o, 0)

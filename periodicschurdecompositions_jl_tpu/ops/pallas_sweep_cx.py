@@ -754,3 +754,112 @@ def qz_sweep_cxff(H: CXF, Z: Optional[CXF], m, i, c0: FF, s0: CXF, *,
     comps = [scrub(x) for x in comps]
     H = CXF(FF(comps[0], comps[1]), FF(comps[2], comps[3]))
     return H, Z
+
+
+# ---------------------------------------------------------------------------
+# Kernel S: the per-iteration shift-rotation chain, fused.
+#
+# act_sweep's XLA-glue shift chain (p factor givens_cxff rounds + the
+# closing H0 givens, reference src/generalized.jl:763-805) is ~2.7k
+# optimization-barrier layers executed EVERY sweep iteration — a large
+# slice of the cx core's ~20 ms/iteration fixed cost (round-5 census).
+# This kernel runs the chain as ONE Mosaic launch over two tiny row
+# slabs (rows ifirst:ifirst+2 and ilast, sliced by the glue), with the
+# identical ds op sequence (bitwise vs the glue, test_pallas_cx.py).
+
+
+def _make_shift_kernel(p: int, N: int, S):
+    from . import cxff as _cxff
+
+    def kernel(iscal, *refs):
+        # inputs: rowsA (p, 2, N) x4 comps (rows ifirst, ifirst+1),
+        #         rowsB (p, 1, N) x4 comps (row ilast); output (1, 8) f32
+        ra = refs[0:4]
+        rb = refs[4:8]
+        out = refs[8]
+        ifirst = iscal[0]
+        ilast = iscal[1]
+
+        def elA(l, r, c):
+            vals = []
+            for x in ra:
+                rows = x[l]  # (2, N)
+                mask = _lane_iota_cx(rows.shape) == c
+                vals.append(jnp.sum(jnp.where(mask, rows, jnp.float32(0.0)),
+                                    axis=1)[r])
+            return CXF(FF(vals[0], vals[1]), FF(vals[2], vals[3]))
+
+        def elB(l, c):
+            vals = []
+            for x in rb:
+                rows = x[l]  # (1, N)
+                mask = _lane_iota_cx(rows.shape) == c
+                vals.append(jnp.sum(jnp.where(mask, rows, jnp.float32(0.0)),
+                                    axis=1)[0])
+            return CXF(FF(vals[0], vals[1]), FF(vals[2], vals[3]))
+
+        one_c = _cxff.cxf(jnp.float32(1.0))
+        c, s, _ = givens_cxff(one_c, one_c)
+        # glue: fori t = 0..p-2 with l = p-1-t (factors p-1 down to 1),
+        # lax.cond on S[l] — statically unrolled here (same selected ops)
+        for l in range(p - 1, 0, -1):
+            hf = elA(l, 0, ifirst)
+            hl = elB(l, ilast)
+            if S[l]:
+                c, s = (lambda cs: cs)(
+                    givens_cxff(_cxff.mul_ff(hf, c),
+                                _cxff.mul(hl, conj(s)))[:2])
+            else:
+                c2, s2, _ = givens_cxff(_cxff.mul_ff(hl, c),
+                                        neg(_cxff.mul(hf, conj(s))))
+                c, s = c2, neg(s2)
+        h0f = elA(0, 0, ifirst)
+        h0l = elB(0, ilast)
+        h0sub = elA(0, 1, ifirst)
+        c, s, _ = givens_cxff(
+            _cxff.sub(_cxff.mul_ff(h0f, c), _cxff.mul(h0l, conj(s))),
+            _cxff.mul_ff(h0sub, c))
+        out[...] = jnp.stack([c.hi, c.lo, s.re.hi, s.re.lo,
+                              s.im.hi, s.im.lo, jnp.float32(0.0),
+                              jnp.float32(0.0)])[None, :]
+
+    return kernel
+
+
+def _lane_iota_cx(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+@functools.lru_cache(maxsize=32)
+def _qz_shift_call(p: int, N: int, S, interpret: bool):
+    kern = _make_shift_kernel(p, N, S)
+    return pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((1, 8), jnp.float32),),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),),
+        interpret=interpret,
+    )
+
+
+def qz_shift_cxff(H: CXF, ifirst, ilast, *, S, interpret: bool = False):
+    """Fused shift-rotation chain; returns (c: FF, s: CXF) — the glue
+    applies the exceptional-shift overlay itself."""
+    p, n, _ = H.re.hi.shape
+    z32 = jnp.int32(0)
+    i0 = jnp.clip(jnp.asarray(ifirst, jnp.int32), 0, n - 2)
+    i1 = jnp.clip(jnp.asarray(ilast, jnp.int32), 0, n - 1)
+
+    def sl(x, r0, k):
+        return jax.lax.dynamic_slice(x, (z32, r0, z32), (p, k, n))
+
+    comps = (H.re.hi, H.re.lo, H.im.hi, H.im.lo)
+    ra = [sl(x, i0, 2) for x in comps]
+    rb = [sl(x, i1, 1) for x in comps]
+    iscal = jnp.stack([i0, i1])
+    with ff.no_barriers():
+        (o,) = _qz_shift_call(p, n, tuple(S), interpret)(iscal, *ra, *rb)
+    c = FF(o[0, 0], o[0, 1])
+    s = CXF(FF(o[0, 2], o[0, 3]), FF(o[0, 4], o[0, 5]))
+    return c, s

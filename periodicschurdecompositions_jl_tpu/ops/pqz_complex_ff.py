@@ -146,6 +146,25 @@ def phessenberg_core_cxff(Arehi, Arelo, Aimhi, Aimlo, want_q: bool = True):
 # ds split-complex periodic QZ core
 
 
+def _cx_shift_auto(interpret: bool) -> bool:
+    """Routing for the fused cx shift-chain kernel (kernel S).
+
+    ON on the chip (the two tiny row slabs always fit VMEM), OFF on CPU
+    (glue exact there; interpret tests opt in via PSD_CX_KERNEL=1).
+    """
+    import os as _os
+    env = _os.environ.get("PSD_CX_KERNEL", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    if interpret:
+        return False
+    dev = jax.config.jax_default_device
+    plat = dev.platform if dev is not None else jax.default_backend()
+    return plat != "cpu"
+
+
 @partial(jax.jit, static_argnames=("S", "want_z", "want_t", "maxitfac",
                                    "with_info", "return_state",
                                    "pallas_sweep", "interpret",
@@ -202,6 +221,8 @@ def pqz_complex_core_ff(
     # threshold applies (src/generalized.jl:199), not the f32 range
     ziter0 = -1 if p >= math.log2(2.2250738585072014e-308) / \
         math.log2(2.220446049250313e-16) else 0
+
+    use_cx_shift = _cx_shift_auto(interpret)
 
     H = CXF(FF(Hrehi, Hrelo), FF(Himhi, Himlo))
     if want_z:
@@ -279,43 +300,53 @@ def pqz_complex_core_ff(
         iiter = iiter + 1
         ziter = ziter + 1
 
-        # shift rotation: fori + sign-cond with dynamic factor access (the
-        # python-unrolled loops of the split core blow the XLA:TPU graph
-        # up p-fold; the remote compiler dies on it at p >= ~6)
-        one_c = cxff.cxf(jnp.float32(1.0))
-        c, s, _ = givens_cxff(one_c, one_c)
-        S_arr = jnp.asarray(S)
+        if use_cx_shift and pallas_sweep:
+            # kernel S (pallas_sweep_cx.qz_shift_cxff): the whole shift
+            # chain in ONE Mosaic launch — the XLA-glue chain below is
+            # ~2.7k barrier layers per sweep iteration (round-5 census).
+            # Bitwise-equal (test_pallas_cx.py); PSD_CX_KERNEL=0/1
+            # overrides.
+            from .pallas_sweep_cx import qz_shift_cxff
+            c, s = qz_shift_cxff(H, ifirst, ilast, S=S,
+                                 interpret=interpret)
+        else:
+            # shift rotation: fori + sign-cond with dynamic factor access
+            # (the python-unrolled loops of the split core blow the
+            # XLA:TPU graph up p-fold; the remote compiler dies at p >= 6)
+            one_c = cxff.cxf(jnp.float32(1.0))
+            c, s, _ = givens_cxff(one_c, one_c)
+            S_arr = jnp.asarray(S)
 
-        def shift_fac(t, cs):
-            c, s = cs
-            l = jnp.int32(p - 1) - t
-            Hl = cxff.fac_get(H, l)
-            hf = getel_cxff(Hl, ifirst, ifirst)
-            hl = getel_cxff(Hl, ilast, ilast)
-
-            def pos(cs):
+            def shift_fac(t, cs):
                 c, s = cs
-                c2, s2, _ = givens_cxff(cxff.mul_ff(hf, c),
-                                        mul(hl, conj(s)))
-                return c2, s2
+                l = jnp.int32(p - 1) - t
+                Hl = cxff.fac_get(H, l)
+                hf = getel_cxff(Hl, ifirst, ifirst)
+                hl = getel_cxff(Hl, ilast, ilast)
 
-            def neg_(cs):
-                c, s = cs
-                c2, s2, _ = givens_cxff(cxff.mul_ff(hl, c),
-                                        neg(mul(hf, conj(s))))
-                return c2, neg(s2)
+                def pos(cs):
+                    c, s = cs
+                    c2, s2, _ = givens_cxff(cxff.mul_ff(hf, c),
+                                            mul(hl, conj(s)))
+                    return c2, s2
 
-            return lax.cond(S_arr[l], pos, neg_, (c, s))
+                def neg_(cs):
+                    c, s = cs
+                    c2, s2, _ = givens_cxff(cxff.mul_ff(hl, c),
+                                            neg(mul(hf, conj(s))))
+                    return c2, neg(s2)
 
-        if p > 1:
-            c, s = lax.fori_loop(0, p - 1, shift_fac, (c, s))
-        H0 = _fget(H, 0)
-        h0f = getel_cxff(H0, ifirst, ifirst)
-        h0l = getel_cxff(H0, ilast, ilast)
-        h0sub = getel_cxff(H0, ifirst + 1, ifirst)
-        c, s, _ = givens_cxff(
-            cxff.sub(cxff.mul_ff(h0f, c), mul(h0l, conj(s))),
-            cxff.mul_ff(h0sub, c))
+                return lax.cond(S_arr[l], pos, neg_, (c, s))
+
+            if p > 1:
+                c, s = lax.fori_loop(0, p - 1, shift_fac, (c, s))
+            H0 = _fget(H, 0)
+            h0f = getel_cxff(H0, ifirst, ifirst)
+            h0l = getel_cxff(H0, ilast, ilast)
+            h0sub = getel_cxff(H0, ifirst + 1, ifirst)
+            c, s, _ = givens_cxff(
+                cxff.sub(cxff.mul_ff(h0f, c), mul(h0l, conj(s))),
+                cxff.mul_ff(h0sub, c))
 
         key, subk = jax.random.split(key)
         fg = jax.random.normal(subk, (4,), jnp.float32)

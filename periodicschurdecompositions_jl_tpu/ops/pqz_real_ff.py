@@ -53,6 +53,32 @@ from .ffslab import (at_set, colsk_ff, getcol_ff, getel_ff, getrow_ff,
 from .pqz_real import _opening_rotations, eig2x2_product, rp2x2ssr
 
 
+def _rg_ladder_auto(p: int, n: int, want_z: bool,
+                    interpret: bool) -> bool:
+    """Routing for the fused rg opening/closing ladders (pallas_rgopen).
+
+    ON on the chip when the padded state fits the bisected Mosaic VMEM
+    ceiling; OFF on CPU (glue is exact there; the kernels are
+    interpret-tested via PSD_RG_KERNEL=1).  Mirrors _deflate_kernel_auto.
+    """
+    import os as _os
+
+    from .pallas_rgopen import rg_kernel_fits
+    Np = n if n <= 128 else ((n + 16 + 7) // 8) * 8
+    env = _os.environ.get("PSD_RG_KERNEL", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return rg_kernel_fits(p, Np, want_z)
+    if interpret:
+        return False
+    dev = jax.config.jax_default_device
+    plat = dev.platform if dev is not None else jax.default_backend()
+    if plat == "cpu":
+        return False
+    return rg_kernel_fits(p, Np, want_z)
+
+
 def _d64(x: FF):
     return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
 
@@ -153,6 +179,9 @@ def pqz_real_gen_core_ff(
     from .pqz_deflate_ff import make_deflate_cores_ff
     pos_cx, neg_cx, cz_cx = make_deflate_cores_ff(
         p=p, n=n, S=S, want_z=want_z, ulp=ulp, smlnum=smlnum)
+
+    use_rg_ladders = bool(pallas_sweep) and _rg_ladder_auto(
+        p, n, want_z, interpret)
 
     def _to_cx(X: FF) -> CXF:
         zi = jnp.zeros_like(X.hi)
@@ -309,6 +338,27 @@ def pqz_real_gen_core_ff(
         c2, s2 = _split64(c2d), _split64(s2d)
         rhi = None if want_t else ilast + 1
         clo = None if want_t else ifirst
+
+        if use_rg_ladders:
+            # fused opening/closing ladders (ops/pallas_rgopen.py): the
+            # two XLA-glue rotation chains around the Pallas chase are
+            # ~5.8k barrier layers per sweep iteration — the rg core's
+            # dominant fixed cost (round-5 census).  Bitwise-equal
+            # (tests/test_pallas_rgopen.py); PSD_RG_KERNEL=0/1 overrides.
+            from .pallas_rgopen import rg_closing_ff, rg_opening_ff
+            from .pallas_sweep_rg import rg_chase_sweep_ff
+            H, Z = rg_opening_ff(H, Z, ifirst, ilast, c1, s1, c2, s2, S,
+                                 rhi=rhi, clo=clo, want_z=want_z,
+                                 interpret=interpret)
+            Zq = Z if want_z else None
+            H, Zq = rg_chase_sweep_ff(H, Zq, ifirst + 1, ilast, S=S,
+                                      want_z=want_z, interpret=interpret)
+            if want_z:
+                Z = Zq
+            H, Z = rg_closing_ff(H, Z, ilast - 1, ilast, S, rhi=rhi,
+                                 clo=clo, want_z=want_z,
+                                 interpret=interpret)
+            return (H, Z, alr, ali, be, sc, ilast, iiter, ziter, key)
 
         # opening (reference :890-943); j = ifirst
         j = ifirst
