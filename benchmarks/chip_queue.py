@@ -31,66 +31,45 @@ RETRIES = 6  # tunnel deaths mid-compile dominate failures
 
 # (name, argv, timeout_s[, env_extra]) — ordered by decision value.
 QUEUE = [
-    # ==================== round-5 queue ====================
-    # All items now share the package-default compilation cache dir
-    # (psd_jax_cache_<cpufp>, merged 2026-08-21 from the round-3/4
-    # per-probe override dirs): the round-4 e2e cx-leg failures were a
-    # CACHE-DIR MISMATCH — the round-3 cx programs were serialized under
-    # psd_jax_cache_cxdd while the e2e probe (package default) looked in
-    # the fingerprint dir and hit the degraded remote compile service.
-    # ============ round-5 queue, phase 2 (post kernel D) ============
-    # NOTE kernel D (fused Mosaic deflation branch) changes the ds core
-    # HLO: every chip item recompiles its core once.  bench_dress runs
-    # LAST so the driver's round-end bench.py hits a warm cache.
-    # 1) cx warm: the (6,128) cx pipeline program was never cached under
-    #    the round-4+ code (every e2e cx leg died in the degraded compile
-    #    service after ~1500 s); this dedicated run gives the compile the
-    #    full timeout and caches it for the e2e retries + refreshes the
-    #    round-3 cx record with the packed-boundary driver.
-    ("cxwarm_p6_n128", [sys.executable,
-                        "benchmarks/probe_complex_ff.py",
-                        "6", "128"], 7200),
-    # 2) public-API e2e journey, all three legs (VERDICT r4 #2).
+    # ========== round-5 queue, phase 3 (kernels D+R+S routed) ==========
+    # Every core HLO changed (fused deflation/ladder/shift kernels):
+    # first items pay the fresh compiles and warm the cache for bench.
+    # 1) public-API e2e journey (complex-on-chip stall fixed; numpy cx
+    #    input; recursion limits raised).
     ("e2e_public_api", [sys.executable, "benchmarks/probe_e2e_chip.py"],
      5400, {"PSD_E2E_ALL": "1"}),
-    # 3) iterfixed v2 (fresh (draw, cap) pairs, 200-iteration deltas,
-    #    medians) — now measures the post-kernel-D world.
-    ("iterfixed_v2_p16_n512", [sys.executable,
-                               "benchmarks/probe_iterfixed.py",
-                               "16", "512"], 7200),
-    # 4) kernel-D A/B at the headline: glue baseline vs the auto-routed
-    #    kernel (aed_default_recheck below is the kernel-on leg).
-    ("defl_glue_baseline", [sys.executable,
-                            "benchmarks/probe_headline.py",
-                            "16", "512", "1"], 5400,
-     {"PSD_DEFL_KERNEL": "0"}),
+    # 2) headline at shipping defaults with all round-5 kernels — the
+    #    kernel-D/R/S validation AND the bench cache warmer.
     ("aed_default_recheck", [sys.executable,
                              "benchmarks/probe_headline.py",
                              "16", "512", "1"], 5400),
-    # 5) AED retune re-sweep: round-4's denser intervals cut niter
-    #    640 -> 314/240 but lost on the ~0.4 s/event host boundary cost;
-    #    the one-transfer batching + kernel D changed both terms.
-    ("aed_itv40_win64", [sys.executable, "benchmarks/probe_headline.py",
-                         "16", "512", "1", "40", "64"], 5400),
-    ("aed_itv40_win96", [sys.executable, "benchmarks/probe_headline.py",
-                         "16", "512", "1", "40", "96"], 5400),
-    # 6) fused reduction kernel A/B after the three Mosaic workarounds.
-    ("hesskernel_v2_p16_n512", [sys.executable,
-                                "benchmarks/probe_hesskernel.py",
-                                "16", "512"], 7200),
-    # 7/8) cx and rg chunked cores at n >= 256 on-chip (VERDICT r4 #2).
+    # 3) bench dress (warm cache): the shipping headline end-to-end.
+    ("bench_dress_r5", [sys.executable, "bench.py"], 7200),
+    # 4/5) cx and rg chunked cores at n >= 256 on-chip (VERDICT r4 #2).
     ("complex_ff_p8_n256", [sys.executable,
                             "benchmarks/probe_complex_ff.py",
                             "8", "256"], 7200),
     ("real_gen_ff_p8_n256", [sys.executable,
                              "benchmarks/probe_real_gen_ff.py",
                              "8", "256"], 7200),
+    # 6) boldest AED retune (niter 640 -> ~240 in round 4; boundaries
+    #    and the iteration fixed cost both changed since).
+    ("aed_itv40_win96", [sys.executable, "benchmarks/probe_headline.py",
+                         "16", "512", "1", "40", "96"], 5400),
+    # 7) fused reduction kernel A/B (auto-route still off).
+    ("hesskernel_v2_p16_n512", [sys.executable,
+                                "benchmarks/probe_hesskernel.py",
+                                "16", "512"], 7200),
+    # 8) iterfixed v2 (fresh pairs, 200-iteration deltas, medians).
+    ("iterfixed_v2_p16_n512", [sys.executable,
+                               "benchmarks/probe_iterfixed.py",
+                               "16", "512"], 7200),
     # 9) Krylov on-chip re-measure (VERDICT r4 #6).
     ("krylov_chip_4_256", [sys.executable,
                            "benchmarks/probe_krylov_chip.py",
                            "4", "256", "4"], 5400),
-    # 10) bench dress with the final round-5 code.
-    ("bench_dress_r5", [sys.executable, "bench.py"], 7200),
+    # 10) final bench dress (re-warm if any default flipped above).
+    ("bench_dress_final", [sys.executable, "bench.py"], 7200),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"
