@@ -63,7 +63,7 @@ def _rmat_adj(c: FF, s: FF) -> FF:
                      ff.stack([s, c], 0)], 0)
 
 
-def _make_rg_kernel(p: int, N: int, S, want_z: bool, closing: bool):
+def _make_rg_kernel(p: int, N: int, S, want_z: bool, mode: str):
 
     def kernel(iscal, fscal, *refs):
         nin = 4 if want_z else 2
@@ -145,7 +145,7 @@ def _make_rg_kernel(p: int, N: int, S, want_z: bool, closing: bool):
 
         clo_b = lobound(clo)
 
-        if not closing:
+        if mode == "open":
             # ---- opening (reference :890-943): two rotations threaded
             # through the factor ring ---------------------------------
             kcols(0, j + 1, _rmat_adj(c2, s2), lo=clo_b, hi=ilast + 1)
@@ -188,10 +188,15 @@ def _make_rg_kernel(p: int, N: int, S, want_z: bool, closing: bool):
             krows(0, j, _lmat(c1, s1), lo=j, hi=rhi)
         else:
             # ---- closing at j = ilast-1 (reference :1015-1048) + the
-            # chain510 single-rotation ladder (:510-540) --------------
-            c1, s1, r1 = givens_ff(kel(0, j, j - 1), kel(0, j + 1, j - 1))
-            ksetel(0, j, j - 1, r1)
-            ksetel(0, j + 1, j - 1, zero)
+            # chain510 single-rotation ladder (:510-540).  mode "chain"
+            # starts from the GIVEN rotation (act_attack's perfect-shift
+            # cascade computes it in f64 glue) and skips the initial
+            # annihilation ---------------------------------------------
+            if mode == "close":
+                c1, s1, r1 = givens_ff(kel(0, j, j - 1),
+                                       kel(0, j + 1, j - 1))
+                ksetel(0, j, j - 1, r1)
+                ksetel(0, j + 1, j - 1, zero)
             krows(0, j, _lmat(c1, s1), lo=j, hi=rhi)
             zup(0, j, _rmat_adj(c1, s1))
             for l in range(p - 1, 0, -1):
@@ -226,9 +231,9 @@ def rg_kernel_fits(p: int, N: int, want_z: bool = True) -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _rg_call(p: int, N: int, S, want_z: bool, closing: bool,
+def _rg_call(p: int, N: int, S, want_z: bool, mode: str,
              interpret: bool):
-    kern = _make_rg_kernel(p, N, S, want_z, closing)
+    kern = _make_rg_kernel(p, N, S, want_z, mode)
     nin = 4 if want_z else 2
     return pl.pallas_call(
         kern,
@@ -254,7 +259,7 @@ def _pack(j, ilast, rhi, clo, rots):
     return iscal, fscal
 
 
-def _rg_run(H, Z, j, ilast, rhi, clo, rots, S, want_z, closing,
+def _rg_run(H, Z, j, ilast, rhi, clo, rots, S, want_z, mode,
             interpret):
     """Pad (the rg core state is unpadded; the 8-aligned 16-row slab
     reads need sublane slack past 128 lanes), run, slice back."""
@@ -277,7 +282,7 @@ def _rg_run(H, Z, j, ilast, rhi, clo, rots, S, want_z, closing,
     if want_z:
         args = args + (Zk.hi, Zk.lo)
     with ff.no_barriers():
-        outs = _rg_call(p, Np, tuple(S), want_z, closing,
+        outs = _rg_call(p, Np, tuple(S), want_z, mode,
                         interpret)(*args)
     Hn = FF(outs[0], outs[1])
     Zn = FF(outs[2], outs[3]) if want_z else Z
@@ -296,7 +301,7 @@ def rg_opening_ff(H: FF, Z, j, ilast, c1: FF, s1: FF, c2: FF, s2: FF,
     return _rg_run(H, Z, j, ilast, rhi, clo,
                    (c1.hi, c1.lo, s1.hi, s1.lo,
                     c2.hi, c2.lo, s2.hi, s2.lo),
-                   S, want_z, False, interpret)
+                   S, want_z, "open", interpret)
 
 
 def rg_closing_ff(H: FF, Z, j, ilast, S, *, rhi=None, clo=None,
@@ -304,4 +309,14 @@ def rg_closing_ff(H: FF, Z, j, ilast, S, *, rhi=None, clo=None,
     """Fused closing rotation + chain510 ladder.  Returns (H, Z)."""
     zf = jnp.float32(0.0)
     return _rg_run(H, Z, j, ilast, rhi, clo, (zf,) * 8,
-                   S, want_z, True, interpret)
+                   S, want_z, "close", interpret)
+
+
+def rg_chain510_ff(H: FF, Z, j, c1: FF, s1: FF, S, *, rhi=None, clo=None,
+                   want_z: bool, interpret: bool = False):
+    """Fused chain510 ladder from a GIVEN rotation (act_attack's
+    perfect-shift cascade).  Returns (H, Z)."""
+    zf = jnp.float32(0.0)
+    return _rg_run(H, Z, j, j + 1, rhi, clo,
+                   (c1.hi, c1.lo, s1.hi, s1.lo, zf, zf, zf, zf),
+                   S, want_z, "chain", interpret)

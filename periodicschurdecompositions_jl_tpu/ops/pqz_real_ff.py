@@ -304,6 +304,15 @@ def pqz_real_gen_core_ff(
                 c1 * _d64(getel_ff(H0f, j + 1, j)))
             wlo = None if want_t else info["jlo"]
             whi = None if want_t else ilast + 1
+            if use_rg_ladders:
+                # fused chain510 (pallas_rgopen mode "chain"): the 2x2
+                # attack fires per converged pair and its ds ladder is
+                # another ~1.9k-barrier launch storm (round-5 census)
+                from .pallas_rgopen import rg_chain510_ff
+                return rg_chain510_ff(H, Z, j, _split64(c1f),
+                                      _split64(s1f), S, rhi=whi,
+                                      clo=wlo, want_z=want_z,
+                                      interpret=interpret)
             return chain510_ff(H, Z, j, _split64(c1f), _split64(s1f),
                                wlo=wlo, whi=whi)
 
