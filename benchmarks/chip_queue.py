@@ -56,6 +56,12 @@ QUEUE = [
     #    and the iteration fixed cost both changed since).
     ("aed_itv40_win96", [sys.executable, "benchmarks/probe_headline.py",
                          "16", "512", "1", "40", "96"], 5400),
+    # 6b) multibulge nb=2: halves the sweep count, amortizing the
+    #     per-sweep fixed cost (the full-state transposes around kernel
+    #     B dominate it — dupsweep ~4.5 ms/sweep); round-2 measured a
+    #     12% win at p=8 n=128 in the slow-AED era.
+    ("nb2_headline", [sys.executable, "benchmarks/probe_headline.py",
+                      "16", "512", "1", "0", "0", "2"], 5400),
     # 7) fused reduction kernel A/B (auto-route still off).
     ("hesskernel_v2_p16_n512", [sys.executable,
                                 "benchmarks/probe_hesskernel.py",

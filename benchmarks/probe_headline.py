@@ -6,7 +6,7 @@ Runs the ds pipeline at a configurable size on the chip and reports
  - Z orthogonality,
  - wall-clock of each stage (fresh inputs, host-transfer timing).
 
-Usage: python benchmarks/probe_headline.py [p] [n] [aed] [itv] [win]
+Usage: python benchmarks/probe_headline.py [p] [n] [aed] [itv] [win] [nb]
   aed: 1 (default, shipping config) or 0 — A/B's the AED accuracy/time
   impact at headline scale on the same seed-12345 draw.
   itv/win: optional aed_interval / aed_window overrides (0 = auto) —
@@ -24,6 +24,7 @@ n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 aed = (int(sys.argv[3]) if len(sys.argv) > 3 else 1) != 0
 itv = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 win = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+nb = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +39,9 @@ from periodicschurdecompositions_jl_tpu.config import (default_config,
                                                        setverbosity)
 setverbosity(1)
 cfg = dataclasses.replace(default_config, aed=aed, aed_interval=itv,
-                          aed_window=win)
-print(f"[probe] config: aed={aed} itv={itv} win={win}", flush=True)
+                          aed_window=win, nbulges=nb)
+print(f"[probe] config: aed={aed} itv={itv} win={win} nb={nb}",
+      flush=True)
 
 tpu = jax.devices()[0]
 rng = np.random.default_rng(12345)
