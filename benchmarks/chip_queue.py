@@ -45,37 +45,32 @@ QUEUE = [
                              "16", "512", "1"], 5400),
     # 3) bench dress (warm cache): the shipping headline end-to-end.
     ("bench_dress_r5", [sys.executable, "bench.py"], 7200),
-    # 4/5) cx and rg chunked cores at n >= 256 on-chip (VERDICT r4 #2).
+    # 4) cx record landed (51.5 s / 5.66e-13 at p=8 n=256, 21:29).
     ("complex_ff_p8_n256", [sys.executable,
                             "benchmarks/probe_complex_ff.py",
                             "8", "256"], 7200),
+    # 5) decision A/Bs first (~1.8 h left): AED retune (host-side knobs,
+    #    core cache hits) and multibulge nb=2 (fresh core compile).
+    ("aed_itv40_win96", [sys.executable, "benchmarks/probe_headline.py",
+                         "16", "512", "1", "40", "96"], 5400),
+    ("nb2_headline", [sys.executable, "benchmarks/probe_headline.py",
+                      "16", "512", "1", "0", "0", "2"], 5400),
+    # 6) rg record at n=256.
     ("real_gen_ff_p8_n256", [sys.executable,
                              "benchmarks/probe_real_gen_ff.py",
                              "8", "256"], 7200),
-    # 6) boldest AED retune (niter 640 -> ~240 in round 4; boundaries
-    #    and the iteration fixed cost both changed since).
-    ("aed_itv40_win96", [sys.executable, "benchmarks/probe_headline.py",
-                         "16", "512", "1", "40", "96"], 5400),
-    # 6b) multibulge nb=2: halves the sweep count, amortizing the
-    #     per-sweep fixed cost (the full-state transposes around kernel
-    #     B dominate it — dupsweep ~4.5 ms/sweep); round-2 measured a
-    #     12% win at p=8 n=128 in the slow-AED era.
-    ("nb2_headline", [sys.executable, "benchmarks/probe_headline.py",
-                      "16", "512", "1", "0", "0", "2"], 5400),
-    # 7) fused reduction kernel A/B (auto-route still off).
-    ("hesskernel_v2_p16_n512", [sys.executable,
-                                "benchmarks/probe_hesskernel.py",
-                                "16", "512"], 7200),
-    # 8) iterfixed v2 (fresh pairs, 200-iteration deltas, medians).
+    # 7) final bench dress (re-warm if any default flips above).
+    ("bench_dress_final", [sys.executable, "bench.py"], 7200),
+    # 8+) as time allows.
     ("iterfixed_v2_p16_n512", [sys.executable,
                                "benchmarks/probe_iterfixed.py",
                                "16", "512"], 7200),
-    # 9) Krylov on-chip re-measure (VERDICT r4 #6).
+    ("hesskernel_v2_p16_n512", [sys.executable,
+                                "benchmarks/probe_hesskernel.py",
+                                "16", "512"], 7200),
     ("krylov_chip_4_256", [sys.executable,
                            "benchmarks/probe_krylov_chip.py",
                            "4", "256", "4"], 5400),
-    # 10) final bench dress (re-warm if any default flipped above).
-    ("bench_dress_final", [sys.executable, "bench.py"], 7200),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"
