@@ -188,16 +188,19 @@ def pqr_real_core_ff_chunked(
     # the subdiagonal test would still need.  Segment length shrinks to
     # the AED interval (adaptively backed off on misses) so the analysis
     # sees fresh windows often enough to pay.
-    # round-5 retune (post boundary batching): wider/denser AED wins —
-    # itv=40/win=96 at n=512 measured niter 640 -> 240, backerr
-    # 1.87e-13 -> 1.55e-13 (results_r5.log 21:35); the round-4 loss was
-    # the ~0.4 s/event host round-trip cost, now one packed transfer
-    aed_w = cfg.aed_window if cfg.aed_window else min(96, max(16, n // 5))
+    # Round-5 retune note: itv=40/win=96 at n=512 cuts niter 640 -> 240
+    # (backerr 1.55e-13, results_r5.log 21:35) and is the right setting
+    # when the HOST is fast relative to the chip — but the w=96 native
+    # window Schur costs 148 ms/event on this 1-vCPU box (16 ms at
+    # w=48) and the same-window bench A/B lost 7.45 -> 8.21 s, so the
+    # shipping auto stays at the round-4 formulas.  Deployments with a
+    # real host CPU should set aed_interval=40, aed_window=96.
+    aed_w = cfg.aed_window if cfg.aed_window else min(48, max(16, n // 10))
     # auto interval n//4: the round-3 on-chip interval sweep (itv 24 /
     # 40 / 85 / 120 -> 12.65 / 12.75 / 12.07 / 10.43 s at the headline,
     # all contract-grade) showed the ~0.3-0.5 s host cost per event
     # outweighs the extra device iterations a denser harvest saves
-    aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 12)
+    aed_itv = cfg.aed_interval if cfg.aed_interval else max(24, n // 4)
     aed_on = bool(cfg.aed) and aed_w >= 4 and n >= aed_w + 4 \
         and (n >= cfg.aed_min_n or cfg.aed_window > 0)
     from .aed import status_pull
