@@ -61,16 +61,16 @@ QUEUE = [
                              "8", "256"], 7200),
     # 7) final bench dress (re-warm if any default flips above).
     ("bench_dress_final", [sys.executable, "bench.py"], 7200),
-    # 8+) as time allows.
-    ("iterfixed_v2_p16_n512", [sys.executable,
-                               "benchmarks/probe_iterfixed.py",
-                               "16", "512"], 7200),
+    # 8+) as time allows (hesskernel cheapest-first).
     ("hesskernel_v2_p16_n512", [sys.executable,
                                 "benchmarks/probe_hesskernel.py",
                                 "16", "512"], 7200),
     ("krylov_chip_4_256", [sys.executable,
                            "benchmarks/probe_krylov_chip.py",
                            "4", "256", "4"], 5400),
+    ("iterfixed_v2_p16_n512", [sys.executable,
+                               "benchmarks/probe_iterfixed.py",
+                               "16", "512"], 7200),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp;"
