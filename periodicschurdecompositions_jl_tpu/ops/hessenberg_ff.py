@@ -121,11 +121,12 @@ def _kernel_auto(p: int, n: int, want_q: bool) -> bool:
             return False
         from .pallas_hess import hess_kernel_fits
         return hess_kernel_fits(p, n, want_q)
-    # Auto-routing is OFF until the Mosaic compile crash is resolved:
-    # the axon remote compile helper SIGSEGVs on this kernel at p=16
-    # n=512 (both the unrolled and the rolled factor ring,
-    # results_r5.log 17:52/17:54), which would take the whole production
-    # chip path down with it.  Opt in with PSD_HESS_KERNEL=1.
+    # Auto-routing stays OFF on measurement: after the three Mosaic
+    # compile workarounds (pallas_hess module doc) the kernel compiles
+    # and is CORRECT on chip (recon 6.94e-14, orth 6.79e-14 at p=16
+    # n=512) but measured NO WIN over the XLA glue (glue 1.9-2.5 s vs
+    # kernel 2.4-3.1 s per reduction, results_r5.log 22:07) — same
+    # outcome class as kernel G.  Opt in with PSD_HESS_KERNEL=1.
     return False
 
 
